@@ -1,0 +1,227 @@
+"""RFM (Recency / Frequency / Monetary) analytics operators.
+
+Re-expression of the reference's three analytics jobs
+(db_to_RFManalysis.py:136-268, db_to_Payment_RFM.py:90-170,
+db_to_card_RFM.py:26-74) as a single generic Spark operator family.
+
+Scale design decisions (vs. the reference's pandas shape):
+
+* **Dual time windows in one pass.**  The reference aggregates the fact
+  twice (lifetime + last-N-days) and left-joins the results
+  (db_to_RFManalysis.py:236-255, operator C6+D3).  Here both windows are
+  computed in a single ``groupBy`` with conditional aggregation
+  (``sum(when(d >= cutoff, x))``) — one shuffle instead of two plus a
+  join.
+* **Stage-scoped ranks preserved.**  The reference computes short-window
+  ranks *inside* the short-window aggregate, i.e. only among groups with
+  short-window activity, then backfills 0 after the join (SURVEY §4 trap
+  5).  Conditional aggregation naturally yields null short metrics for
+  inactive groups; ranks skip nulls (pandas NaN semantics); the final
+  fill maps null short metrics/ranks → 0 and null short recency → 9999
+  (db_to_RFManalysis.py:252-255).
+* **Ranks without a global sort** — see ``functions.ranks``.
+* **analysis_date** is ``max(date)+1 day`` over the filtered fact
+  (db_to_RFManalysis.py:236, operator D4) — computed as a scalar
+  aggregate; at scale this is one cheap ``max`` over a column with
+  parquet min/max statistics.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ranks import with_pct_rank
+
+#: Bank-noise transaction types excluded from every RFM job
+#: (db_to_RFManalysis.py:23, db_to_Payment_RFM.py:28, db_to_card_RFM.py:20).
+EXCLUDE_TYPE_KEYWORDS = r"繳款|折抵|各項費用|手續費|年費|利息"
+
+
+def exclude_bank_noise(
+    df: DataFrame, type_col: str = "transaction_type"
+) -> DataFrame:
+    """Operator B7: drop payment/credit/fee rows by regex on the type.
+
+    The reference's ``str.contains(..., na=False)`` treats null types as
+    *not matching* (kept); replicate with a null-safe coalesce.
+    """
+    return df.where(
+        ~F.coalesce(F.col(type_col).rlike(EXCLUDE_TYPE_KEYWORDS), F.lit(False))
+    )
+
+
+def analysis_date_of(df: DataFrame, date_col: str) -> _dt.date:
+    """Operator D4: ``max(date) + 1 day`` as a driver-side scalar."""
+    row = df.agg(F.max(F.to_date(F.col(date_col))).alias("mx")).first()
+    if row is None or row["mx"] is None:
+        raise ValueError(f"no non-null values in {date_col}")
+    return row["mx"] + _dt.timedelta(days=1)
+
+
+def rfm_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    date_col: str = "transaction_date",
+    id_col: str = "transaction_id",
+    amount_col: str = "payment_amount",
+    analysis_date: _dt.date | None = None,
+    prefix: str = "",
+    extra_first: list[str] | None = None,
+) -> DataFrame:
+    """Operator D1/D2: single-window RFM aggregate.
+
+    recency = days from last activity to ``analysis_date``;
+    frequency = exact distinct ids (reference uses ``nunique``,
+    db_to_RFManalysis.py:142 — ``approx_count_distinct`` is deliberately
+    NOT used to preserve semantics; swap in at scale only if profiling
+    demands); monetary = sum of amounts.  Ranks are appended with pandas
+    percentile semantics: recency descending, frequency/monetary
+    ascending (db_to_card_RFM.py:47-48).
+    """
+    if analysis_date is None:
+        analysis_date = analysis_date_of(df, date_col)
+    d = F.to_date(F.col(date_col))
+    aggs = [
+        F.datediff(F.lit(analysis_date), F.max(d)).alias(f"{prefix}recency_days"),
+        F.countDistinct(F.col(id_col)).alias(f"{prefix}frequency"),
+        F.sum(F.col(amount_col)).alias(f"{prefix}monetary"),
+    ]
+    for c in extra_first or []:
+        aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = with_pct_rank(
+        out, f"{prefix}recency_days", ascending=False, out=f"{prefix}r_rank"
+    )
+    out = with_pct_rank(
+        out, f"{prefix}frequency", ascending=True, out=f"{prefix}f_rank"
+    )
+    out = with_pct_rank(
+        out, f"{prefix}monetary", ascending=True, out=f"{prefix}m_rank"
+    )
+    return out
+
+
+def rfm_dual_window(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    date_col: str = "transaction_date",
+    id_col: str = "transaction_id",
+    amount_col: str = "payment_amount",
+    short_days: int = 365,
+    analysis_date: _dt.date | None = None,
+    extra_first: list[str] | None = None,
+) -> DataFrame:
+    """Operators D1+D3+C6+E1: lifetime & last-``short_days`` RFM in ONE
+    shuffle via conditional aggregation, with stage-scoped ranks and the
+    reference's null-fill contract (short metrics/ranks→0, short
+    recency→9999; db_to_RFManalysis.py:252-255).
+    """
+    if analysis_date is None:
+        analysis_date = analysis_date_of(df, date_col)
+    cutoff = analysis_date - _dt.timedelta(days=short_days)
+    d = F.to_date(F.col(date_col))
+    in_short = d >= F.lit(cutoff)
+
+    aggs = [
+        F.datediff(F.lit(analysis_date), F.max(d)).alias("life_recency_days"),
+        F.countDistinct(F.col(id_col)).alias("life_frequency"),
+        F.sum(F.col(amount_col)).alias("life_monetary"),
+        F.datediff(
+            F.lit(analysis_date), F.max(F.when(in_short, d))
+        ).alias("short_recency_days"),
+        F.countDistinct(F.when(in_short, F.col(id_col))).alias("__short_freq_raw"),
+        F.sum(F.when(in_short, F.col(amount_col))).alias("short_monetary"),
+    ]
+    for c in extra_first or []:
+        aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # countDistinct of an all-null set is 0, not null; the reference's
+    # left join yields NaN→fillna(0).  Normalize 0-with-no-activity to
+    # null first so rank scoping (only short-active groups are ranked)
+    # matches the reference, then fill back to 0 at the end.
+    agg = agg.withColumn(
+        "short_frequency",
+        F.when(F.col("short_recency_days").isNotNull(), F.col("__short_freq_raw")),
+    ).drop("__short_freq_raw")
+
+    # Each percentile rank fans out into its own distinct-value branch;
+    # without persistence Spark recomputes the fact aggregation once per
+    # branch (7 scans + 7 shuffles observed in the physical plan).  The
+    # aggregate is |groups| rows — orders of magnitude smaller than the
+    # fact — so caching it is the right trade at any scale.
+    agg = agg.persist()
+
+    for col, asc, out in [
+        ("life_recency_days", False, "life_r_rank"),
+        ("life_frequency", True, "life_f_rank"),
+        ("life_monetary", True, "life_m_rank"),
+        ("short_recency_days", False, "short_r_rank"),
+        ("short_frequency", True, "short_f_rank"),
+        ("short_monetary", True, "short_m_rank"),
+    ]:
+        agg = with_pct_rank(agg, col, ascending=asc, out=out)
+
+    fill_zero = [
+        "short_frequency",
+        "short_monetary",
+        "short_r_rank",
+        "short_f_rank",
+        "short_m_rank",
+    ]
+    agg = agg.na.fill({c: 0 for c in fill_zero})
+    agg = agg.na.fill({"short_recency_days": 9999})
+    return agg
+
+
+# --- Segment labelers (operators I2 / I3 / I4) -------------------------
+
+def label_merchant_segment() -> F.Column:
+    """I2 (db_to_RFManalysis.py:258-268)."""
+    high_value = F.col("life_m_rank") >= 0.8
+    active = F.col("short_frequency") > 0
+    return (
+        F.when(high_value & active, "核心商家 (Core)")
+        .when(high_value & ~active, "流失高價值 (Churned VIP)")
+        .when(active & (F.col("short_m_rank") >= 0.8), "潛力新星 (Rising Star)")
+        .when(active, "一般活躍 (Active)")
+        .otherwise("沉睡商家 (Dormant)")
+    )
+
+
+def label_payment_segment() -> F.Column:
+    """I3 (db_to_Payment_RFM.py:160-170)."""
+    mainstay = F.col("life_f_rank") >= 0.7
+    active = F.col("short_frequency") > 0
+    return (
+        F.when(mainstay & active, "主力支付 (Main)")
+        .when(mainstay & ~active, "已棄用支付 (Abandoned)")
+        .when(active, "輔助支付 (Support)")
+        .otherwise("冷門支付 (Rare)")
+    )
+
+
+def label_card_segment() -> F.Column:
+    """I4 (db_to_card_RFM.py:55-74)."""
+    high_f = F.col("f_rank") >= 0.5
+    high_m = F.col("m_rank") >= 0.5
+    return (
+        F.when(F.col("recency_days") > 180, "❄️ 冷凍/沉睡卡 (Dormant)")
+        .when(high_f & high_m, "👑 主力攻擊手 (Main Driver)")
+        .when(~high_f & high_m, "🎯 狙擊手 (Sniper)")
+        .when(high_f & ~high_m, "🔄 後勤補給 (Utility)")
+        .otherwise("📉 低效冗餘 (Inefficient)")
+    )
+
+
+def with_avg_ticket(df: DataFrame) -> DataFrame:
+    """D7: integer-truncated average ticket (db_to_card_RFM.py:146 —
+    pandas ``astype(int)`` truncates toward zero; Spark ``cast('long')``
+    of a double matches)."""
+    return df.withColumn(
+        "avg_ticket", (F.col("monetary") / F.col("frequency")).cast("long")
+    )

@@ -1,0 +1,55 @@
+"""Shared test fixtures: one session-scoped SparkSession (local, small
+shuffle parallelism) and a DuckDB connection with the testdata tables
+registered, mirroring the driver's oracle harness."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from credit_card_etl_pipeline_spark.session import get_spark
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    return make_duck(SF_SMOKE)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
