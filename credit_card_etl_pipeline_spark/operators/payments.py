@@ -54,13 +54,27 @@ def identify_third_party_payment(
     return df.withColumns({PAYMENT_PREFIX: prefix_expr, S.MOBILE_PAYMENT: mobile_expr})
 
 
+def _c5_priority(r: dict[str, Any]) -> float | None:
+    """The reference gates C5 with pandas ``Priority >= 20`` where NaN
+    compares False (db_to_Payment_RFM.py:52) — so a missing/unparseable
+    priority EXCLUDES the rule, unlike load_rule_csv's 999 default.
+    Prefer the raw pre-coercion value when the loader preserved it."""
+    raw = r.get("Priority_raw", r.get("Priority"))
+    try:
+        v = float(raw)
+        return None if v != v else v  # NaN → excluded
+    except (TypeError, ValueError):
+        return None
+
+
 def payment_method_prefixes(rules: list[dict[str, Any]]) -> list[tuple[str, str]]:
     """C5 rule prep: ``(prefix, category)`` for Priority ≥ 20, sorted by
     prefix length descending (stable)."""
     prefix_map: dict[str, str] = {}
     for r in rules:
         prefix = (r.get("Prefix_Label") or "").strip()
-        if float(r.get("Priority") or 0) >= 20 and prefix and prefix.lower() != "nan":
+        priority = _c5_priority(r)
+        if priority is not None and priority >= 20 and prefix and prefix.lower() != "nan":
             # dict assignment: duplicate prefixes keep the LAST category,
             # matching the reference's prefix_map construction.
             prefix_map[prefix] = (r.get("Category") or "").strip()

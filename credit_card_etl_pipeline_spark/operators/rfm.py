@@ -198,9 +198,9 @@ def label_payment_segment() -> F.Column:
     mainstay = F.col("life_f_rank") >= 0.7
     active = F.col("short_frequency") > 0
     return (
-        F.when(mainstay & active, "主力支付 (Main)")
+        F.when(mainstay & active, "主力支付 (Main Wallet)")
         .when(mainstay & ~active, "已棄用支付 (Abandoned)")
-        .when(active, "輔助支付 (Support)")
+        .when(active, "輔助支付 (Backup)")
         .otherwise("冷門支付 (Rare)")
     )
 

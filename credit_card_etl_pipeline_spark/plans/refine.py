@@ -67,4 +67,6 @@ def refine(df: DataFrame, config: RefineConfig) -> DataFrame:
     df = clean_merchant_by_regex(df, config.merchant_rules)  #       (C3)
     df = classify_transaction_type(df, config.keywords)     # Step 4 (I1)
     df = apply_final_prefixes(df)                           # Step 5 (H12)
-    return df.select(*[c for c in S.CANONICAL_COLUMNS if c != S.RAW_COUNTRY_CURRENCY])
+    # Reference cols_order exactly (refine.py:422-431) — 15 columns,
+    # Amount and Raw_Country_Currency excluded.
+    return df.select(*S.REFINED_COLUMNS)

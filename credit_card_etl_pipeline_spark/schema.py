@@ -56,6 +56,27 @@ CANONICAL_COLUMNS: list[str] = [
     RAW_COUNTRY_CURRENCY,
 ]
 
+#: Refined-output projection, matching the reference's ``cols_order``
+#: exactly (refine.py:422-431): 15 columns, no Amount, no
+#: Raw_Country_Currency, dates → cards → merchant → type → money.
+REFINED_COLUMNS: list[str] = [
+    TRANSACTION_DATE,
+    POSTING_DATE,
+    BANK_NAME,
+    CARD_TYPE,
+    CARD_NO,
+    MERCHANT,
+    MERCHANT_LOCATION,
+    CONSUMPTION_PLACE,
+    CONVERSION_DATE,
+    TRANSACTION_TYPE,
+    MOBILE_PAYMENT,
+    CURRENCY_TYPE,
+    CURRENCY_AMOUNT,
+    PAYMENT_CURRENCY,
+    PAYMENT_AMOUNT,
+]
+
 _DATE_COLUMNS = {TRANSACTION_DATE, POSTING_DATE, CONVERSION_DATE}
 _DOUBLE_COLUMNS = {AMOUNT, CURRENCY_AMOUNT, PAYMENT_AMOUNT}
 

@@ -12,10 +12,11 @@ Semantics preserved from the reference:
 * blank patterns dropped (refine.py:104);
 * missing ``Replacement`` column materialized as ``''`` (refine.py:99-102);
 * invalid regexes are skipped with a warning at compile time
-  (db_to_RFManalysis.py:95-96) — validated here with Python ``re``; the
-  engine executes them with Java regex, so the loader also rejects
-  patterns Java cannot compile (the reference's config corpus is
-  compatible with both).
+  (db_to_RFManalysis.py:95-96) — validated here with Python ``re``.
+  NOTE: the engine executes patterns with Java regex; a Python-only
+  construct (e.g. ``(?P<x>...)`` named groups) passes this validation
+  and fails at runtime inside ``rlike``.  The reference's config corpus
+  uses the common subset compatible with both.
 """
 
 from __future__ import annotations
@@ -50,8 +51,15 @@ def _coerce_priority(v: Any) -> float:
 
 
 def sort_rules_by_priority(rules: list[dict[str, Any]]) -> list[dict[str, Any]]:
-    """Stable priority-descending sort (operator F3)."""
+    """Stable priority-descending sort (operator F3).
+
+    The raw (pre-coercion) priority is preserved under ``Priority_raw``
+    for consumers whose reference semantics treat NaN differently from
+    the 999 default (e.g. C5's ``Priority >= 20`` gate where pandas NaN
+    compares False — db_to_Payment_RFM.py:52).
+    """
     for r in rules:
+        r.setdefault("Priority_raw", r.get("Priority"))
         r["Priority"] = _coerce_priority(r.get("Priority"))
     return sorted(rules, key=lambda r: -r["Priority"])
 

@@ -49,7 +49,7 @@ def test_dual_window_fills_and_scoped_ranks(spark):
     assert r[3]["life_monetary"] == 20_00
 
     # short ranks scoped to the 2 short-active groups (cust 1 & 3):
-    # short_monetary 500_00 (c1) vs 20_00 (c3) → asc pct ranks 1.0, 0.5
+    # short_monetary 300_00 (c1) vs 20_00 (c3) → asc pct ranks 1.0, 0.5
     assert r[1]["short_m_rank"] == 1.0
     assert r[3]["short_m_rank"] == 0.5
 
