@@ -71,6 +71,7 @@ def rfm_aggregate(
     analysis_date: _dt.date | None = None,
     prefix: str = "",
     extra_first: list[str] | None = None,
+    rank_metrics: tuple[str, ...] = ("r", "f", "m"),
 ) -> DataFrame:
     """Operator D1/D2: single-window RFM aggregate.
 
@@ -80,7 +81,9 @@ def rfm_aggregate(
     NOT used to preserve semantics; swap in at scale only if profiling
     demands); monetary = sum of amounts.  Ranks are appended with pandas
     percentile semantics: recency descending, frequency/monetary
-    ascending (db_to_card_RFM.py:47-48).
+    ascending (db_to_card_RFM.py:47-48).  ``rank_metrics`` picks which —
+    the card job ranks only frequency/monetary (db_to_card_RFM.py:47-48),
+    and each rank costs a join, so don't compute unrequested ones.
     """
     if analysis_date is None:
         analysis_date = analysis_date_of(df, date_col)
@@ -93,15 +96,14 @@ def rfm_aggregate(
     for c in extra_first or []:
         aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
     out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    out = with_pct_rank(
-        out, f"{prefix}recency_days", ascending=False, out=f"{prefix}r_rank"
-    )
-    out = with_pct_rank(
-        out, f"{prefix}frequency", ascending=True, out=f"{prefix}f_rank"
-    )
-    out = with_pct_rank(
-        out, f"{prefix}monetary", ascending=True, out=f"{prefix}m_rank"
-    )
+    rank_specs = {
+        "r": (f"{prefix}recency_days", False, f"{prefix}r_rank"),
+        "f": (f"{prefix}frequency", True, f"{prefix}f_rank"),
+        "m": (f"{prefix}monetary", True, f"{prefix}m_rank"),
+    }
+    for metric in rank_metrics:
+        col, asc, out_name = rank_specs[metric]
+        out = with_pct_rank(out, col, ascending=asc, out=out_name)
     return out
 
 

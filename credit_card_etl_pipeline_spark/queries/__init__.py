@@ -1,0 +1,68 @@
+"""Registry of driver-checkable queries and their DuckDB oracles.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable exercising one
+operator family from SURVEY §2 on the driver's TPC-H-ish corpus
+(/root/testdata/sf*/...).  ``ORACLES`` holds the ANSI-SQL equivalent the
+driver runs in DuckDB over the same parquet files; column names/types are
+aligned on both sides because the driver compare hashes values after
+sorting columns by name.
+
+Determinism notes (double-precision sums are order-dependent):
+* money aggregates are computed in **integer cents** (exact, associative)
+  and divided back to 2-decimal doubles at output — bit-identical across
+  engines regardless of partial-aggregation order;
+* percentile ranks are exact rationals evaluated identically both sides;
+* synthetic columns (merchant names, card labels) derive from integer
+  key arithmetic computed identically in Spark and DuckDB.
+
+Query families live in the submodules imported at the bottom; importing
+this package populates ``QUERIES``/``ORACLES``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------
+# pandas-semantics percentile rank fragments (see functions.ranks):
+# avg-rank-of-ties / non-null count, null inputs excluded and 0-filled.
+# --------------------------------------------------------------------
+
+def pct_rank_sql(col: str, asc: bool) -> str:
+    direction = "ASC" if asc else "DESC"
+    return (
+        f"(RANK() OVER (ORDER BY {col} {direction} NULLS LAST)"
+        f" + (COUNT(*) OVER (PARTITION BY {col}) - 1) / 2.0)"
+        f" / COUNT({col}) OVER ()"
+    )
+
+
+def scoped_pct_rank_sql(col: str, asc: bool) -> str:
+    """Rank among non-null rows only; null rows → NULL (filled later)."""
+    return f"CASE WHEN {col} IS NOT NULL THEN {pct_rank_sql(col, asc)} END"
+
+
+# Import query families (registration side effects).
+from . import rfm_queries  # noqa: E402,F401
