@@ -65,4 +65,4 @@ def scoped_pct_rank_sql(col: str, asc: bool) -> str:
 
 
 # Import query families (registration side effects).
-from . import rfm_queries  # noqa: E402,F401
+from . import merchant_queries, refine_queries, rfm_queries  # noqa: E402,F401
