@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at the bench scale
+factor and prints ONE parseable JSON line:
+
+    {"metric": "total_query_seconds", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>, ...}
+
+Timing = full plan execution into a no-op sink (``format("noop")``), so
+scan + shuffle + expression costs are measured without driver collect
+overhead.  Per-query wall times land in ``BENCH_r{N}.json`` for
+round-over-round comparison.
+
+    SPARK_GRAFT_SF_DIR  corpus dir   (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local cores  (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from credit_card_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run initialization.
+    warm = next(iter(queries.values()))
+    warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching the rest
+            failures[name] = f"{type(e).__name__}: {e}"
+        finally:
+            spark.catalog.clearCache()
+
+    result = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result, ensure_ascii=False))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
