@@ -65,4 +65,9 @@ def scoped_pct_rank_sql(col: str, asc: bool) -> str:
 
 
 # Import query families (registration side effects).
-from . import merchant_queries, refine_queries, rfm_queries  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    etl_queries,
+    merchant_queries,
+    refine_queries,
+    rfm_queries,
+)

@@ -1,0 +1,285 @@
+"""Ingest-layer query family — operators H1-H6, B6, E2, H8, B11.
+
+``etl_general_cleanse`` drives the Node-5 cleanse stage
+(etl.py:383-438) over raw statement strings synthesized from ``orders``
+(dates re-rendered as year-less ``MM/DD`` text with cross-year
+scenarios, amounts as comma-grouped text, country codes in every dirty
+shape).  ``etl_card_ffill`` drives the ordered forward-fill extractor
+(etl.py:155-203) over ``events`` re-shaped as statement lines — the
+E2 window (partition by file, order by line) against a DuckDB
+``last_value IGNORE NULLS`` twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..functions.cleanse import general_cleanse
+from ..operators.extract_cards import extract_card_info
+from . import load, query
+
+# ====================================================================
+# H1-H6 general cleanse
+# ====================================================================
+
+
+def _synth_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-string statement rows with one dirty scenario per
+    ``o_orderkey % 17`` (twin of the SQL CTE in the oracle)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 17
+    d = F.to_date("o_orderdate")
+    pay = F.round(F.col("o_totalprice") * 100) / 100.0
+
+    date_str = (
+        F.when(m == 0, "(null)")
+        .when(m == 1, "nan")
+        .when(m == 2, "12/30")
+        .when(m == 3, "01/05")
+        .when(m == 4, F.date_format(d, "yyyy/MM/dd"))
+        .otherwise(F.date_format(d, "MM/dd"))
+    )
+    base_year = (
+        F.when(m.isin(2, 3), F.lit(2024)).otherwise(F.year(d)).alias("base_year")
+    )
+    bill_month = (
+        F.when(m == 2, F.lit(1))
+        .when(m == 3, F.lit(12))
+        .otherwise(F.month(d))
+        .alias("bill_month")
+    )
+    amount_str = (
+        F.when(m == 5, "1,234")
+        .when(m == 6, " 567.80 ")
+        .when(m == 7, "N/A")
+        .otherwise(pay.cast("string"))
+    )
+    card_str = (
+        F.when(m == 8, "1234.0").when(m == 9, "nan").otherwise(F.lit("9999"))
+    )
+    location = (
+        F.when(m == 10, "JPN CHIYODA-KU")
+        .when(m == 11, "usa")
+        .when(m == 12, "")
+        .when(m == 13, "GB")
+        .when(m == 14, "XYZ")
+        .otherwise(F.lit("TW"))
+    )
+    merchant = F.when(m == 15, "信用卡繳款 THANK YOU").otherwise(
+        F.concat(F.lit("SHOP-"), (k % 50).cast("string"))
+    )
+    currency = F.when(m == 16, "TWD").when(m.isin(10, 14), F.lit(None)).otherwise(
+        F.lit(None).cast("string")
+    )
+    null_s = F.lit(None).cast("string")
+    return orders.select(
+        k.alias("id"),
+        date_str.alias(S.TRANSACTION_DATE),
+        null_s.alias(S.POSTING_DATE),
+        null_s.alias(S.CONVERSION_DATE),
+        merchant.alias(S.MERCHANT),
+        location.alias(S.MERCHANT_LOCATION),
+        currency.alias(S.CURRENCY_TYPE),
+        amount_str.alias(S.AMOUNT),
+        null_s.alias(S.CURRENCY_AMOUNT),
+        null_s.alias(S.PAYMENT_AMOUNT),
+        null_s.alias(S.PAYMENT_CURRENCY),
+        card_str.alias(S.CARD_NO),
+        base_year,
+        bill_month,
+    )
+
+
+_RAW_SQL = """
+    SELECT o_orderkey AS id,
+      CASE (o_orderkey % 17)
+        WHEN 0 THEN '(null)'
+        WHEN 1 THEN 'nan'
+        WHEN 2 THEN '12/30'
+        WHEN 3 THEN '01/05'
+        WHEN 4 THEN strftime(CAST(o_orderdate AS DATE), '%Y/%m/%d')
+        ELSE strftime(CAST(o_orderdate AS DATE), '%m/%d')
+      END AS date_str,
+      CASE WHEN (o_orderkey % 17) IN (2, 3) THEN 2024
+           ELSE year(CAST(o_orderdate AS DATE)) END AS base_year,
+      CASE (o_orderkey % 17) WHEN 2 THEN 1 WHEN 3 THEN 12
+           ELSE month(CAST(o_orderdate AS DATE)) END AS bill_month,
+      CASE (o_orderkey % 17)
+        WHEN 5 THEN '1,234'
+        WHEN 6 THEN ' 567.80 '
+        WHEN 7 THEN 'N/A'
+        ELSE CAST(round(o_totalprice * 100) / 100.0 AS VARCHAR)
+      END AS amount_str,
+      CASE (o_orderkey % 17) WHEN 8 THEN '1234.0' WHEN 9 THEN 'nan'
+           ELSE '9999' END AS card_str,
+      CASE (o_orderkey % 17)
+        WHEN 10 THEN 'JPN CHIYODA-KU'
+        WHEN 11 THEN 'usa'
+        WHEN 12 THEN ''
+        WHEN 13 THEN 'GB'
+        WHEN 14 THEN 'XYZ'
+        ELSE 'TW'
+      END AS location,
+      CASE WHEN (o_orderkey % 17) = 15 THEN '信用卡繳款 THANK YOU'
+           ELSE 'SHOP-' || CAST(o_orderkey % 50 AS VARCHAR) END AS merchant,
+      CASE WHEN (o_orderkey % 17) = 16 THEN 'TWD' ELSE NULL END AS currency
+    FROM orders
+"""
+
+#: ISO-3→2 map as SQL (twin of functions.cleanse.COUNTRY_3TO2).
+_COUNTRY_CASE = """
+    CASE tok
+      WHEN 'TWN' THEN 'TW' WHEN 'USA' THEN 'US' WHEN 'JPN' THEN 'JP'
+      WHEN 'KOR' THEN 'KR' WHEN 'HKG' THEN 'HK' WHEN 'SGP' THEN 'SG'
+      WHEN 'GBR' THEN 'GB' WHEN 'CHN' THEN 'CN' WHEN 'IRL' THEN 'IE'
+      WHEN 'DEU' THEN 'DE' WHEN 'FRA' THEN 'FR' WHEN 'AUS' THEN 'AU'
+      WHEN 'VNM' THEN 'VN' WHEN 'THA' THEN 'TH' WHEN 'MYS' THEN 'MY'
+      WHEN 'IDN' THEN 'ID' ELSE tok END
+"""
+
+_CLEANSE_ORACLE = f"""
+WITH raw AS ({_RAW_SQL}),
+dated AS (
+  SELECT *,
+    CASE
+      WHEN trim(date_str) IN ('(null)', 'nan', '') THEN NULL
+      WHEN len(string_split_regex(trim(date_str), '[/-]')) = 2 THEN
+        make_date(
+          CASE WHEN bill_month = 1
+                    AND CAST(string_split_regex(trim(date_str), '[/-]')[1] AS INT) = 12
+               THEN base_year - 1
+               WHEN bill_month = 12
+                    AND CAST(string_split_regex(trim(date_str), '[/-]')[1] AS INT) = 1
+               THEN base_year + 1
+               ELSE base_year END,
+          CAST(string_split_regex(trim(date_str), '[/-]')[1] AS INT),
+          CAST(string_split_regex(trim(date_str), '[/-]')[2] AS INT))
+      WHEN len(string_split_regex(trim(date_str), '[/-]')) = 3 THEN
+        CAST(replace(trim(date_str), '/', '-') AS DATE)
+      ELSE NULL
+    END AS txn_date
+  FROM raw
+),
+kept AS (SELECT * FROM dated WHERE txn_date IS NOT NULL),
+amts AS (
+  SELECT *, TRY_CAST(replace(trim(amount_str), ',', '') AS DOUBLE) AS amount
+  FROM kept
+),
+loc AS (
+  SELECT *, CASE WHEN location IS NULL OR trim(location) = '' THEN 'TW'
+                 ELSE {_COUNTRY_CASE.replace('tok',
+                     "upper(string_split(trim(location), ' ')[1])")} END
+            AS location_n
+  FROM amts
+)
+SELECT id,
+  txn_date AS "Transaction_Date",
+  merchant AS "Merchant",
+  location_n AS "Merchant_Location",
+  CASE WHEN location_n = 'TW' AND NOT regexp_matches(merchant, '繳款|轉帳')
+       THEN NULL
+       WHEN location_n <> 'TW' AND currency IS NULL THEN 'TWD'
+       ELSE currency END AS "Currency_Type",
+  amount AS "Amount",
+  amount AS "Payment_Amount",
+  'TWD' AS "Payment_Currency",
+  CASE WHEN regexp_replace(card_str, '\\.0$', '') IN ('nan', 'NaN', '')
+       THEN NULL
+       ELSE regexp_replace(card_str, '\\.0$', '') END AS "Card_No"
+FROM loc
+"""
+
+
+@query("etl_general_cleanse", _CLEANSE_ORACLE)
+def etl_general_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1-H6 + B6 over dirty raw strings: card-no float-artifact fix,
+    year-attaching date parse with cross-year correction, null-date
+    drop, comma-stripping numeric coercion, payment fills, country
+    normalization, domestic scrub / foreign default."""
+    raw = _synth_raw(spark, sf_dir)
+    out = general_cleanse(raw)
+    return out.select(
+        "id",
+        S.TRANSACTION_DATE,
+        S.MERCHANT,
+        S.MERCHANT_LOCATION,
+        S.CURRENCY_TYPE,
+        S.AMOUNT,
+        S.PAYMENT_AMOUNT,
+        S.PAYMENT_CURRENCY,
+        S.CARD_NO,
+    )
+
+
+# ====================================================================
+# E2 ordered forward-fill extraction
+# ====================================================================
+
+_FFILL_ORACLE = """
+WITH f AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS path,
+         event_id AS pos,
+         CASE WHEN event_id % 7 = 0
+              THEN '卡號：XXXX-XXXX-XXXX-'
+                   || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                   || '（KIND' || CAST(event_id % 5 AS VARCHAR) || '－正卡）'
+              WHEN event_id % 11 = 0 THEN 'AUTO繳款 THANK YOU'
+              ELSE 'SHOP-' || CAST(event_id % 50 AS VARCHAR)
+         END AS merchant
+  FROM events
+),
+filled AS (
+  SELECT *,
+    last_value(CASE WHEN regexp_matches(merchant, '卡號：') THEN merchant END
+               IGNORE NULLS)
+      OVER (PARTITION BY path ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS info
+  FROM f
+)
+SELECT path, pos, merchant AS "Merchant",
+  CASE WHEN regexp_matches(merchant, '繳款|轉帳') THEN NULL
+       WHEN info IS NULL THEN NULL
+       WHEN regexp_matches(info, '(\\d{4})（')
+           THEN regexp_extract(info, '(\\d{4})（', 1) END AS "Card_No",
+  CASE WHEN regexp_matches(merchant, '繳款|轉帳') THEN NULL
+       WHEN info IS NULL THEN NULL
+       WHEN regexp_matches(info, '（(.*?)－?(?:正卡|附卡)）')
+           THEN regexp_extract(info, '（(.*?)－?(?:正卡|附卡)）', 1) END
+      AS "Card_Type"
+FROM filled
+WHERE NOT regexp_matches(merchant, '卡號：')
+"""
+
+
+@query("etl_card_ffill", _FFILL_ORACLE)
+def etl_card_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+H8+B11: master rows forward-filled in explicit (file, line)
+    order, card number/type regex-extracted, payment rows force-cleared,
+    master rows dropped — the real ``extract_card_info`` operator over
+    ``events`` re-shaped as statement lines."""
+    events = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    merchant = (
+        F.when(
+            e % 7 == 0,
+            F.concat(
+                F.lit("卡號：XXXX-XXXX-XXXX-"),
+                F.lpad((e % 10000).cast("string"), 4, "0"),
+                F.lit("（KIND"),
+                (e % 5).cast("string"),
+                F.lit("－正卡）"),
+            ),
+        )
+        .when(e % 11 == 0, "AUTO繳款 THANK YOU")
+        .otherwise(F.concat(F.lit("SHOP-"), (e % 50).cast("string")))
+    )
+    lines = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        e.alias("pos"),
+        merchant.alias(S.MERCHANT),
+    )
+    out = extract_card_info(lines, "esun_bank")
+    return out.select("path", "pos", S.MERCHANT, S.CARD_NO, S.CARD_TYPE)

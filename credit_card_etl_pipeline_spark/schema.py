@@ -56,6 +56,27 @@ CANONICAL_COLUMNS: list[str] = [
     RAW_COUNTRY_CURRENCY,
 ]
 
+#: Extract-stage output order (reference ``desired_cols``,
+#: etl.py:487-494) — the `result_all_banks` surface.
+ETL_OUTPUT_COLUMNS: list[str] = [
+    TRANSACTION_DATE,
+    POSTING_DATE,
+    MERCHANT,
+    MERCHANT_LOCATION,
+    CONSUMPTION_PLACE,
+    CURRENCY_TYPE,
+    CONVERSION_DATE,
+    AMOUNT,
+    CURRENCY_AMOUNT,
+    PAYMENT_AMOUNT,
+    PAYMENT_CURRENCY,
+    TRANSACTION_TYPE,
+    MOBILE_PAYMENT,
+    CARD_TYPE,
+    CARD_NO,
+    BANK_NAME,
+]
+
 #: Refined-output projection, matching the reference's ``cols_order``
 #: exactly (refine.py:422-431): 15 columns, no Amount, no
 #: Raw_Country_Currency, dates → cards → merchant → type → money.

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The ingest layer replicates pandas `errors='coerce'` semantics
+        # (invalid date/number → null, etl.py:100-122,398-401); ANSI mode
+        # (Spark 4 default) would turn those rows into task failures.
+        .config("spark.sql.ansi.enabled", "false")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # vanilla reader rejects; read nanos as epoch-nano longs and
+        # convert explicitly where timestamps are needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Rule/dim tables are KB-sized; files at rest are parquet. Keep

@@ -1,0 +1,361 @@
+"""Statement ingest layer (operators A1-A6, A2, B1-B3).
+
+Re-expression of the reference's `etl.py` Part 2/3 ingest
+(etl.py:129-152 smart CSV, :259-335 per-file pipeline, :463-482
+directory scan) in a Spark-native shape:
+
+* **One `binaryFile` scan** over the statement directory — files are
+  routed to banks by filename keyword (A1, etl.py:453-459) and decoded
+  (A4: utf-8 / cp950 / Big5, ``errors='replace'``) inside a single
+  Arrow-batched ``mapInPandas``, yielding a distributed ``(path,
+  bank_id, pos, line)`` frame.  Line numbers are explicit — they carry
+  both header-skip (A3) and the order-dependent forward-fill (E2,
+  SURVEY §2.E) without relying on implicit row order.
+* **Header detection as a dataflow** (A3, etl.py:137-143): the header
+  row of each file is located by keyword scan over the first 50 lines
+  with a per-file aggregate, not a driver-side file read; data rows are
+  the lines after it, parsed with ``from_csv``.
+* **HTML statements** (A5, etl.py:290-304) are flattened to
+  cell-separator lines by a stdlib-``HTMLParser`` table extractor inside
+  the same decode step (BeautifulSoup/lxml are not required).
+* **Excel** (A6, etl.py:312-316) is a driver-side ``pandas.read_excel``
+  gated behind an import-try — the workbook engines aren't part of the
+  engine's hard dependencies.
+
+Scale design: per-file work parallelizes across executors; the only
+driver-side step is reading ONE header line per bank (a KB-sized
+``limit(1)`` collect) to compile the per-bank CSV schema.  Statement
+files are assumed layout-consistent per bank (the reference's per-bank
+``columns_mapping`` encodes the same assumption).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schema as S
+
+#: Cell separator used to flatten HTML table rows into "lines".
+HTML_CELL_SEP = "\x1f"
+
+
+@dataclass
+class BankSpec:
+    """Per-source parsing spec (banks_config.yaml shape,
+    configs/banks_configs_example.yaml:12-77)."""
+
+    bank_id: str
+    keywords: list[str]  # filename routing tokens (etl.py:453-459)
+    columns_mapping: dict[str, str]  # raw header → canonical name
+    file_type: str = "csv"  # csv | html | excel
+    encoding: str = "utf-8"
+    header_keyword: str | None = None
+
+
+#: Default specs replicating the reference's four banks
+#: (configs/banks_configs_example.yaml; FIXTURES.md §1).
+DEFAULT_BANK_SPECS: list[BankSpec] = [
+    BankSpec(
+        bank_id="esun_bank",
+        keywords=["玉山"],
+        file_type="csv",
+        encoding="utf-8",
+        header_keyword="交易日期",
+        columns_mapping={
+            "交易日期": S.TRANSACTION_DATE,
+            "入帳日期": S.POSTING_DATE,
+            "卡號末四碼": S.CARD_NO,
+            "交易說明": S.MERCHANT,
+            "外幣金額": S.CURRENCY_AMOUNT,
+            "臺幣金額": S.AMOUNT,
+        },
+    ),
+    BankSpec(
+        bank_id="cube_bank",
+        keywords=["國泰", "國泰世華"],
+        file_type="csv",
+        encoding="utf-8",
+        header_keyword="信用卡號",
+        columns_mapping={
+            "交易日": S.TRANSACTION_DATE,
+            "入帳日": S.POSTING_DATE,
+            "卡號末四碼": S.CARD_NO,
+            "交易說明": S.MERCHANT,
+            "臺幣金額": S.AMOUNT,
+            "消費地/幣別": S.RAW_COUNTRY_CURRENCY,
+        },
+    ),
+    BankSpec(
+        bank_id="ctbc_bank",
+        keywords=["中信", "中國信託"],
+        file_type="csv",
+        encoding="cp950",
+        header_keyword="消費日期",
+        columns_mapping={
+            "消費日期": S.TRANSACTION_DATE,
+            "入帳日期": S.POSTING_DATE,
+            "卡號末四碼": S.CARD_NO,
+            "商店名稱": S.MERCHANT,
+            "臺幣金額": S.AMOUNT,
+            "外幣金額": S.CURRENCY_AMOUNT,
+            "幣別": S.CURRENCY_TYPE,
+        },
+    ),
+    BankSpec(
+        bank_id="hncb_bank",
+        keywords=["華南"],
+        file_type="html",
+        encoding="big5",
+        header_keyword="交易日期",
+        columns_mapping={
+            "交易日期": S.TRANSACTION_DATE,
+            "入帳日期": S.POSTING_DATE,
+            "卡號末四碼": S.CARD_NO,
+            "摘要": S.MERCHANT,
+            "金額": S.AMOUNT,
+        },
+    ),
+]
+
+
+class _TableExtractor(HTMLParser):
+    """Minimal HTML table reader: collects every <table> as rows of
+    trimmed cell texts (whitespace/newlines flattened — etl.py:301)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.tables: list[list[list[str]]] = []
+        self._stack: list[list[list[str]]] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    def handle_starttag(self, tag: str, attrs: Any) -> None:
+        if tag == "table":
+            self._stack.append([])
+        elif tag == "tr" and self._stack:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "table" and self._stack:
+            self.tables.append(self._stack.pop())
+        elif tag == "tr" and self._stack and self._row is not None:
+            self._stack[-1].append(self._row)
+            self._row = None
+        elif tag in ("td", "th") and self._cell is not None and self._row is not None:
+            self._row.append(" ".join("".join(self._cell).split()))
+            self._cell = None
+
+    def handle_data(self, data: str) -> None:
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def html_table_lines(text: str, header_keyword: str | None) -> list[str]:
+    """A5: rows of the table containing ``header_keyword``, flattened to
+    HTML_CELL_SEP-joined lines (etl.py:290-304)."""
+    parser = _TableExtractor()
+    parser.feed(text)
+    for table in parser.tables:
+        if header_keyword is None or any(
+            header_keyword in cell for row in table for cell in row
+        ):
+            return [HTML_CELL_SEP.join(row) for row in table]
+    return []
+
+
+def route_bank(filename: str, specs: list[BankSpec]) -> BankSpec | None:
+    """A1: filename keyword → bank spec (first match, etl.py:470-474)."""
+    for spec in specs:
+        if any(kw in filename for kw in spec.keywords):
+            return spec
+    return None
+
+
+_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("bank_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("line", T.StringType()),
+    ]
+)
+
+
+def statement_lines(
+    spark: SparkSession, data_dir: str, specs: list[BankSpec] | None = None
+) -> DataFrame:
+    """A1+A4+A5: one distributed (path, bank_id, pos, line) frame over
+    every routable statement file under ``data_dir``."""
+    specs = specs if specs is not None else DEFAULT_BANK_SPECS
+    spec_list = list(specs)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{csv,html,xls,xlsx}")
+        .load(data_dir)
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[str, str, int, str]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                spec = route_bank(name, spec_list)
+                if spec is None:
+                    continue
+                text = bytes(content).decode(spec.encoding, errors="replace")
+                if spec.file_type == "html":
+                    lines = html_table_lines(text, spec.header_keyword)
+                else:
+                    lines = text.splitlines()
+                out.extend(
+                    (path, spec.bank_id, i, ln) for i, ln in enumerate(lines)
+                )
+            yield pd.DataFrame(out, columns=["path", "bank_id", "pos", "line"])
+
+    return files.mapInPandas(decode, _LINES_SCHEMA)
+
+
+def filename_meta(path_col: F.Column) -> dict[str, F.Column]:
+    """A2 (etl.py:272-282): billing year/month from the filename —
+    ROC era ``113年1月`` (+1911) takes precedence over western
+    ``202401``; defaults 2024/1."""
+    name = F.element_at(F.split(path_col, "/"), -1)
+    west_y = F.regexp_extract(name, r"(20\d{2})(\d{2})", 1)
+    west_m = F.regexp_extract(name, r"(20\d{2})(\d{2})", 2)
+    roc_y = F.regexp_extract(name, r"(\d{2,3})年(\d{1,2})月", 1)
+    roc_m = F.regexp_extract(name, r"(\d{2,3})年(\d{1,2})月", 2)
+    base_year = (
+        F.when(roc_y != "", roc_y.cast("int") + 1911)
+        .when(west_y != "", west_y.cast("int"))
+        .otherwise(F.lit(2024))
+    )
+    bill_month = (
+        F.when(roc_m != "", roc_m.cast("int"))
+        .when(west_m != "", west_m.cast("int"))
+        .otherwise(F.lit(1))
+    )
+    return {"base_year": base_year, "bill_month": bill_month}
+
+
+def _header_positions(lines: DataFrame, spec: BankSpec) -> DataFrame:
+    """A3: per-file header line position — first of the first 50 lines
+    containing the keyword; files without one fall back to line 0
+    (etl.py:137-149)."""
+    if spec.header_keyword is None:
+        return lines.select("path").distinct().withColumn("hpos", F.lit(0))
+    hits = lines.where(
+        (F.col("pos") <= 50) & F.col("line").contains(spec.header_keyword)
+    )
+    found = hits.groupBy("path").agg(F.min("pos").alias("hpos"))
+    return (
+        lines.select("path")
+        .distinct()
+        .join(found, "path", "left")
+        .na.fill({"hpos": 0})
+    )
+
+
+def _split_header(header_line: str, sep: str) -> list[str]:
+    if sep == HTML_CELL_SEP:
+        cells = header_line.split(sep)
+    else:
+        cells = next(_csv.reader(io.StringIO(header_line)))
+    # B2: trim + flatten whitespace in raw header names (etl.py:301,319).
+    return [" ".join(str(c).split()) for c in cells]
+
+
+def parse_bank(
+    lines: DataFrame, spec: BankSpec
+) -> DataFrame | None:
+    """A3+B1+B2+B3: parse one bank's lines into canonical columns.
+
+    Returns null if the bank has no files.  Output carries ``path`` and
+    ``pos`` (explicit ingest order for E2) plus ``base_year`` /
+    ``bill_month`` (A2) alongside the mapped canonical columns.
+    """
+    bank_lines = lines.where(F.col("bank_id") == spec.bank_id)
+    hpos = _header_positions(bank_lines, spec)
+    with_h = bank_lines.join(hpos, "path")
+
+    header_row = (
+        with_h.where(F.col("pos") == F.col("hpos")).select("line").limit(1).collect()
+    )
+    if not header_row:
+        return None
+    sep = HTML_CELL_SEP if spec.file_type == "html" else ","
+    raw_names = _split_header(header_row[0]["line"], sep)
+
+    data = with_h.where(
+        (F.col("pos") > F.col("hpos")) & (F.trim(F.col("line")) != "")
+    )
+    if spec.file_type == "html":
+        cells = F.split(F.col("line"), HTML_CELL_SEP)
+        parsed = data.select(
+            "path",
+            "pos",
+            *[
+                F.trim(cells.getItem(i)).alias(f"_c{i}")
+                for i in range(len(raw_names))
+            ],
+        )
+    else:
+        struct_schema = ", ".join(
+            f"`_c{i}` string" for i in range(len(raw_names))
+        )
+        rec = F.from_csv(F.col("line"), struct_schema)
+        parsed = data.select(
+            "path",
+            "pos",
+            *[rec.getItem(f"_c{i}").alias(f"_c{i}") for i in range(len(raw_names))],
+        )
+
+    # B1: keep only mapped columns, rename raw → canonical; B3 init of
+    # missing canonical strings happens downstream via schema.conform.
+    cols: list[F.Column] = [F.col("path"), F.col("pos")]
+    for i, raw in enumerate(raw_names):
+        canonical = spec.columns_mapping.get(raw)
+        if canonical is not None:
+            cols.append(F.col(f"_c{i}").alias(canonical))
+    out = parsed.select(*cols).withColumn(S.BANK_NAME, F.lit(spec.bank_id))
+    return out.withColumns(filename_meta(F.col("path")))
+
+
+def read_excel_statement(
+    spark: SparkSession, path: str, spec: BankSpec
+) -> DataFrame:
+    """A6 (etl.py:312-316): driver-side Excel fallback, gated on a
+    workbook engine being installed."""
+    try:
+        pdf = pd.read_excel(path, dtype=str)
+    except ImportError as e:  # openpyxl/xlrd not in the runtime
+        raise NotImplementedError(
+            "Excel ingest requires a pandas Excel engine (openpyxl); "
+            "install one or convert the workbook to CSV"
+        ) from e
+    pdf.columns = [" ".join(str(c).split()) for c in pdf.columns]
+    pdf["path"] = path
+    pdf["pos"] = range(len(pdf))
+    df = spark.createDataFrame(pdf.astype(str))
+    cols = [F.col("path"), F.col("pos")]
+    for raw, canonical in spec.columns_mapping.items():
+        if raw in pdf.columns:
+            cols.append(F.col(raw).alias(canonical))
+    return (
+        df.select(*cols)
+        .withColumn(S.BANK_NAME, F.lit(spec.bank_id))
+        .withColumns(filename_meta(F.col("path")))
+    )
