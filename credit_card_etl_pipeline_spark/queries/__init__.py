@@ -70,4 +70,5 @@ from . import (  # noqa: E402,F401
     merchant_queries,
     refine_queries,
     rfm_queries,
+    warehouse_queries,
 )

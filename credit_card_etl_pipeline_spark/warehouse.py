@@ -1,0 +1,88 @@
+"""Warehouse layer (operators H13, B5, A10, A12) — the reference's
+`load_to_db.py` re-expressed for a Parquet/table warehouse.
+
+The reference writes a SQLite table with four B-tree indexes
+(load_to_db.py:119-128); the Spark-native analogue is a partitioned
+Parquet table — partition pruning on the billing month plus parquet
+min/max stats replace the indexes (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import schema as S
+
+#: H13 hash fields, in concat order (load_to_db.py:35-41).
+_KEY_FIELDS = [
+    S.TRANSACTION_DATE,
+    S.MERCHANT,
+    S.CARD_NO,
+    S.PAYMENT_AMOUNT,
+    S.TRANSACTION_TYPE,
+]
+
+
+def _key_part(col: str) -> Column:
+    """One hash-input field: canonical string form, null → ''.
+
+    Canonicalization (engine-defined, stable across engines): dates as
+    ISO ``yyyy-MM-dd``, doubles via plain string cast (shortest
+    round-trip, e.g. ``123.0``/``123.45`` — matching the reference's
+    pandas ``str(float)`` rendering, load_to_db.py:32-33), strings
+    trimmed.
+    """
+    c = F.col(col)
+    if col in (S.TRANSACTION_DATE,):
+        return F.coalesce(F.date_format(c, "yyyy-MM-dd"), F.lit(""))
+    if col in (S.PAYMENT_AMOUNT,):
+        return F.coalesce(c.cast("string"), F.lit(""))
+    return F.coalesce(F.trim(c.cast("string")), F.lit(""))
+
+
+def transaction_id() -> Column:
+    """H13 (load_to_db.py:26-43): md5 over the concatenated key fields."""
+    return F.md5(F.concat(*[_key_part(c) for c in _KEY_FIELDS]))
+
+
+def to_warehouse(df: DataFrame) -> DataFrame:
+    """B5 + H13: snake_case projection (load_to_db.py:81-104) plus the
+    surrogate key.  Input is the refined 15-column surface."""
+    cols = [
+        F.col(src).alias(dst)
+        for src, dst in S.WAREHOUSE_RENAME.items()
+        if src in df.columns
+    ]
+    return df.select(*cols, transaction_id().alias("transaction_id"))
+
+
+def write_warehouse(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str = "year_month",
+    expected_rows: int | None = None,
+) -> int:
+    """A10 + A12: full-refresh overwrite (load_to_db.py:119) of a
+    Parquet table partitioned by billing month, then a count-back
+    validation (load_to_db.py:133-135).
+
+    Returns the post-write row count; raises if it does not match
+    ``expected_rows`` (pass the pre-write count when the input lineage
+    is cheap to recompute, or leave None to skip the comparison).
+    """
+    out = df.withColumn(
+        partition_by,
+        F.coalesce(
+            F.date_format(F.col("transaction_date"), "yyyy-MM"), F.lit("unknown")
+        ),
+    )
+    out.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    count = df.sparkSession.read.parquet(path).count()
+    if expected_rows is not None and count != expected_rows:
+        raise ValueError(
+            f"post-load validation failed: wrote {expected_rows} rows, "
+            f"table has {count}"
+        )
+    return count
