@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(engine extension for training-data pipelines).
+
+Scale design notes:
+
+* **Exact dedup** is a hash-groupBy on the normalized-text md5 — one
+  shuffle on a 32-byte key regardless of document size; survivors via
+  ``min(doc_id)`` per group.
+* **MinHash** explodes distinct word shingles (docs × shingles rows),
+  hashes each once, and takes the 8 permutation minima in ONE groupBy —
+  the signature shuffle moves 8 longs per doc.  Never materializes
+  doc×doc pairs.
+* **LSH banding** unions per-band keys and self-joins band buckets —
+  candidate pairs only, O(collisions) not O(n²).  AQE handles skewed
+  buckets (a hot band key = many near-identical docs).
+* **SimHash** is a 16-bit signature via 16 conditional sums in one
+  aggregate — a cheap second opinion on near-dup candidates.
+* **Jaccard** verifies candidate pairs only (shingle-set intersection
+  via an equi-join on shingle, counts vs union), never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, MINHASH_COEFFS, md5_int60, minhash_residue
+from .text import fingerprint, normalize_text
+
+# ------------------------------------------------------------------
+# Exact dedup
+# ------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (text_hash, n_copies, canonical_id = min id).  Filter
+    ``n_copies > 1`` for the duplicate report; anti-join survivors."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per normalized-text group."""
+    groups = exact_dup_groups(df, text_col=text_col, id_col=id_col)
+    return df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), id_col, "inner"
+    )
+
+
+# ------------------------------------------------------------------
+# Shingling + MinHash signatures
+# ------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of the normalized text (1-based
+    element_at so the SQL twin matches index-for-index)."""
+    w = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exploded_shingles(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """8-permutation MinHash signature per document, one shuffle.
+
+    ``h_j(x) = (a_j * x + b_j) mod P`` over the 60-bit md5 residue of
+    each shingle (functions.hashing — identical constants in the SQL
+    oracle)."""
+    x = minhash_residue(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 2,
+    rows: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing all ``rows`` minhashes of any band are
+    candidates.  Returns distinct (doc_a < doc_b) pairs."""
+    assert bands * rows <= len(MINHASH_COEFFS)
+    banded = None
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    left = banded.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------
+# SimHash
+# ------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash16(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens: bit b set when
+    the sum of (2·bit_b(h(token)) − 1) is positive."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    h = md5_int60(F.col("tok"))
+    sums = [
+        F.sum(
+            F.when(((h.bitwiseAND(F.lit(1 << b))) != 0), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tokens.groupBy(id_col).agg(*sums)
+    value = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return agg.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------------------------
+# n-gram Jaccard verification
+# ------------------------------------------------------------------
+
+def jaccard_for_pairs(
+    shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (doc_a, doc_b) pairs:
+    intersection via shingle equi-join, union by inclusion-exclusion.
+    Cost is bounded by the candidate set — never all pairs."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

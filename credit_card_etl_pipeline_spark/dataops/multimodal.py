@@ -1,0 +1,98 @@
+"""Multimodal column support (engine extension).
+
+Media (image/audio/video) travels as opaque ``binary`` columns paired
+with a typed metadata struct; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so bytes never round-trip through
+driver memory.  The actual codecs are NOT part of the engine's
+dependency set (no PIL/ffmpeg in this runtime): :func:`decode_media`
+ships the real plumbing — schema, batching, partition shape — with the
+decoder stubbed behind ``NotImplementedError`` and a deterministic
+fake for tests (``fake=True``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata carried alongside every media payload.
+MEDIA_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),      # codec/container tag
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.StringType()),    # md5 hex of payload
+    ]
+)
+
+
+def pack_text_as_media(text: Column, media_type: str = "image") -> Column:
+    """Test/demo helper: utf-8 bytes of ``text`` as a media payload."""
+    _ = media_type
+    return F.encode(text, "utf-8")
+
+
+def media_metadata(payload: Column, media_type: str, fmt: str) -> Column:
+    """Typed metadata struct from a binary payload — native expressions
+    only (byte length + md5 checksum)."""
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def decode_media(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Arrow-batched media decode returning per-item features.
+
+    With ``fake=True`` the "decoder" emits a deterministic 16-bin byte
+    histogram — exercising the real batch path (schema, Arrow transfer,
+    per-partition batching) without codec libraries.  With
+    ``fake=False`` it raises ``NotImplementedError`` inside the worker,
+    marking exactly where a PIL/torchaudio/pyav call would go.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires codec libraries (PIL/ffmpeg) "
+                    "not present in this runtime; pass fake=True for the "
+                    "deterministic test decoder"
+                )
+            ids, sizes, feats = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                hist = [0] * 16
+                for byte in data:
+                    hist[byte >> 4] += 1
+                ids.append(doc_id)
+                sizes.append(len(data))
+                feats.append(hist)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": sizes, "feature": feats}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, _DECODE_SCHEMA)

@@ -1,0 +1,86 @@
+"""Text normalization / analysis operators (engine extension).
+
+All pure column expressions — token counts, quality ratios, script-based
+language guessing, and content fingerprints — designed so a DuckDB SQL
+twin computes bit-identical values (integer counts; doubles only as a
+final single division of identical integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for the stopword-ratio quality signal.
+STOPWORDS: list[str] = ["the", "a", "an", "of", "and", "to", "in", "is"]
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space
+#: symbols — a deterministic proxy for subword token counting.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def n_tokens(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    """Number of characters matching a single-char regex class."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def n_bpe_tokens(col: Column) -> Column:
+    """Count of BPE-ish tokens (regexp-based subword proxy)."""
+    # regexp_extract_all + size keeps it JVM-side.
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_count(col: Column) -> Column:
+    return _count_matches(col, r"[^\w\s]")
+
+
+def digit_count(col: Column) -> Column:
+    return _count_matches(col, r"[0-9]")
+
+
+def cjk_count(col: Column) -> Column:
+    """Characters in the CJK unified block (language-ID signal)."""
+    return _count_matches(col, r"[一-鿿]")
+
+
+def latin_count(col: Column) -> Column:
+    return _count_matches(col, r"[A-Za-z]")
+
+
+def stopword_count(col: Column) -> Column:
+    """Occurrences of the STOPWORDS among whitespace tokens."""
+    w = words(col)
+    return F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+
+
+def lang_guess(col: Column) -> Column:
+    """Heuristic script-ratio language ID: zh if CJK chars dominate,
+    en if latin dominates, else unknown."""
+    cjk = cjk_count(col)
+    latin = latin_count(col)
+    return (
+        F.when(cjk * 2 > latin, "zh")
+        .when(latin > 0, "en")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (exact-dedup
+    key; cross-engine stable)."""
+    return F.md5(normalize_text(col))

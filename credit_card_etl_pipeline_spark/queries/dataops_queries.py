@@ -1,0 +1,472 @@
+"""Dataops query family (engine extension): dedup, similarity search,
+text analysis, multimodal plumbing — each with a DuckDB oracle built on
+the same cross-engine hashing (functions.hashing) and integer-exact
+arithmetic, so even the LSH/minhash internals are value-checked.
+
+The dedup corpus is ``documents`` with duplicates injected
+deterministically (every doc_id % 5 == 0 re-appears as doc_id +
+1_000_000) — the raw table is 100% distinct, which would make the
+dedup queries vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataops import dedup as dd
+from ..dataops import multimodal as mm
+from ..dataops import similarity as sim
+from ..dataops import text as tx
+from ..functions.hashing import (
+    MERSENNE_P,
+    MINHASH_COEFFS,
+    md5_int60_sql,
+    minhash_residue_sql,
+)
+from . import load, query
+
+# ------------------------------------------------------------------
+# Shared corpus (Spark + SQL twins)
+# ------------------------------------------------------------------
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(dups)
+
+
+_CORPUS_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+#: Normalized text (twin of dataops.text.normalize_text).
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+#: Distinct word 3-gram shingles of the normalized text (1-based).
+_SHINGLES_SQL = f"""
+words AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words
+)
+"""
+
+# ------------------------------------------------------------------
+# Exact dedup
+# ------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5({_NORM_SQL}) AS text_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_id
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@query("dedup_exact_groups", _EXACT_ORACLE)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5; one shuffle on
+    a 32-byte key; duplicate groups with canonical (min) id."""
+    groups = dd.exact_dup_groups(corpus(spark, sf_dir))
+    return groups.where(F.col("n_copies") > 1)
+
+
+# ------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ------------------------------------------------------------------
+
+_MH_MIN_SQL = ",\n           ".join(
+    f"min(({a} * x + {b}) % {MERSENNE_P}) AS mh{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_SIGNATURE_CTE = f"""
+corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+hashed AS (
+    SELECT doc_id, {minhash_residue_sql('shingle')} AS x FROM shingles
+),
+signatures AS (
+    SELECT doc_id,
+           {_MH_MIN_SQL}
+    FROM hashed
+    GROUP BY doc_id
+)
+"""
+
+_MINHASH_ORACLE = f"WITH {_SIGNATURE_CTE} SELECT * FROM signatures"
+
+
+@query("dedup_minhash_signatures", _MINHASH_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signatures: shingle explode → hash once →
+    one groupBy (8 longs per doc over the wire); internals value-checked
+    against the SQL twin."""
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    return dd.minhash_signatures(sh)
+
+
+_LSH_ORACLE = f"""
+WITH {_SIGNATURE_CTE},
+banded AS (
+    SELECT doc_id, 0 AS band,
+           CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+           CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band_key
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1 AS band,
+           CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+           CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS band_key
+    FROM signatures
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_lsh_candidates", _LSH_ORACLE)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs (2 bands × 4 rows): bucket self-join,
+    O(collisions) not O(n²)."""
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    sig = dd.minhash_signatures(sh)
+    return dd.lsh_candidate_pairs(sig, bands=2, rows=4)
+
+
+# ------------------------------------------------------------------
+# SimHash
+# ------------------------------------------------------------------
+
+_SIM_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(dd.SIMHASH_BITS)
+)
+_SIM_VALUE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+    for b in range(dd.SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tokens AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM corpus
+),
+hashed AS (SELECT doc_id, {md5_int60_sql('tok')} AS h FROM tokens),
+sums AS (
+    SELECT doc_id,
+         {_SIM_SUMS}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures over distinct tokens — one aggregate
+    with 16 conditional sums."""
+    return dd.simhash16(corpus(spark, sf_dir))
+
+
+# ------------------------------------------------------------------
+# n-gram Jaccard verification
+# ------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+pairs AS (
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 10 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(i.n_inter, 0)
+           / (na.n + nb.n - COALESCE(i.n_inter, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes na ON na.doc_id = p.doc_a
+JOIN sizes nb ON nb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard over a deterministic pair sample —
+    the verification stage that LSH candidates feed at scale."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a")
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(
+        b, F.col("doc_b") == F.col("doc_a") + 1
+    ).select("doc_a", "doc_b")
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    return dd.jaccard_for_pairs(sh, pairs)
+
+
+# ------------------------------------------------------------------
+# Similarity search
+# ------------------------------------------------------------------
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+_ANN_BASE_SQL = f"""
+vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM vecs
+),
+queries AS (SELECT * FROM normed WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN normed c ON c.vec_id <> q.vec_id
+)
+"""
+
+_ANN_ORACLE = f"""
+WITH {_ANN_BASE_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per query vector (queries =
+    vec_id % 100 == 0, broadcast); integer-quantized arithmetic keeps
+    scores bit-identical across engines."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.cosine_topk(vecs, queries, k=5)
+
+
+def _planes_sql(planes: list[list[int]]) -> str:
+    cases = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        cases.append(
+            f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(cases)
+
+
+_ANN_LSH_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2,
+           CAST({_planes_sql(sim.hyperplanes(6, 64))} AS BIGINT) AS bucket
+    FROM vecs
+),
+queries AS (SELECT * FROM normed WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN normed c
+      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_lsh_bucketed", _ANN_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (6 planes):
+    the scale path — candidates restricted to bucket collisions, exact
+    re-scoring inside.  Even the approximation is value-checked (same
+    deterministic planes in the oracle)."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
+
+
+# ------------------------------------------------------------------
+# Text analysis
+# ------------------------------------------------------------------
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+norm AS (
+    SELECT doc_id, lang, source, {_NORM_SQL} AS t FROM corpus
+),
+m AS (
+    SELECT doc_id, lang, source,
+           length(t) AS n_chars_norm,
+           len(string_split(t, ' ')) AS n_tokens,
+           len(regexp_extract_all(t, '{tx.BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+           length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+           length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS n_cjk,
+           length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+               AS n_latin,
+           len(list_filter(string_split(t, ' '),
+                           x -> x IN ({_STOPWORD_LIST}))) AS n_stopwords
+    FROM norm
+)
+SELECT doc_id, lang, source, n_chars_norm, n_tokens, n_bpe_tokens,
+       n_punct, n_digit, n_stopwords,
+       n_stopwords / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       n_punct / CAST(n_chars_norm AS DOUBLE) AS punct_ratio,
+       CASE WHEN n_cjk * 2 > n_latin THEN 'zh'
+            WHEN n_latin > 0 THEN 'en'
+            ELSE 'unknown' END AS lang_guess
+FROM m
+"""
+
+
+@query("text_quality_profile", _QUALITY_ORACLE)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token / subword / punctuation /
+    digit / stopword counts, ratios, script-based language guess —
+    all single-pass column expressions."""
+    c = corpus(spark, sf_dir)
+    t = tx.normalize_text(F.col("text"))
+    out = c.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(t).cast("long").alias("n_chars_norm"),
+        tx.n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        tx.n_bpe_tokens(t).cast("long").alias("n_bpe_tokens"),
+        tx.punct_count(t).cast("long").alias("n_punct"),
+        tx.digit_count(t).cast("long").alias("n_digit"),
+        tx.stopword_count(F.col("text")).cast("long").alias("n_stopwords"),
+        tx.cjk_count(t).alias("__cjk"),
+        tx.latin_count(t).alias("__latin"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars_norm",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_punct",
+        "n_digit",
+        "n_stopwords",
+        (F.col("n_stopwords") / F.col("n_tokens").cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n_punct") / F.col("n_chars_norm").cast("double")).alias(
+            "punct_ratio"
+        ),
+        F.when(F.col("__cjk") * 2 > F.col("__latin"), "zh")
+        .when(F.col("__latin") > 0, "en")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+_STATS_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(len(string_split({_NORM_SQL}, ' '))) AS total_tokens,
+       sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars
+FROM corpus
+GROUP BY lang, source
+"""
+
+
+@query("text_stats_by_lang", _STATS_ORACLE)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition aggregate per (lang, source)."""
+    c = corpus(spark, sf_dir)
+    return c.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(tx.n_tokens(F.col("text"))).cast("long").alias("total_tokens"),
+        (F.sum("n_chars") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+    )
+
+
+# ------------------------------------------------------------------
+# Multimodal plumbing
+# ------------------------------------------------------------------
+
+_MM_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT doc_id,
+       'image' AS media_type,
+       'utf8' AS format,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS checksum
+FROM corpus
+"""
+
+
+@query("multimodal_metadata", _MM_ORACLE)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: text packed as an opaque payload,
+    typed metadata struct computed from the bytes (the decode step
+    itself is stubbed — see dataops.multimodal.decode_media)."""
+    c = corpus(spark, sf_dir)
+    payload = mm.pack_text_as_media(F.col("text"))
+    meta = mm.media_metadata(payload, "image", "utf8")
+    return c.select(
+        "doc_id",
+        meta.getField("media_type").alias("media_type"),
+        meta.getField("format").alias("format"),
+        meta.getField("byte_len").alias("byte_len"),
+        meta.getField("checksum").alias("checksum"),
+    )

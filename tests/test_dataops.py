@@ -1,0 +1,88 @@
+"""Dataops unit tests: multimodal decode plumbing (Arrow batch path),
+LSH recall sanity vs the exact scorer, and dedup survivor semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from credit_card_etl_pipeline_spark.dataops.dedup import dedup_exact
+from credit_card_etl_pipeline_spark.dataops.multimodal import (
+    decode_media,
+    media_metadata,
+    pack_text_as_media,
+)
+from credit_card_etl_pipeline_spark.dataops.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    quantize,
+)
+
+
+def test_multimodal_fake_decode_batch_path(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["abcd", "zz"]})
+    df = spark.createDataFrame(pdf).select(
+        "doc_id", pack_text_as_media(F.col("text")).alias("payload")
+    )
+    out = {r["doc_id"]: r for r in decode_media(df, fake=True).collect()}
+    assert out[1]["n_bytes"] == 4
+    assert sum(out[1]["feature"]) == 4  # histogram mass == byte count
+    assert out[2]["n_bytes"] == 2
+    # 'z' = 0x7a → high nibble 7
+    assert out[2]["feature"][7] == 2
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]})).select(
+        "doc_id", pack_text_as_media(F.col("text")).alias("payload")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(df, fake=False).collect()
+
+
+def test_media_metadata_struct(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["hello"]}))
+    row = df.select(
+        media_metadata(pack_text_as_media(F.col("t")), "image", "utf8").alias("m")
+    ).collect()[0]["m"]
+    assert row["byte_len"] == 5
+    assert row["media_type"] == "image"
+    assert len(row["checksum"]) == 32
+
+
+def test_ann_lsh_is_subset_quality(spark):
+    # LSH results must be a subset of the exact candidate scores: every
+    # (query, cand, cosine) it returns appears in the exact brute-force
+    # scoring with the same cosine.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    queries = q.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in cosine_topk(q, queries, k=39).collect()
+    }
+    approx = ann_lsh_topk(q, queries, k=5, n_planes=4, dim=8).collect()
+    assert approx  # buckets collide at least somewhere
+    for r in approx:
+        assert exact[(r["query_id"], r["cand_id"])] == pytest.approx(
+            r["cosine"], abs=0
+        )
+
+
+def test_dedup_exact_survivors(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["Hello  World", "hello world", "unique doc", "HELLO WORLD"],
+        }
+    )
+    out = dedup_exact(spark.createDataFrame(pdf))
+    # normalization folds case+whitespace → docs 1,2,4 are one group
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
