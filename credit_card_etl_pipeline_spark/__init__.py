@@ -17,6 +17,8 @@ Layout
                    forward-fill, RFM aggregation/segmentation).
 - ``sources``    : config-driven ingest (smart CSV, HTML, Excel readers).
 - ``plans``      : end-to-end pipelines (extract → refine → load → analyze).
+- ``warehouse``  : surrogate keys, snake_case surface, partitioned sink.
+- ``queries``    : registered driver-checkable queries + DuckDB oracles.
 - ``dataops``    : large-scale training-data operators (dedup, similarity
                    search, text analysis, multimodal columns).
 - ``streaming``  : Structured Streaming extension over event sources.

@@ -71,5 +71,6 @@ from . import (  # noqa: E402,F401
     merchant_queries,
     refine_queries,
     rfm_queries,
+    streaming_queries,
     warehouse_queries,
 )

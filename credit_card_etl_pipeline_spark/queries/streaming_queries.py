@@ -1,0 +1,112 @@
+"""Windowed event aggregations (streaming surface, batch-checked).
+
+The window functions in ``streaming.windows`` are batch/stream
+symmetric; here the batch shape runs against DuckDB oracles that
+recompute every window in pure integer epoch arithmetic (nanos →
+micros → bucket), so the window assignment logic itself is
+value-checked.  Stream == batch is asserted separately in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.windows import (
+    event_time,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from . import load, query
+
+#: epoch micros of the nanos timestamp, exact integer arithmetic.
+_US_SQL = "epoch_us(ts)"
+
+_TUMBLING_ORACLE = f"""
+WITH e AS (
+    SELECT {_US_SQL} AS us, event_type,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+)
+SELECT (us // 300000000) * 300 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(vc) / 100.0 AS value_sum
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", _TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type (count + exact value
+    sum via integer cents)."""
+    events = event_time(load(spark, sf_dir, "events"))
+    return tumbling_counts(events, "5 minutes")
+
+
+_SLIDING_ORACLE = f"""
+WITH e AS (
+    SELECT {_US_SQL} AS us, event_type,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+w AS (
+    SELECT unnest([
+             ((us // 300000000) * 300),
+             ((us // 300000000) * 300 - 300)
+           ]) AS window_start,
+           event_type, vc
+    FROM e
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       sum(vc) / 100.0 AS value_sum
+FROM w
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_window", _SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 — every event lands in exactly
+    two windows; the oracle enumerates both starts per event."""
+    events = event_time(load(spark, sf_dir, "events"))
+    return sliding_counts(events, "10 minutes", "5 minutes")
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, {_US_SQL} AS us FROM events
+),
+flagged AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     >= 600000000
+                OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+),
+sessions AS (
+    SELECT user_id, us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT min(us) // 1000000 AS session_start,
+       (max(us) + 600000000) // 1000000 AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("events_session_windows", _SESSION_ORACLE)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap) via Spark's
+    native session_window; oracle recomputes sessions with
+    gaps-and-islands SQL (lag + running sum)."""
+    events = event_time(load(spark, sf_dir, "events"))
+    return session_counts(events, "10 minutes")

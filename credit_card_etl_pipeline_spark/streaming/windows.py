@@ -1,0 +1,119 @@
+"""Windowed event-stream aggregations (tumbling / sliding / session).
+
+Batch/stream symmetric: each aggregation is a pure ``DataFrame →
+DataFrame`` function; feed it ``spark.read`` for batch backfill or
+:func:`events_stream` for the live path.  Money-style ``value`` sums
+go through integer cents (exact, associative) so stream, batch, and
+the DuckDB oracle agree bit-for-bit.
+
+Watermarking: streaming callers attach ``withWatermark`` before the
+aggregation (see :func:`with_watermark`); 1 hour tolerates the driver
+corpus's out-of-order arrival while bounding state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the driver's events table with nanos read as longs
+#: (session config spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_time(df: DataFrame) -> DataFrame:
+    """Append ``event_ts`` (timestamp) from the epoch-nano ``ts``."""
+    # Integer division: epoch nanos (~1.7e18) exceed double precision,
+    # so a float path would corrupt the low-order digits.
+    return df.withColumn(
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events parquet (one-file-per-
+    trigger keeps replays deterministic)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    return event_time(df).withWatermark("event_ts", delay)
+
+
+def _value_cents() -> F.Column:
+    return F.round(F.col("value") * 100).cast("long")
+
+
+def tumbling_counts(df: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time window per event_type: row count + exact
+    value sum.  ``df`` must already carry ``event_ts`` (and a watermark
+    when streaming)."""
+    w = F.window("event_ts", width)
+    return (
+        df.withColumn("vc", _value_cents())
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents") / 100.0).alias("value_sum"),
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding window (each event lands in width/slide windows)."""
+    w = F.window("event_ts", width, slide)
+    return (
+        df.withColumn("vc", _value_cents())
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents") / 100.0).alias("value_sum"),
+        )
+    )
+
+
+def session_counts(df: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: activity separated by < ``gap`` fuses
+    into one session (Spark's native session_window keeps this a
+    streaming-capable stateful aggregation without custom state)."""
+    return (
+        df.groupBy(
+            F.session_window("event_ts", gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            F.unix_timestamp(F.col("win.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
