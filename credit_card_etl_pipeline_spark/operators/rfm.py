@@ -33,7 +33,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ranks import with_pct_rank
+from ..functions.ranks import SMALL_INPUT_THRESHOLD, with_pct_rank
 
 #: Bank-noise transaction types excluded from every RFM job
 #: (db_to_RFManalysis.py:23, db_to_Payment_RFM.py:28, db_to_card_RFM.py:20).
@@ -101,9 +101,16 @@ def rfm_aggregate(
         "f": (f"{prefix}frequency", True, f"{prefix}f_rank"),
         "m": (f"{prefix}monetary", True, f"{prefix}m_rank"),
     }
-    for metric in rank_metrics:
-        col, asc, out_name = rank_specs[metric]
-        out = with_pct_rank(out, col, ascending=asc, out=out_name)
+    if rank_metrics:
+        # The aggregate feeds one rank join per metric; persist it and
+        # use its (now known) cardinality to pick the rank strategy.
+        out = out.persist()
+        distributed = out.count() >= SMALL_INPUT_THRESHOLD
+        for metric in rank_metrics:
+            col, asc, out_name = rank_specs[metric]
+            out = with_pct_rank(
+                out, col, ascending=asc, out=out_name, distributed=distributed
+            )
     return out
 
 
@@ -155,8 +162,12 @@ def rfm_dual_window(
     # without persistence Spark recomputes the fact aggregation once per
     # branch (7 scans + 7 shuffles observed in the physical plan).  The
     # aggregate is |groups| rows — orders of magnitude smaller than the
-    # fact — so caching it is the right trade at any scale.
+    # fact — so caching it is the right trade at any scale.  Its count
+    # (already materialized by the persist) picks the rank strategy:
+    # small group tables use the single-window path, huge ones the
+    # two-pass range-partitioned rank (functions.ranks).
     agg = agg.persist()
+    distributed = agg.count() >= SMALL_INPUT_THRESHOLD
 
     for col, asc, out in [
         ("life_recency_days", False, "life_r_rank"),
@@ -166,7 +177,9 @@ def rfm_dual_window(
         ("short_frequency", True, "short_f_rank"),
         ("short_monetary", True, "short_m_rank"),
     ]:
-        agg = with_pct_rank(agg, col, ascending=asc, out=out)
+        agg = with_pct_rank(
+            agg, col, ascending=asc, out=out, distributed=distributed
+        )
 
     fill_zero = [
         "short_frequency",
