@@ -1,0 +1,169 @@
+"""Mock-data / anonymizer harness (operators C7, H14, H15, H16, G2).
+
+Re-expression of the reference's ``generate_mock.py`` sampling +
+masking engine (generate_mock.py:46-148) with one deliberate change:
+every random choice is replaced by a **deterministic md5-derived
+pseudo-random stream** (SURVEY §7 "make seeds explicit for
+testability") — identical runs produce identical mock corpora, and the
+DuckDB oracle can recompute them value-for-value.
+
+Scale notes: the sampler and masking map are harness utilities that
+collect only bounded driver-side state (per-keyword counts, the
+distinct card list); the masking itself applies as a broadcast join
+(C7) and the shifts/noise as pure column expressions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_int60
+
+#: Reference keyword pool (generate_mock.py:33-36 — trimmed to the
+#: engine's synthetic corpus so samples stay interesting).
+DEFAULT_KEYWORDS = ["LinePay", "Line", "街口", "繳款"]
+
+
+def _rand_factor(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform-ish factor in [0.95, 1.05): the H15 noise
+    multiplier, reproducible cross-engine."""
+    h = md5_int60(F.concat(id_col.cast("string"), F.lit(":" + salt)))
+    return F.lit(0.95) + (h % 100000) / F.lit(1_000_000.0)
+
+
+def _rand_order(id_col: Column, salt: str) -> Column:
+    """Deterministic shuffle key (md5 of id + salt)."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
+
+
+def shift_dates(
+    df: DataFrame,
+    date_cols: list[str],
+    *,
+    anchor_col: str,
+    target: str = "2023-12-25",
+) -> DataFrame:
+    """H14 (generate_mock.py:80-94): shift all dates so the max of
+    ``anchor_col`` lands on ``target``, preserving relative spacing."""
+    row = df.agg(F.max(F.to_date(F.col(anchor_col))).alias("mx")).first()
+    if row is None or row["mx"] is None:
+        return df
+    import datetime as dt
+
+    delta = (dt.date.fromisoformat(target) - row["mx"]).days
+    return df.withColumns(
+        {c: F.date_add(F.to_date(F.col(c)), delta) for c in date_cols}
+    )
+
+
+def inject_noise(
+    df: DataFrame,
+    amount_cols: list[str],
+    *,
+    id_col: str,
+    seed: str = "noise",
+    decimals: int = 2,
+) -> DataFrame:
+    """H15 (generate_mock.py:96-115): amount × deterministic factor in
+    [0.95, 1.05), rounded to ``decimals``.  (The reference's
+    round-to-int branch for integral columns is a display nicety; the
+    engine keeps a fixed rounding so the噪 stream is reproducible.)"""
+    return df.withColumns(
+        {
+            c: F.round(
+                F.col(c) * _rand_factor(F.col(id_col), f"{seed}:{c}"), decimals
+            )
+            for c in amount_cols
+        }
+    )
+
+
+def build_card_mask(
+    cards: list[str],
+    custom_map: dict[str, str] | None = None,
+    *,
+    auto_start: int = 1000,
+) -> dict[str, str]:
+    """C7 map construction (generate_mock.py:117-143): custom last-4
+    overrides, else auto counter — iteration in SORTED order so the map
+    is deterministic (the reference iterates first-appearance order)."""
+    custom_map = custom_map or {}
+    fake_map: dict[str, str] = {}
+    counter = 0
+    for card in sorted(cards):
+        suffix = str(card).strip()[-4:]
+        if suffix in custom_map:
+            target = custom_map[suffix]
+        else:
+            counter += 1
+            target = str(auto_start * counter)
+        fake_map[card] = f"****-****-****-{target}"
+    return fake_map
+
+
+def mask_cards(
+    df: DataFrame,
+    *,
+    card_col: str = "Card_No",
+    custom_map: dict[str, str] | None = None,
+) -> tuple[DataFrame, dict[str, str]]:
+    """C7 (generate_mock.py:145): pseudonymize via broadcast map join +
+    coalesce; unmapped (null) cards pass through."""
+    cards = [
+        r[0]
+        for r in df.select(card_col).where(F.col(card_col).isNotNull()).distinct().collect()
+    ]
+    fake_map = build_card_mask(cards, custom_map)
+    if not fake_map:
+        return df, {}
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        list(fake_map.items()), f"`{card_col}` string, __fake string"
+    )
+    out = (
+        df.join(F.broadcast(map_df), card_col, "left")
+        .withColumn(card_col, F.coalesce(F.col("__fake"), F.col(card_col)))
+        .drop("__fake")
+    )
+    return out, fake_map
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    merchant_col: str = "Merchant",
+    id_col: str,
+    keywords: list[str] | None = None,
+    per_keyword: int = 2,
+    n: int = 30,
+    seed: str = "sample",
+) -> DataFrame:
+    """H16 + G2 (generate_mock.py:46-67): per-keyword samples (≤
+    ``per_keyword`` each, deterministic shuffle order) + a pseudo-random
+    remainder up to ``n``, unioned and de-duplicated.
+
+    Mirrors the reference's sizing exactly: the remainder is ``n``
+    minus the PRE-dedup pool size."""
+    keywords = keywords if keywords is not None else DEFAULT_KEYWORDS
+    order = _rand_order(F.col(id_col), seed)
+
+    pools: list[DataFrame] = []
+    pool_sizes = 0
+    for kw in keywords:
+        hits = df.where(
+            F.coalesce(
+                F.lower(F.col(merchant_col).cast("string")).contains(kw.lower()),
+                F.lit(False),
+            )
+        )
+        picked = hits.orderBy(order, F.col(id_col)).limit(per_keyword)
+        pool_sizes += picked.count()
+        pools.append(picked)
+
+    if pool_sizes < n:
+        pools.append(df.orderBy(order, F.col(id_col)).limit(n - pool_sizes))
+    pool = reduce(lambda a, b: a.unionByName(b), pools)
+    return pool.dropDuplicates([id_col])
