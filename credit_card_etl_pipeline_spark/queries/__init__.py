@@ -42,7 +42,20 @@ def query(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a corpus table, guarding scan parallelism.
+
+    The driver's parquet files are single-row-group, so the native scan
+    yields ONE partition and every narrow operator before the first
+    shuffle (explode/regex/hash chains) would run on one core.  A real
+    multi-file/multi-row-group table parallelizes natively and the
+    round-robin repartition below is skipped — this is a local-corpus
+    guard, not a scale crutch.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        df = df.repartition(parallelism)
+    return df
 
 
 # --------------------------------------------------------------------
