@@ -85,6 +85,7 @@ from . import (  # noqa: E402,F401
     merchant_queries,
     refine_queries,
     rfm_queries,
+    sql_queries,
     streaming_queries,
     warehouse_queries,
 )

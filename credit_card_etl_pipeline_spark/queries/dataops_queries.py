@@ -336,6 +336,75 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
 
 
+_EMB_DUP_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_COSINE_DEDUP_ORACLE = f"""
+WITH base AS ({_EMB_DUP_SQL}),
+vecs AS (SELECT vec_id, {_QUANT_SQL} AS v FROM base),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2,
+           CAST({_planes_sql(sim.hyperplanes(6, 64))} AS BIGINT) AS bucket
+    FROM vecs
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v)
+           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+FROM normed a JOIN normed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.999
+"""
+
+
+@query("dedup_embedding_cosine", _COSINE_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH bucket join (never
+    all-pairs) + exact integer-quantized re-scoring; pairs at
+    cosine >= 0.999 (injected duplicates guarantee hits)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dups)
+    vecs = base.select(
+        "vec_id",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    planes = sim.hyperplanes(6, 64)
+    normed = vecs.select(
+        "vec_id",
+        F.col("qvec"),
+        sim._norm2(F.col("qvec")).alias("n2"),
+        sim.lsh_bucket(F.col("qvec"), planes).alias("bucket"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qvec").alias("va"),
+        F.col("n2").alias("na"),
+        "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qvec").alias("vb"),
+        F.col("n2").alias("nb"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    cosine = sim._dot(F.col("va"), F.col("vb")) / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.999)
+    )
+
+
 # ------------------------------------------------------------------
 # Text analysis
 # ------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""SQL-text surface (operator A11 completed) + D6 unknown-rate.
+
+The reference reads its warehouse through SQL strings
+(db_to_RFManalysis.py:181 ``pd.read_sql``); the engine's equivalent is
+``spark.sql`` over registered views — Catalyst applies column pruning
+and predicate pushdown to the text query exactly as to the DataFrame
+API.  ``sql_pricing_summary`` exercises that surface end-to-end with a
+TPC-H-Q1-shaped aggregate whose oracle is the same SQL in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from ..operators import rfm as rfm_ops
+from ..operators.merchants import resolve_merchant_hybrid
+from . import load, query
+from .merchant_queries import HYBRID_MERCHANT_RULES, STRIP_PREFIXES
+from .rfm_queries import synth_transactions
+
+_PRICING_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pricing_summary", _PRICING_SQL)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the engine's SQL-text path — register the scan as a view,
+    run the ANSI aggregate through spark.sql.  The oracle is the
+    IDENTICAL string run by DuckDB (money via integer cents)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PRICING_SQL)
+
+
+_EXCLUDE_SQL = (
+    "NOT regexp_matches(transaction_type,"
+    " '繳款|折抵|各項費用|手續費|年費|利息')"
+)
+
+from .merchant_queries import _RESOLVED_SQL  # noqa: E402
+
+_UNKNOWN_RATE_ORACLE = f"""
+WITH {_RESOLVED_SQL},
+clean AS (
+    SELECT * FROM resolved WHERE {_EXCLUDE_SQL} AND NOT rfm_exclusion
+)
+SELECT CAST(count(CASE WHEN category = 'Unknown' THEN 1 END) AS BIGINT)
+           AS unknown_count,
+       CAST(count(*) AS BIGINT) AS total_count,
+       count(CASE WHEN category = 'Unknown' THEN 1 END) * 100.0 / count(*)
+           AS unknown_rate_pct
+FROM clean
+"""
+
+
+@query("merchant_unknown_rate", _UNKNOWN_RATE_ORACLE)
+def merchant_unknown_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (db_to_RFManalysis.py:211-219): scalar unknown-category rate
+    after the exclusion filters — the resolver's quality diagnostic."""
+    fact = synth_transactions(spark, sf_dir)
+    df = resolve_merchant_hybrid(
+        fact, HYBRID_MERCHANT_RULES, STRIP_PREFIXES, merchant_col="merchant_name"
+    )
+    df = rfm_ops.exclude_bank_noise(df).where(~F.col("RFM_Exclusion"))
+    unknown = F.count(F.when(F.col("Category") == "Unknown", 1))
+    total = F.count(F.lit(1))
+    return df.agg(
+        unknown.cast("long").alias("unknown_count"),
+        total.cast("long").alias("total_count"),
+        (unknown * 100.0 / total).alias("unknown_rate_pct"),
+    )
