@@ -159,6 +159,114 @@ def merchant_unknown_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from . import pct_rank_sql, scoped_pct_rank_sql  # noqa: E402
+
+_MERCHANT_RFM_ORACLE = f"""
+WITH {_RESOLVED_SQL},
+clean AS (
+    SELECT * FROM resolved WHERE {_EXCLUDE_SQL} AND NOT rfm_exclusion
+),
+mx AS (SELECT max(d) + 1 AS analysis_date FROM clean),
+agg AS (
+    SELECT clean_merchant_name,
+           min(category) AS "Category", min(sub_category) AS "Sub_Category",
+           CAST(date_diff('day', max(d), (SELECT analysis_date FROM mx))
+               AS BIGINT) AS life_recency_days,
+           count(DISTINCT transaction_id) AS life_frequency,
+           sum(amt) AS life_mon_cents,
+           CAST(date_diff('day',
+                max(CASE WHEN d >= (SELECT analysis_date FROM mx) - 365
+                         THEN d END),
+                (SELECT analysis_date FROM mx)) AS BIGINT)
+               AS short_recency_raw,
+           count(DISTINCT CASE WHEN d >= (SELECT analysis_date FROM mx) - 365
+                               THEN transaction_id END) AS short_freq_raw,
+           sum(CASE WHEN d >= (SELECT analysis_date FROM mx) - 365 THEN amt END)
+               AS short_mon_cents
+    FROM clean
+    GROUP BY clean_merchant_name
+),
+norm AS (
+    SELECT *, CASE WHEN short_recency_raw IS NOT NULL THEN short_freq_raw END
+               AS short_freq_n
+    FROM agg
+),
+ranked AS (
+    SELECT *,
+           {pct_rank_sql('life_recency_days', False)} AS life_r_rank,
+           {pct_rank_sql('life_frequency', True)} AS life_f_rank,
+           {pct_rank_sql('life_mon_cents', True)} AS life_m_rank,
+           {scoped_pct_rank_sql('short_recency_raw', False)} AS short_r_rank_n,
+           {scoped_pct_rank_sql('short_freq_n', True)} AS short_f_rank_n,
+           {scoped_pct_rank_sql('short_mon_cents', True)} AS short_m_rank_n
+    FROM norm
+),
+filled AS (
+    SELECT clean_merchant_name, "Category", "Sub_Category",
+           life_recency_days, life_frequency,
+           life_mon_cents / 100.0 AS life_monetary,
+           COALESCE(short_recency_raw, 9999) AS short_recency_days,
+           COALESCE(short_freq_n, 0) AS short_frequency,
+           COALESCE(short_mon_cents, 0) / 100.0 AS short_monetary,
+           life_r_rank, life_f_rank, life_m_rank,
+           COALESCE(short_r_rank_n, 0) AS short_r_rank,
+           COALESCE(short_f_rank_n, 0) AS short_f_rank,
+           COALESCE(short_m_rank_n, 0) AS short_m_rank
+    FROM ranked
+)
+SELECT *,
+       CASE
+         WHEN life_m_rank >= 0.8 AND short_frequency > 0 THEN '核心商家 (Core)'
+         WHEN life_m_rank >= 0.8 THEN '流失高價值 (Churned VIP)'
+         WHEN short_frequency > 0 AND short_m_rank >= 0.8
+             THEN '潛力新星 (Rising Star)'
+         WHEN short_frequency > 0 THEN '一般活躍 (Active)'
+         ELSE '沉睡商家 (Dormant)'
+       END AS segment
+FROM filled
+"""
+
+
+@query("rfm_merchant_full", _MERCHANT_RFM_ORACLE)
+def rfm_merchant_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship job 1:1 (db_to_RFManalysis.py:162-281):
+    hybrid resolver → B7/B8 exclusions → dual-window RFM keyed by the
+    CLEANED merchant name with Category carried through → pandas ranks
+    → I2 segmentation.  Resolver compiles to broadcast join +
+    expression chains; the dual window is one shuffle."""
+    fact = synth_transactions(spark, sf_dir)
+    df = resolve_merchant_hybrid(
+        fact, HYBRID_MERCHANT_RULES, STRIP_PREFIXES, merchant_col="merchant_name"
+    )
+    df = rfm_ops.exclude_bank_noise(df).where(~F.col("RFM_Exclusion"))
+    res = rfm_ops.rfm_dual_window(
+        df,
+        ["clean_merchant_name"],
+        date_col="d",
+        id_col="transaction_id",
+        amount_col="amt",
+        extra_first=["Category", "Sub_Category"],
+    )
+    return res.select(
+        "clean_merchant_name",
+        "Category",
+        "Sub_Category",
+        F.col("life_recency_days").cast("long"),
+        F.col("life_frequency").cast("long"),
+        (F.col("life_monetary") / 100.0).alias("life_monetary"),
+        F.col("short_recency_days").cast("long"),
+        F.col("short_frequency").cast("long"),
+        (F.col("short_monetary") / 100.0).alias("short_monetary"),
+        F.col("life_r_rank").cast("double"),
+        F.col("life_f_rank").cast("double"),
+        F.col("life_m_rank").cast("double"),
+        F.col("short_r_rank").cast("double"),
+        F.col("short_f_rank").cast("double"),
+        F.col("short_m_rank").cast("double"),
+        rfm_ops.label_merchant_segment().alias("segment"),
+    )
+
+
 _DISTRIBUTION_ORACLE = f"""
 WITH fact AS ({SYNTH_FACT_SQL}),
 tagged AS (

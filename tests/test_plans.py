@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcast-only dimension joins, filter pushdown, no sort-merge joins
+on rule lookups) must survive refactors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_hybrid_resolver_broadcasts_lookup(spark):
+    from credit_card_etl_pipeline_spark.queries.merchant_queries import (
+        merchant_resolve_hybrid,
+    )
+
+    plan = _plan(merchant_resolve_hybrid(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_dual_window_single_fact_aggregate(spark):
+    from credit_card_etl_pipeline_spark.queries.rfm_queries import (
+        rfm_customer_dual_window,
+    )
+
+    df = rfm_customer_dual_window(spark, SF)
+    plan = _plan(df)
+    # dual window must NOT appear as two fact aggregates + join: the
+    # conditional-aggregation design has no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
+    # fact reuse through the persisted aggregate
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .where(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderkey)" in plan or "EqualTo(o_orderkey,42)" in plan
+    # column pruning: ReadSchema carries only the projected columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
