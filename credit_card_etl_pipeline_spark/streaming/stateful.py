@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``running_user_stats`` tracks, per user, a cumulative event count /
+value sum and flags "burst" micro-batches where a user's batch value
+exceeds ``burst_factor`` × their trailing per-event average — the kind
+of per-key evolving state that windowed aggregation can't express
+(state spans ALL history, output depends on state *before* the batch).
+
+Batch-mode equivalence: :func:`running_user_stats_batch` computes the
+same per-user end-state with a plain aggregation, which the test uses
+to pin the stream's final state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("burst", T.BooleanType()),
+    ]
+)
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    prev_n, prev_cents = state.get if state.exists else (0, 0)
+
+    batch_n = 0
+    batch_cents = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        batch_cents += int(pdf["vc"].sum())
+
+    new_n = prev_n + batch_n
+    new_cents = prev_cents + batch_cents
+    state.update((new_n, new_cents))
+
+    # burst: this batch's per-event value > 3x the trailing average
+    # (undefined until the user has history → False)
+    burst = False
+    if prev_n > 0 and batch_n > 0:
+        burst = (batch_cents / batch_n) > 3 * (prev_cents / prev_n)
+
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [new_n],
+            "value_cents": [new_cents],
+            "batch_events": [batch_n],
+            "burst": [burst],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Apply the stateful per-user update to a (streaming) events frame
+    carrying ``event_ts``.  Value sums ride integer cents."""
+    prepped = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stream's END state (cumulative totals)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
