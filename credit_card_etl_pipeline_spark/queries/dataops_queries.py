@@ -336,6 +336,69 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
 
 
+_ANN_RECALL_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2,
+           CAST({{planes}} AS BIGINT) AS bucket
+    FROM vecs
+),
+queries AS (SELECT * FROM normed WHERE vec_id % 100 = 0),
+exact_ranked AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v)
+                            / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))
+                            DESC, c.vec_id) AS rank
+        FROM queries q JOIN normed c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+),
+lsh_ranked AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v)
+                            / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))
+                            DESC, c.vec_id) AS rank
+        FROM queries q JOIN normed c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(l.cand_id) AS BIGINT) AS n_hits,
+       count(l.cand_id) / 5.0 AS recall_at_5
+FROM exact_ranked e
+LEFT JOIN lsh_ranked l
+  ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+GROUP BY e.query_id
+""".replace("{planes}", _planes_sql(sim.hyperplanes(6, 64)))
+
+
+@query("ann_recall_at_5", _ANN_RECALL_ORACLE)
+def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric for the approximate path: per-query recall@5 of
+    the LSH-bucketed search vs the exact brute force — the measurement
+    that justifies (or rejects) the approximation at scale."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(vecs, queries, k=5).select("query_id", "cand_id")
+    approx = (
+        sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
+        .select("query_id", "cand_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("__hit").cast("long").alias("n_hits"),
+        (F.count("__hit") / 5.0).alias("recall_at_5"),
+    )
+
+
 _EMB_DUP_SQL = """
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
