@@ -61,12 +61,19 @@ def _strip_prefix_expr(col: Column, prefixes: list[str]) -> Column:
     return expr
 
 
+#: Above this many regex rules, stage 3 switches from a nested ``when``
+#: chain (expression size grows O(n²) — each rule re-wraps the prior
+#: tree) to a broadcast rlike-join with FMW picked by ``row_number``.
+REGEX_JOIN_THRESHOLD = 64
+
+
 def resolve_merchant_hybrid(
     df: DataFrame,
     rules: list[dict[str, Any]],
     payment_prefixes: list[str],
     *,
     merchant_col: str = "merchant_name",
+    regex_join_threshold: int = REGEX_JOIN_THRESHOLD,
 ) -> DataFrame:
     """C4: append ``clean_merchant_name``, ``Category``, ``Sub_Category``,
     ``RFM_Exclusion`` columns.
@@ -121,30 +128,121 @@ def resolve_merchant_hybrid(
         .when(F.col("__stripped") != "", F.col("__stripped"))
         .otherwise(s(merchant_col))
     )
+    regex_rules = [r for r in rules if r.get("Pattern")]
+
+    if len(regex_rules) >= regex_join_threshold:
+        df = _stage3_regex_join(df, regex_rules, merchant_col, fallback_name)
+    else:
+        df = _stage3_when_chain(df, regex_rules, merchant_col, fallback_name)
+
+    hit2 = F.col("__k").isNotNull() & F.col(merchant_col).isNotNull()
+    return (
+        df.withColumn(
+            "clean_merchant_name",
+            F.when(hit2, F.col("__stripped")).otherwise(F.col("__n3")),
+        )
+        .withColumn("Category", F.when(hit2, F.col("__cat")).otherwise(F.col("__c3")))
+        .withColumn(
+            "Sub_Category", F.when(hit2, F.col("__sub")).otherwise(F.col("__s3"))
+        )
+        .withColumn(
+            "RFM_Exclusion", F.when(hit2, F.col("__excl")).otherwise(F.col("__e3"))
+        )
+        .drop(
+            "__stripped", "__k", "__cat", "__sub", "__excl",
+            "__n3", "__c3", "__s3", "__e3",
+        )
+    )
+
+
+def _stage3_when_chain(
+    df: DataFrame,
+    rules: list[dict[str, Any]],
+    merchant_col: str,
+    fallback_name: Column,
+) -> DataFrame:
+    """Expression-fold stage 3: optimal for small rule corpora (no
+    join, pure codegen), but each rule wraps the prior tree — O(n²)
+    expression growth caps its use at REGEX_JOIN_THRESHOLD."""
     name3: Column = fallback_name
     cat3: Column = F.lit("Unknown")
     sub3: Column = F.lit("")
     excl3: Column = F.lit(False)
     for r in reversed(rules):
-        pat = r.get("Pattern")
-        if not pat:
-            continue
+        pat = r["Pattern"]
         cond = F.col(merchant_col).isNotNull() & contains_ci(F.col("__stripped"), pat)
         name3 = F.when(cond, F.lit((r.get("Replacement") or "").strip())).otherwise(name3)
         cat3 = F.when(cond, F.lit(r.get("Category") or "")).otherwise(cat3)
         sub3 = F.when(cond, F.lit(r.get("Sub_Category") or "")).otherwise(sub3)
         excl3 = F.when(cond, F.lit(_parse_bool(r.get("RFM_Exclusion")))).otherwise(excl3)
-
-    hit2 = F.col("__k").isNotNull() & F.col(merchant_col).isNotNull()
-    return (
-        df.withColumn(
-            "clean_merchant_name", F.when(hit2, F.col("__stripped")).otherwise(name3)
-        )
-        .withColumn("Category", F.when(hit2, F.col("__cat")).otherwise(cat3))
-        .withColumn("Sub_Category", F.when(hit2, F.col("__sub")).otherwise(sub3))
-        .withColumn("RFM_Exclusion", F.when(hit2, F.col("__excl")).otherwise(excl3))
-        .drop("__stripped", "__k", "__cat", "__sub", "__excl")
+    return df.withColumns(
+        {"__n3": name3, "__c3": cat3, "__s3": sub3, "__e3": excl3}
     )
+
+
+def _stage3_regex_join(
+    df: DataFrame,
+    rules: list[dict[str, Any]],
+    merchant_col: str,
+    fallback_name: Column,
+) -> DataFrame:
+    """Broadcast rlike-join stage 3 for large rule corpora: the rule
+    table ships once per executor, each row scans it via a broadcast
+    nested-loop join, FMW resolved by ``row_number`` over the
+    priority-sorted rule index.  Plan cost is O(rows × rules) regex
+    evaluations — the same work as the when-chain — without the O(n²)
+    expression-tree blowup."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    rule_rows = [
+        (
+            i,
+            "(?i)" + r["Pattern"],
+            (r.get("Replacement") or "").strip(),
+            r.get("Category") or "",
+            r.get("Sub_Category") or "",
+            _parse_bool(r.get("RFM_Exclusion")),
+        )
+        for i, r in enumerate(rules)
+    ]
+    rules_df = spark.createDataFrame(
+        rule_rows,
+        "__idx long, __pat string, __r3 string, __rc3 string, "
+        "__rs3 string, __re3 boolean",
+    )
+    wid = df.withColumn("__rid", F.monotonically_increasing_id())
+    probe = wid.where(
+        F.col(merchant_col).isNotNull() & F.col("__k").isNull()
+    ).select("__rid", "__stripped")
+    cand = probe.join(
+        F.broadcast(rules_df),
+        F.expr("rlike(coalesce(__stripped, ''), __pat)"),
+        "inner",
+    )
+    best = (
+        cand.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__rid").orderBy("__idx")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("__rid", "__r3", "__rc3", "__rs3", "__re3")
+    )
+    # Join-back is fact-sized on both sides → one shuffle on __rid; the
+    # price of escaping the O(n²) expression tree.  (__rid comes from
+    # monotonically_increasing_id over the same deterministic scan on
+    # both branches of the self-join.)
+    out = wid.join(best, "__rid", "left")
+    return out.withColumns(
+        {
+            "__n3": F.coalesce(F.col("__r3"), fallback_name),
+            "__c3": F.coalesce(F.col("__rc3"), F.lit("Unknown")),
+            "__s3": F.coalesce(F.col("__rs3"), F.lit("")),
+            "__e3": F.coalesce(F.col("__re3"), F.lit(False)),
+        }
+    ).drop("__rid", "__r3", "__rc3", "__rs3", "__re3")
 
 
 def _parse_bool(v: Any) -> bool:

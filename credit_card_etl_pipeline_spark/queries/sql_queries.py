@@ -44,6 +44,51 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PRICING_SQL)
 
 
+_SALTED_ORACLE = """
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("skew_salted_aggregate", _SALTED_ORACLE)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread two-stage aggregation (operators/skew.py): per-key
+    count/sum via (key, salt) partials + combine, exact count-distinct
+    via two-level dedup — results identical to a plain groupBy, which
+    is exactly what the oracle computes."""
+    from ..operators.skew import (
+        salted_aggregate,
+        salted_count,
+        salted_count_distinct,
+        salted_sum,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    main = salted_aggregate(
+        orders,
+        ["custkey"],
+        [salted_count("n_orders"), salted_sum("cents", "total_cents")],
+        n_salts=8,
+        salt_source="id",
+    )
+    nd = salted_count_distinct(orders, ["custkey"], "prio", out="n_priorities")
+    return main.join(nd, "custkey").select(
+        "custkey",
+        F.col("n_orders").cast("long"),
+        F.col("total_cents").cast("long"),
+        F.col("n_priorities").cast("long"),
+    )
+
+
 _EXCLUDE_SQL = (
     "NOT regexp_matches(transaction_type,"
     " '繳款|折抵|各項費用|手續費|年費|利息')"
