@@ -42,6 +42,28 @@ def test_rfm_dual_window_single_fact_aggregate(spark):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
 
 
+def test_refine_pipeline_is_shuffle_free(spark):
+    # The whole transform (conform → C1 → H10 → C2 → H11 → C3 → I1 →
+    # H12 → projection) must stay one narrow expression chain: zero
+    # Exchange over an in-memory input.
+    import pandas as pd
+
+    from credit_card_etl_pipeline_spark import schema as S
+    from credit_card_etl_pipeline_spark.plans.refine import refine
+    from credit_card_etl_pipeline_spark.queries.refine_queries import (
+        REFINE_CONFIG,
+    )
+
+    pdf = pd.DataFrame(
+        [{c: None for c in S.CANONICAL_COLUMNS} | {S.MERCHANT: "SHOP"}]
+    )
+    df = spark.createDataFrame(pdf).withColumns(
+        {c: F.col(c).cast("string") for c in S.CANONICAL_COLUMNS}
+    )
+    plan = _plan(refine(df, REFINE_CONFIG))
+    assert "Exchange" not in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = (
         spark.read.parquet(f"{SF}/orders.parquet")
