@@ -42,8 +42,13 @@ from pyspark.sql import functions as F
 
 
 #: Below this many input rows the two-pass machinery costs more than it
-#: saves: the distinct-value window fits one task comfortably.
-SMALL_INPUT_THRESHOLD = 2_000_000
+#: saves.  Measured (tools/soak.py, local[32], 6M near-unique groups):
+#: single-window 30.3s vs two-pass 41.2s — the ordered single task is
+#: cheap well past millions of rows; what it cannot survive is the
+#: 10⁸-10⁹-group regime where one task must hold and sort the whole
+#: distinct-value set (straggler + OOM).  32M rows ≈ low-hundreds of MB
+#: in one task: the last comfortable size, hence the cutover.
+SMALL_INPUT_THRESHOLD = 32_000_000
 
 
 def with_pct_rank(
