@@ -1,0 +1,41 @@
+"""The bank_statement Python Data Source must match the mapInPandas
+line feed (same routing, decode, HTML extraction) per (path, pos)."""
+
+from __future__ import annotations
+
+import pytest
+
+from credit_card_etl_pipeline_spark.sources.datasource import (
+    BankStatementDataSource,
+)
+from credit_card_etl_pipeline_spark.sources.ingest import statement_lines
+from tests.test_etl import CTBC_CSV, ESUN_CSV, HNCB_HTML
+
+
+@pytest.mark.timeout(300)
+def test_datasource_matches_mapinpandas_feed(spark, tmp_path):
+    data_dir = tmp_path / "statements"
+    data_dir.mkdir()
+    (data_dir / "玉山銀行113年1月.csv").write_text(ESUN_CSV, encoding="utf-8")
+    (data_dir / "中信_202403.csv").write_bytes(CTBC_CSV.encode("cp950"))
+    (data_dir / "華南_202404.html").write_bytes(HNCB_HTML.encode("big5"))
+    (data_dir / "unrelated.txt").write_text("skip me")
+
+    spark.dataSource.register(BankStatementDataSource)
+    via_ds = (
+        spark.read.format("bank_statement")
+        .option("path", str(data_dir))
+        .load()
+        .collect()
+    )
+    via_fn = statement_lines(spark, str(data_dir)).collect()
+
+    def key(rows):
+        return sorted(
+            (r["path"].split("/")[-1], r["bank_id"], r["pos"], r["line"])
+            for r in rows
+        )
+
+    # mapInPandas path uses file:// URIs; compare on basename
+    assert key(via_ds) == key(via_fn)
+    assert len(via_ds) > 0
