@@ -336,6 +336,84 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
 
 
+_MH_EQ_SUM = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+    for j in range(len(MINHASH_COEFFS))
+)
+
+_MINHASH_QUALITY_ORACLE = f"""
+WITH {_SIGNATURE_CTE},
+pairs AS (
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 10 = 0
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           ({_MH_EQ_SUM}) / {len(MINHASH_COEFFS)}.0 AS jaccard_est
+    FROM pairs p
+    JOIN signatures a ON a.doc_id = p.doc_a
+    JOIN signatures b ON b.doc_id = p.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.jaccard_est,
+       COALESCE(i.n_inter, 0)
+           / (na.n + nb.n - COALESCE(i.n_inter, 0)) AS jaccard_exact
+FROM est e
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+"""
+
+
+@query("dedup_minhash_quality", _MINHASH_QUALITY_ORACLE)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality: per pair, the signature-agreement
+    estimate (matching minhashes / 8) against the exact shingle
+    Jaccard — the measurement that sizes the signature for a target
+    error at scale."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a")
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
+        "doc_a", "doc_b"
+    )
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    sig = dd.minhash_signatures(sh)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(MINHASH_COEFFS))],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(MINHASH_COEFFS))],
+    )
+    est_expr = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(len(MINHASH_COEFFS))
+    ) / float(len(MINHASH_COEFFS))
+    est = (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est_expr.alias("jaccard_est"))
+    )
+    exact = dd.jaccard_for_pairs(sh, pairs).withColumnRenamed(
+        "jaccard", "jaccard_exact"
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard_est", "jaccard_exact"
+    )
+
+
 _ANN_RECALL_ORACLE = f"""
 WITH vecs AS (
     SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
