@@ -30,10 +30,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Session settings the queries depend on.  The DRIVER calls queries()
+#: with its own SparkSession, which may not come from session.get_spark
+#: — so every registered query re-asserts the runtime-settable subset
+#: (permissive casts for coerce-to-null semantics, nanos-parquet reads,
+#: UTC so to_date/window match the naive-UTC DuckDB oracle).
+_SESSION_CONF = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    for k, v in _SESSION_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this session — keep going
+            pass
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
