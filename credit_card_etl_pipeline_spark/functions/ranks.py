@@ -79,33 +79,33 @@ def with_pct_rank(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
+    if distributed is False:
+        # Direct window formula, no distinct table and no join-back:
+        #   pct = (rank + (ties - 1)/2) / n_non_null
+        # nulls_last ordering keeps non-null ranks unshifted by nulls;
+        # count(col) excludes them from n.  One projection — several
+        # rank columns over the same small table collapse into a single
+        # stage instead of a groupBy+join round each.
+        nulls_last = (
+            F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+        )
+        rnk = F.rank().over(Window.orderBy(nulls_last))
+        ties = F.count(col).over(Window.partitionBy(col))
+        n = F.count(col).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        pct = F.when(
+            F.col(col).isNotNull(),
+            (rnk + (ties - F.lit(1)) / F.lit(2.0)) / n,
+        )
+        return df.withColumn(out, pct)
+
     # Pass 1: distinct values + tie counts.
     vals = df.where(F.col(col).isNotNull()).groupBy(col).agg(
         F.count(F.lit(1)).alias("__eq")
     )
-
-    if distributed is False:
-        w = Window.orderBy(order)
-        ranked_small = vals.select(
-            F.col(col),
-            (
-                (
-                    F.coalesce(
-                        F.sum("__eq").over(
-                            w.rowsBetween(Window.unboundedPreceding, -1)
-                        ),
-                        F.lit(0),
-                    )
-                    + (F.col("__eq") + F.lit(1)) / F.lit(2.0)
-                )
-                / F.sum("__eq").over(
-                    Window.partitionBy().rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-            ).alias(out),
-        )
-        return df.join(ranked_small, on=col, how="left")
 
     # Pass 2: range-partition in rank order; within-partition prefix
     # sums.  spark_partition_id() after repartitionByRange ascends with
