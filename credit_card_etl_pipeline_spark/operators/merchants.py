@@ -38,15 +38,32 @@ from ..functions.predicates import contains_ci, s
 def clean_merchant_by_regex(
     df: DataFrame, rules: list[dict[str, Any]], merchant_col: str = S.MERCHANT
 ) -> DataFrame:
-    """C3: sequential whole-value regex canonicalization."""
-    expr: Column = s(merchant_col)  # astype(str) view: null → ''
+    """C3: sequential whole-value regex canonicalization.
+
+    Each rule re-matches the PREVIOUS rule's output (the reference's
+    cascade, SURVEY §4 trap 3), so this cannot be a single join or an
+    FMW chain.  Folding it as one nested expression would reference the
+    prior tree twice per rule (``when(prev rlike p, r).otherwise(prev)``)
+    — exponential tree growth.  Instead each step materializes a named
+    working column: the per-step expression references a cheap attribute
+    twice, the plan stays LINEAR in the rule count, and Catalyst keeps
+    the projects separate (CollapseProject does not inline non-cheap
+    expressions used more than once).  Still zero shuffles, zero UDFs.
+    """
+    work = "__c3_work"
+    df = df.withColumn(work, s(merchant_col))  # astype(str) view: null → ''
     for rule in rules:
         pat, repl = rule.get("Pattern"), rule.get("Replacement")
         if not repl:
             continue
-        expr = F.when(expr.rlike(pat), F.lit(repl)).otherwise(expr)
+        df = df.withColumn(
+            work,
+            F.when(F.col(work).rlike(pat), F.lit(repl)).otherwise(F.col(work)),
+        )
     # Restore the engine's internal null convention ('' ≡ null).
-    return df.withColumn(merchant_col, F.when(expr == "", None).otherwise(expr))
+    return df.withColumn(
+        merchant_col, F.when(F.col(work) == "", None).otherwise(F.col(work))
+    ).drop(work)
 
 
 def _strip_prefix_expr(col: Column, prefixes: list[str]) -> Column:
