@@ -150,17 +150,29 @@ def stratified_sample(
     keywords = keywords if keywords is not None else DEFAULT_KEYWORDS
     order = _rand_order(F.col(id_col), seed)
 
-    pools: list[DataFrame] = []
-    pool_sizes = 0
-    for kw in keywords:
-        hits = df.where(
-            F.coalesce(
-                F.lower(F.col(merchant_col).cast("string")).contains(kw.lower()),
-                F.lit(False),
-            )
+    def hit(kw: str) -> Column:
+        return F.coalesce(
+            F.lower(F.col(merchant_col).cast("string")).contains(kw.lower()),
+            F.lit(False),
         )
-        picked = hits.orderBy(order, F.col(id_col)).limit(per_keyword)
-        pool_sizes += picked.count()
+
+    # One pass for every keyword's hit count (instead of a driver
+    # round-trip per keyword); pre-dedup pool size = Σ min(k, hits),
+    # mirroring the reference's sample(min(len, k)) sizing.
+    counts_row = df.agg(
+        *[
+            F.sum(hit(kw).cast("int")).alias(f"__c{i}")
+            for i, kw in enumerate(keywords)
+        ]
+    ).first()
+    pool_sizes = sum(
+        min(per_keyword, int(counts_row[f"__c{i}"] or 0))
+        for i in range(len(keywords))
+    )
+
+    pools: list[DataFrame] = []
+    for kw in keywords:
+        picked = df.where(hit(kw)).orderBy(order, F.col(id_col)).limit(per_keyword)
         pools.append(picked)
 
     if pool_sizes < n:
