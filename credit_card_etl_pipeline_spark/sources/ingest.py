@@ -338,15 +338,24 @@ def parse_bank(
             ],
         )
     else:
-        struct_schema = ", ".join(
-            f"`_c{i}` string" for i in range(len(raw_names))
+        # _corrupt captures rows the CSV parser rejects (e.g. more
+        # fields than the header) — dropping them mirrors the
+        # reference's on_bad_lines='skip' (etl.py:146).
+        struct_schema = (
+            ", ".join(f"`_c{i}` string" for i in range(len(raw_names)))
+            + ", `_corrupt` string"
         )
-        rec = F.from_csv(F.col("line"), struct_schema)
+        rec = F.from_csv(
+            F.col("line"),
+            struct_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        )
         parsed = data.select(
             "path",
             "pos",
             *[rec.getItem(f"_c{i}").alias(f"_c{i}") for i in range(len(raw_names))],
-        )
+            rec.getItem("_corrupt").alias("__corrupt"),
+        ).where(F.col("__corrupt").isNull()).drop("__corrupt")
 
     # B1: keep only mapped columns, rename raw → canonical; B3 init of
     # missing canonical strings happens downstream via schema.conform.

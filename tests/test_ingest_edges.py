@@ -1,0 +1,50 @@
+"""Ingest edge cases: malformed rows skipped, keyword-less files fall
+back to line 0, empty directories yield an empty canonical frame."""
+
+from __future__ import annotations
+
+import pytest
+
+from credit_card_etl_pipeline_spark import schema as S
+from credit_card_etl_pipeline_spark.plans.etl import run_etl
+
+BAD_ROWS_CSV = """交易日期,入帳日期,卡號末四碼,交易說明,外幣金額,臺幣金額
+01/10,01/11,,正常商店,,100
+01/11,01/12,,壞行,太多,欄位,在這裡,多一個,再一個
+01/12,01/13,,另一家,,200
+"""
+
+NO_KEYWORD_CSV = """消費日期,入帳日期,卡號末四碼,商店名稱,臺幣金額,外幣金額,幣別
+03/05,03/06,2222,頭排商店,180,,
+"""
+
+
+def test_malformed_rows_skipped(spark, tmp_path):
+    d = tmp_path / "s1"
+    d.mkdir()
+    (d / "玉山_202401.csv").write_text(BAD_ROWS_CSV, encoding="utf-8")
+    rows = run_etl(spark, str(d)).collect()
+    merchants = {r[S.MERCHANT] for r in rows}
+    assert merchants == {"正常商店", "另一家"}  # bad row dropped
+
+
+def test_headerless_fallback_uses_first_line(spark, tmp_path):
+    # ctbc keyword is 消費日期, present in line 0 → hpos 0 either way;
+    # strip the keyword to exercise the no-match fallback explicitly
+    d = tmp_path / "s2"
+    d.mkdir()
+    content = NO_KEYWORD_CSV.replace("消費日期", "日期X")
+    (d / "中信_202403.csv").write_bytes(content.encode("cp950"))
+    rows = run_etl(spark, str(d)).collect()
+    # header fell back to line 0; 日期X is unmapped so Transaction_Date
+    # is never populated → row dropped by the null-date filter (B6)
+    assert rows == []
+
+
+def test_empty_dir_yields_empty_canonical(spark, tmp_path):
+    d = tmp_path / "s3"
+    d.mkdir()
+    (d / "notes.txt").write_text("not a statement")
+    out = run_etl(spark, str(d))
+    assert out.count() == 0
+    assert set(S.ETL_OUTPUT_COLUMNS) == set(out.columns)
