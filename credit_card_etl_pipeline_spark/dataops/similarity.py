@@ -92,6 +92,145 @@ def cosine_topk(
 
 
 # ------------------------------------------------------------------
+# IVF (inverted-file) approximate variant
+# ------------------------------------------------------------------
+
+def _dot_lit(vec: Column, values: list[float]) -> Column:
+    return _dot_f(vec, F.array(*[F.lit(float(v)) for v in values]))
+
+
+def _dot_f(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic mini k-means coarse quantizer (the IVF codebook).
+
+    Iterative-algorithm pattern: the driver holds only the k×dim
+    codebook (bounded state); each iteration is one distributed
+    assignment + one aggregation job.  Determinism: initial centroids
+    are the k lowest-id vectors, and centroid updates aggregate the
+    INTEGER quantized vectors (exact, order-independent sums) before a
+    single float division — no float-accumulation drift.
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "__cluster", assign_cluster(F.col(vec_col), centroids)
+        )
+        # element-wise integer sums per cluster: explode positions once
+        sums = (
+            assigned.select(
+                "__cluster", F.posexplode(vec_col).alias("__pos", "__v")
+            )
+            .groupBy("__cluster", "__pos")
+            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["__cluster"], {})[r["__pos"]] = (
+                r["__s"],
+                r["__n"],
+            )
+        for c, dims in by_cluster.items():
+            centroids[c] = [
+                dims[p][0] / dims[p][1] for p in sorted(dims)
+            ]
+    return centroids
+
+
+def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by maximum dot product (codebook is tiny —
+    one literal expression per centroid, evaluated JVM-side)."""
+    best_idx: Column = F.lit(0)
+    best_dot: Column = _dot_lit(vec, centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _dot_lit(vec, c)
+        better = d > best_dot
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_dot = F.when(better, d).otherwise(best_dot)
+    return best_idx.cast("long")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    ``nprobe`` nearest codebook cells, exact integer re-scoring inside.
+    One shuffle on the cell id; never all-pairs."""
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm2(F.col(vec_col)).alias("cnorm"),
+        assign_cluster(F.col(vec_col), centroids).alias("cell"),
+    )
+    # query → its nprobe nearest cells (small: |queries| × nprobe rows)
+    dots = F.array(
+        *[
+            F.struct(
+                (-_dot_lit(F.col(vec_col), c)).alias("negdot"),
+                F.lit(i).cast("long").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qnorm"),
+        F.slice(F.array_sort(dots), 1, nprobe).alias("__cells"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        F.explode(F.col("__cells.cell")).alias("cell"),
+    )
+    scored = cand.join(F.broadcast(q), "cell").where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("qv"), F.col("cvec"))
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+# ------------------------------------------------------------------
 # LSH-bucketed approximate variant
 # ------------------------------------------------------------------
 

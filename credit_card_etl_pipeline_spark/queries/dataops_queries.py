@@ -336,6 +336,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(vecs, queries, k=5, n_planes=6, dim=64)
 
 
+@query("ann_ivf_topk")  # iterative k-means codebook → no SQL oracle;
+# the driver records a rows-only check and pytest pins subset-quality.
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic k-means codebook (k=8,
+    3 iterations, exact integer centroid sums), nprobe=2 cell search,
+    exact re-scoring inside cells.  Genuinely iterative — registered
+    without an oracle (rows-only driver check); quality is pinned in
+    tests against the exact scorer."""
+    vecs = _quantized(spark, sf_dir).persist()
+    centroids = sim.ivf_fit(vecs, k=8, iters=3)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk(vecs, queries, centroids, k=5, nprobe=2)
+
+
 _MH_EQ_SUM = " + ".join(
     f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
     for j in range(len(MINHASH_COEFFS))

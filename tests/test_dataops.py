@@ -76,6 +76,36 @@ def test_ann_lsh_is_subset_quality(spark):
         )
 
 
+def test_ivf_subset_quality_and_determinism(spark):
+    import numpy as np
+
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        ivf_fit,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select("vec_id", quantize(F.col("embedding")).alias("qvec"))
+    queries = q.where(F.col("vec_id") % 15 == 0)
+
+    centroids = ivf_fit(q, k=4, iters=2)
+    assert len(centroids) == 4 and len(centroids[0]) == 8
+    # deterministic: refit yields the identical codebook
+    assert ivf_fit(q, k=4, iters=2) == centroids
+
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in cosine_topk(q, queries, k=59).collect()
+    }
+    approx = ivf_topk(q, queries, centroids, k=5, nprobe=2).collect()
+    assert approx
+    for r in approx:
+        # every returned score equals the exact scorer's value
+        assert exact[(r["query_id"], r["cand_id"])] == r["cosine"]
+
+
 def test_dedup_exact_survivors(spark):
     pdf = pd.DataFrame(
         {
