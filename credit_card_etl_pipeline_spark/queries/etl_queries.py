@@ -215,6 +215,145 @@ def etl_general_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# H7 / H9 bank-specific parsers
+# ====================================================================
+
+_ESUN_RE = r"^(.*?)(?:\s{2,}|\t)(.*?)(?:\s+(\d{2}/\d{2}))?$"
+
+_ESUN_ORACLE = f"""
+WITH raw AS (
+    SELECT o_orderkey AS id,
+      CASE (o_orderkey % 6)
+        WHEN 0 THEN 'AMAZON.CO.JP  JPN CHIYODA-KU 01/15'
+        WHEN 1 THEN 'NETFLIX.COM' || chr(9) || 'USA LOS GATOS'
+        WHEN 2 THEN 'APPLE.COM/BILL  IRL CORK 02/03'
+        WHEN 3 THEN '全聯福利中心'
+        WHEN 4 THEN '  PADDED DOMESTIC  '
+        ELSE 'SHOP-' || CAST(o_custkey % 50 AS VARCHAR)
+      END AS merchant
+    FROM orders
+),
+t AS (SELECT id, trim(merchant) AS m FROM raw),
+ext AS (
+    SELECT id, m,
+           regexp_matches(m, '{_ESUN_RE}') AS hit,
+           regexp_extract(m, '{_ESUN_RE}', 1) AS g1,
+           regexp_extract(m, '{_ESUN_RE}', 2) AS g2,
+           regexp_extract(m, '{_ESUN_RE}', 3) AS g3
+    FROM t
+)
+SELECT id,
+       CASE WHEN hit AND g1 <> '' THEN trim(g1) ELSE m END AS "Merchant",
+       CASE WHEN hit AND g2 <> '' THEN trim(g2) END AS "Consumption_Place",
+       CASE WHEN hit AND g2 <> '' THEN trim(g2) END AS "Merchant_Location",
+       CASE WHEN hit AND g3 <> '' THEN g3 END AS conversion_raw
+FROM ext
+"""
+
+
+@query("etl_esun_foreign_split", _ESUN_ORACLE)
+def etl_esun_foreign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 (etl.py:206-242): fused E.Sun foreign rows split into
+    merchant / place / conversion-date via the reference regex; place
+    copied into Merchant_Location (etl.py:349-357)."""
+    from ..operators.bank_parse import parse_esun_details
+
+    orders = load(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    merchant = (
+        F.when(k % 6 == 0, "AMAZON.CO.JP  JPN CHIYODA-KU 01/15")
+        .when(k % 6 == 1, F.concat(F.lit("NETFLIX.COM"), F.lit("\t"), F.lit("USA LOS GATOS")))
+        .when(k % 6 == 2, "APPLE.COM/BILL  IRL CORK 02/03")
+        .when(k % 6 == 3, "全聯福利中心")
+        .when(k % 6 == 4, "  PADDED DOMESTIC  ")
+        .otherwise(F.concat(F.lit("SHOP-"), (c % 50).cast("string")))
+    )
+    null_s = F.lit(None).cast("string")
+    raw = orders.select(
+        k.alias("id"),
+        merchant.alias(S.MERCHANT),
+        null_s.alias(S.CONSUMPTION_PLACE),
+        null_s.alias(S.CONVERSION_DATE),
+        null_s.alias(S.MERCHANT_LOCATION),
+    )
+    out = parse_esun_details(raw)
+    return out.select(
+        "id",
+        S.MERCHANT,
+        S.CONSUMPTION_PLACE,
+        S.MERCHANT_LOCATION,
+        F.col(S.CONVERSION_DATE).alias("conversion_raw"),
+    )
+
+
+_CUBE_ORACLE = """
+WITH raw AS (
+    SELECT o_orderkey AS id,
+      CASE (o_orderkey % 5)
+        WHEN 0 THEN 'TW / TWD'
+        WHEN 1 THEN 'JPN CHIYODA-KU / JPY'
+        WHEN 2 THEN 'usa / USD'
+        WHEN 3 THEN ''
+        ELSE NULL
+      END AS rc
+    FROM orders
+),
+parts AS (
+    SELECT id, rc,
+           string_split(rc, ' / ') AS p
+    FROM raw
+),
+tok AS (
+    SELECT id, rc, p,
+           CASE WHEN rc IS NULL THEN NULL
+                WHEN trim(p[1]) = '' THEN 'TW'
+                ELSE upper(string_split(trim(p[1]), ' ')[1]) END AS t
+    FROM parts
+)
+SELECT id,
+       CASE WHEN rc IS NULL THEN NULL
+            WHEN t = 'TWN' THEN 'TW' WHEN t = 'USA' THEN 'US'
+            WHEN t = 'JPN' THEN 'JP' WHEN t = 'KOR' THEN 'KR'
+            WHEN t = 'HKG' THEN 'HK' WHEN t = 'SGP' THEN 'SG'
+            WHEN t = 'GBR' THEN 'GB' WHEN t = 'CHN' THEN 'CN'
+            WHEN t = 'IRL' THEN 'IE' WHEN t = 'DEU' THEN 'DE'
+            WHEN t = 'FRA' THEN 'FR' WHEN t = 'AUS' THEN 'AU'
+            WHEN t = 'VNM' THEN 'VN' WHEN t = 'THA' THEN 'TH'
+            WHEN t = 'MYS' THEN 'MY' WHEN t = 'IDN' THEN 'ID'
+            ELSE t END AS "Merchant_Location",
+       CASE WHEN rc IS NOT NULL AND len(p) >= 2 THEN trim(p[2]) END
+           AS "Currency_Type"
+FROM tok
+"""
+
+
+@query("etl_cube_split", _CUBE_ORACLE)
+def etl_cube_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 (etl.py:245-254): Cathay ``消費地/幣別`` split into normalized
+    country + currency; blank part → TW; missing raw → untouched."""
+    from ..operators.bank_parse import parse_cube_details
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    rc = (
+        F.when(k % 5 == 0, "TW / TWD")
+        .when(k % 5 == 1, "JPN CHIYODA-KU / JPY")
+        .when(k % 5 == 2, "usa / USD")
+        .when(k % 5 == 3, "")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    null_s = F.lit(None).cast("string")
+    raw = orders.select(
+        k.alias("id"),
+        rc.alias(S.RAW_COUNTRY_CURRENCY),
+        null_s.alias(S.MERCHANT_LOCATION),
+        null_s.alias(S.CURRENCY_TYPE),
+    )
+    out = parse_cube_details(raw)
+    return out.select("id", S.MERCHANT_LOCATION, S.CURRENCY_TYPE)
+
+
+# ====================================================================
 # E2 ordered forward-fill extraction
 # ====================================================================
 
