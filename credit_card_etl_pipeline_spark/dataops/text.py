@@ -84,3 +84,28 @@ def fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (exact-dedup
     key; cross-engine stable)."""
     return F.md5(normalize_text(col))
+
+
+#: Rolling-hash parameters: base × accumulator stays within int64
+#: (acc < P = 2³¹-1, so acc·B + t < 2³¹·131 + 2³¹ ≪ 2⁶³).
+ROLLING_BASE = 131
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+
+        h = fold(tokens, 0, (acc, t) → (acc·B + h60(t) mod P) mod P)
+
+    Unlike the md5 content hash, token order matters (swapped words →
+    different fingerprint) while the fold itself is a sequential
+    JVM-side ``aggregate`` — no shuffle, no UDF.  Cross-engine: DuckDB
+    ``list_reduce`` folds the same token-hash list left-to-right with
+    an identical first step (0·B + t₀ = t₀)."""
+    from ..functions.hashing import MERSENNE_P, md5_int60
+
+    token_hashes = F.transform(words(col), lambda t: md5_int60(t) % MERSENNE_P)
+    return F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + t) % MERSENNE_P,
+    )

@@ -640,6 +640,37 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id,
+           list_transform(
+               string_split({_NORM_SQL}, ' '),
+               t -> {md5_int60_sql('t')} % {MERSENNE_P}) AS th
+    FROM corpus
+)
+SELECT doc_id,
+       md5({_NORM_SQL.replace('text', 'text')}) AS content_md5,
+       CAST(list_reduce(th, (acc, t) -> (acc * {tx.ROLLING_BASE} + t)
+                                        % {MERSENNE_P}) AS BIGINT)
+           AS rolling_hash
+FROM corpus JOIN toks USING (doc_id)
+"""
+
+
+@query("doc_fingerprints", _ROLLING_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive content md5 plus the
+    order-sensitive polynomial rolling hash (sequential JVM-side fold —
+    no shuffle, no UDF); both value-checked cross-engine."""
+    c = corpus(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("content_md5"),
+        tx.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
+    )
+
+
 _STATS_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL})
 SELECT lang, source,
