@@ -96,3 +96,95 @@ def decode_media(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(run, _DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 8,
+    height: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: Arrow-batched, emits fixed-dimension pixel
+    buffers.  The fake decoder tiles payload bytes into the target
+    w×h buffer (truncate/repeat) — real shape contract, no codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec library (PIL); "
+                    "pass fake=True for the deterministic test path"
+                )
+            out = {
+                "doc_id": list(pdf[id_col]),
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "pixels": [
+                    (bytes(p) * (size // max(len(bytes(p)), 1) + 1))[:size]
+                    for p in pdf[payload_col]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 16,
+    every: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (explode shape).  The fake decoder treats the payload as fixed-size
+    byte frames and keeps every ``every``-th — the real partitioning /
+    fan-out contract without a demuxer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires a demuxer (pyav/ffmpeg); "
+                    "pass fake=True for the deterministic test path"
+                )
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n = len(data) // frame_bytes
+                for fno in range(0, n, every):
+                    ids.append(doc_id)
+                    nos.append(fno)
+                    frames.append(
+                        data[fno * frame_bytes : (fno + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, _FRAME_SCHEMA)

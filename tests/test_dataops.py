@@ -41,6 +41,26 @@ def test_multimodal_real_decode_is_stubbed(spark):
         decode_media(df, fake=False).collect()
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["x" * 100]})
+    df = spark.createDataFrame(pdf).select(
+        "doc_id", pack_text_as_media(F.col("text")).alias("payload")
+    )
+    r = resize_images(df, width=4, height=4, fake=True).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert len(r["pixels"]) == 16
+
+    frames = sample_frames(df, frame_bytes=10, every=3, fake=True).collect()
+    # 100 bytes → 10 frames → kept frames 0,3,6,9
+    assert [f["frame_no"] for f in frames] == [0, 3, 6, 9]
+    assert all(len(f["frame"]) == 10 for f in frames)
+
+
 def test_media_metadata_struct(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["hello"]}))
     row = df.select(
