@@ -168,6 +168,67 @@ def simhash16(
 
 
 # ------------------------------------------------------------------
+# Near-dup clustering (connected components over candidate pairs)
+# ------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Label components of the candidate-pair graph: every vertex ends
+    with ``component`` = the minimum doc id reachable from it — the
+    canonical survivor of its near-dup cluster.
+
+    Iterative min-label propagation: each round joins labels across
+    edges (both directions) and keeps the minimum; the driver holds
+    only the convergence counter.  Rounds needed = graph diameter —
+    near-dup clusters are shallow (stars/cliques from shared LSH
+    buckets), so this converges in a few rounds; ``max_iters`` bounds
+    pathological chains.  Labels are persisted per round and the loop
+    exits on a fixpoint (no label changed).
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("component")
+    ).persist()
+    both = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.withColumnRenamed("src", "v"), "v", "left"
+            )
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "v")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), "component")
+
+
+# ------------------------------------------------------------------
 # n-gram Jaccard verification
 # ------------------------------------------------------------------
 

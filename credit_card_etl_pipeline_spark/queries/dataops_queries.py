@@ -153,6 +153,54 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sig, bands=2, rows=4)
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SIGNATURE_CTE},
+banded AS (
+    SELECT doc_id, 0 AS band,
+           CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+           CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band_key
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1 AS band,
+           CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+           CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS band_key
+    FROM signatures
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+bidir(a, b) AS (
+    SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM bidir
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN bidir e ON e.a = r.b
+)
+SELECT c.doc_id,
+       least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS component
+FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH candidate
+    graph via iterative min-label propagation (driver holds only a
+    convergence counter); component = canonical min-id survivor.  The
+    oracle recomputes components with a recursive-CTE transitive
+    closure — a genuinely iterative Spark algorithm, still value-checked.
+    """
+    c = corpus(spark, sf_dir)
+    sh = dd.exploded_shingles(c)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4)
+    return dd.connected_components(c.select("doc_id"), pairs)
+
+
 # ------------------------------------------------------------------
 # SimHash
 # ------------------------------------------------------------------

@@ -126,6 +126,26 @@ def test_ivf_subset_quality_and_determinism(spark):
         assert exact[(r["query_id"], r["cand_id"])] == r["cosine"]
 
 
+def test_connected_components_chain_and_isolates(spark):
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    # chain 0-1-2-3 (diameter > 1 → needs propagation rounds),
+    # pair 5-6, isolates 4 and 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
 def test_dedup_exact_survivors(spark):
     pdf = pd.DataFrame(
         {
