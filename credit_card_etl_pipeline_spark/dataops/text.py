@@ -86,6 +86,50 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: Tiny per-language trigram profiles for the n-gram language-ID
+#: heuristic — the classic profile-overlap method at demonstration
+#: scale (extend the dict for more languages).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "and", " th", "ing", "ion", " of", "ed ", " to", "er ", "at "],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "che", "en ", " ge"],
+    "fr": ["les", "ent", " de", "ion", "que", " la", "des", " le", "ait", "eur"],
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Count of (possibly overlapping-adjacent) needle occurrences via
+    replace-length arithmetic — pure JVM expression."""
+    import re as _re
+
+    pat = _re.escape(needle)
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, pat, ""))
+    ) / len(needle)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language trigram-profile hit counts over normalized text."""
+    t = normalize_text(col)
+    return {
+        lang: sum(_occurrences(t, tg) for tg in grams).cast("long")
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+
+
+def lang_id_ngram(col: Column, min_hits: int = 1) -> Column:
+    """N-gram language ID: argmax of the trigram-profile scores (ties
+    break by profile order), 'unknown' when nothing scores."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best_lang: Column = F.lit(langs[0])
+    best_score: Column = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return F.when(best_score >= min_hits, best_lang).otherwise(F.lit("unknown"))
+
+
 #: Rolling-hash parameters: base × accumulator stays within int64
 #: (acc < P = 2³¹-1, so acc·B + t < 2³¹·131 + 2³¹ ≪ 2⁶³).
 ROLLING_BASE = 131

@@ -719,6 +719,55 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_score_sql(grams: list[str]) -> str:
+    terms = " + ".join(
+        f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}.0"
+        for g in grams
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+_LANG_ID_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM corpus),
+scored AS (
+    SELECT doc_id,
+           {_lang_score_sql(tx.LANG_TRIGRAMS['en'])} AS s_en,
+           {_lang_score_sql(tx.LANG_TRIGRAMS['de'])} AS s_de,
+           {_lang_score_sql(tx.LANG_TRIGRAMS['fr'])} AS s_fr
+    FROM norm
+),
+folded AS (
+    SELECT *,
+           CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b1,
+           CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS v1
+    FROM scored
+)
+SELECT doc_id, s_en, s_de, s_fr,
+       CASE WHEN greatest(v1, CASE WHEN s_fr > v1 THEN s_fr ELSE v1 END) >= 1
+            THEN CASE WHEN s_fr > v1 THEN 'fr' ELSE b1 END
+            ELSE 'unknown' END AS lang_guess
+FROM folded
+"""
+
+
+@query("text_lang_id_ngram", _LANG_ID_ORACLE)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language ID: trigram-profile hit counts per language and
+    the argmax guess (profile-order tiebreak, 'unknown' below the hit
+    floor) — the classic profile-overlap heuristic as pure expressions.
+    """
+    c = corpus(spark, sf_dir)
+    scores = tx.lang_scores(F.col("text"))
+    return c.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        tx.lang_id_ngram(F.col("text")).alias("lang_guess"),
+    )
+
+
 _STATS_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL})
 SELECT lang, source,
