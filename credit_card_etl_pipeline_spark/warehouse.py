@@ -63,14 +63,21 @@ def write_warehouse(
     *,
     partition_by: str = "year_month",
     expected_rows: int | None = None,
+    incremental: bool = False,
 ) -> int:
-    """A10 + A12: full-refresh overwrite (load_to_db.py:119) of a
-    Parquet table partitioned by billing month, then a count-back
-    validation (load_to_db.py:133-135).
+    """A10 + A12: overwrite (load_to_db.py:119) of a Parquet table
+    partitioned by billing month, then a count-back validation
+    (load_to_db.py:133-135).
 
-    Returns the post-write row count; raises if it does not match
-    ``expected_rows`` (pass the pre-write count when the input lineage
-    is cheap to recompute, or leave None to skip the comparison).
+    ``incremental=True`` switches to DYNAMIC partition overwrite: only
+    the billing months present in ``df`` are replaced, untouched months
+    stay on disk — the monthly-statement load path at scale (a new
+    statement must not rewrite the whole history).  The default
+    full-refresh matches the reference's ``if_exists='replace'``.
+
+    Returns the post-write row count; with ``expected_rows`` set the
+    check compares against it (full refresh: the input count;
+    incremental: the expected post-merge total).
     """
     out = df.withColumn(
         partition_by,
@@ -78,7 +85,10 @@ def write_warehouse(
             F.date_format(F.col("transaction_date"), "yyyy-MM"), F.lit("unknown")
         ),
     )
-    out.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    writer = out.write.mode("overwrite").partitionBy(partition_by)
+    if incremental:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
     count = df.sparkSession.read.parquet(path).count()
     if expected_rows is not None and count != expected_rows:
         raise ValueError(

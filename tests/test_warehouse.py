@@ -60,6 +60,21 @@ def test_write_overwrite_and_count_check(spark, refined_df, tmp_path):
     assert back.where(F.col("transaction_id").isNull()).count() == 0
 
 
+def test_incremental_partition_overwrite(spark, refined_df, tmp_path):
+    path = str(tmp_path / "incr")
+    write_warehouse(to_warehouse(refined_df), path)  # full history: 4 rows
+
+    # a revised January statement: one row instead of two
+    jan = refined_df.where(F.col("Transaction_Date") == "2024-01-05").limit(1)
+    n = write_warehouse(to_warehouse(jan), path, incremental=True)
+    # January replaced (2 → 1); February + unknown untouched → 3 total
+    assert n == 3
+    back = spark.read.parquet(path)
+    assert back.where(F.col("year_month") == "2024-01").count() == 1
+    assert back.where(F.col("year_month") == "2024-02").count() == 1
+    assert back.where(F.col("year_month") == "unknown").count() == 1
+
+
 def test_count_check_raises(spark, refined_df, tmp_path):
     path = str(tmp_path / "bad")
     with pytest.raises(ValueError, match="post-load validation"):
