@@ -107,9 +107,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 2,
     rows: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing all ``rows`` minhashes of any band are
-    candidates.  Returns distinct (doc_a < doc_b) pairs."""
+    candidates.  Returns distinct (doc_a < doc_b) pairs.
+
+    ``max_bucket_size`` is the hot-bucket safety valve for huge
+    corpora: a degenerate band key shared by m docs yields m²/2 pairs
+    in one bucket (boilerplate/empty documents are the classic cause).
+    Buckets larger than the cap are dropped from candidate generation —
+    standard practice; route capped buckets through exact dedup
+    instead, since a bucket that hot is near-certainly one duplicate
+    class.  ``None`` (default) applies no cap (the oracle-checked
+    semantics)."""
     assert bands * rows <= len(MINHASH_COEFFS)
     banded = None
     for b in range(bands):
@@ -120,6 +130,14 @@ def lsh_candidate_pairs(
             F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
         )
         banded = part if banded is None else banded.unionByName(part)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = banded.join(
+            sizes.where(F.col("__bn") <= max_bucket_size).drop("__bn"),
+            ["band", "band_key"],
+        )
     left = banded.select(
         F.col(id_col).alias("doc_a"), "band", "band_key"
     )

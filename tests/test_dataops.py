@@ -126,6 +126,28 @@ def test_ivf_subset_quality_and_determinism(spark):
         assert exact[(r["query_id"], r["cand_id"])] == r["cosine"]
 
 
+def test_lsh_hot_bucket_cap(spark):
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 5 identical docs (one hot bucket) + 2 distinct ones
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(7)),
+            "text": ["same boilerplate text here"] * 5
+            + ["alpha beta gamma delta", "one two three four"],
+        }
+    )
+    sig = minhash_signatures(exploded_shingles(spark.createDataFrame(pdf)))
+    uncapped = lsh_candidate_pairs(sig, bands=2, rows=4).count()
+    capped = lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=3).count()
+    assert uncapped == 10  # C(5,2) from the hot bucket
+    assert capped == 0     # hot bucket dropped, distinct docs collide nowhere
+
+
 def test_connected_components_chain_and_isolates(spark):
     from credit_card_etl_pipeline_spark.dataops.dedup import (
         connected_components,
