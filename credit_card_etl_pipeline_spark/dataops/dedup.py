@@ -243,6 +243,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    both.unpersist()
     return labels.select(F.col("v").alias(id_col), "component")
 
 
