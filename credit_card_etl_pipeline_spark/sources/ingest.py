@@ -381,10 +381,11 @@ def read_excel_statement(
             "install one or convert the workbook to CSV"
         ) from e
     pdf.columns = [" ".join(str(c).split()) for c in pdf.columns]
+    pdf = pdf.astype(str)  # raw cells as strings BEFORE adding typed cols
     pdf["path"] = path
-    pdf["pos"] = range(len(pdf))
-    df = spark.createDataFrame(pdf.astype(str))
-    cols = [F.col("path"), F.col("pos")]
+    pdf["pos"] = range(len(pdf))  # must stay integral: E2 orders on it
+    df = spark.createDataFrame(pdf)
+    cols = [F.col("path"), F.col("pos").cast("long").alias("pos")]
     for raw, canonical in spec.columns_mapping.items():
         if raw in pdf.columns:
             cols.append(F.col(raw).alias(canonical))

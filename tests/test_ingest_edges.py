@@ -41,6 +41,35 @@ def test_headerless_fallback_uses_first_line(spark, tmp_path):
     assert rows == []
 
 
+def test_excel_statement_path(spark, monkeypatch):
+    # A6 without a workbook engine: monkeypatch the pandas reader so the
+    # mapping/typing/ordering plumbing is exercised for real
+    import pandas as pd
+
+    from credit_card_etl_pipeline_spark.sources.ingest import (
+        DEFAULT_BANK_SPECS,
+        read_excel_statement,
+    )
+
+    def fake_read_excel(path, dtype=None, **kw):
+        return pd.DataFrame(
+            {
+                "交易日期": [f"01/{i:02d}" for i in range(1, 13)],
+                "交易說明": [f"SHOP{i}" for i in range(12)],
+                "臺幣金額": [str(100 + i) for i in range(12)],
+            }
+        )
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    spec = DEFAULT_BANK_SPECS[0]
+    df = read_excel_statement(spark, "/tmp/玉山_202401.xlsx", spec)
+    rows = df.orderBy("pos").collect()
+    assert dict(df.dtypes)["pos"] == "bigint"  # E2 ordering must be numeric
+    assert [r["pos"] for r in rows] == list(range(12))
+    assert rows[0][S.MERCHANT] == "SHOP0"
+    assert rows[0]["base_year"] == 2024 and rows[0]["bill_month"] == 1
+
+
 def test_empty_dir_yields_empty_canonical(spark, tmp_path):
     d = tmp_path / "s3"
     d.mkdir()
