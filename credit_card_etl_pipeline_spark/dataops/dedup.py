@@ -65,15 +65,20 @@ def dedup_exact(
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word ``n``-grams of the normalized text (1-based
-    element_at so the SQL twin matches index-for-index)."""
+    element_at so the SQL twin matches index-for-index).  Texts shorter
+    than ``n`` words yield an empty set — guarded explicitly because
+    ``sequence(1, 0)`` would otherwise DESCEND through index 0 and
+    error (Spark sequences auto-step downward)."""
     w = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(n)]
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + off) for off in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
