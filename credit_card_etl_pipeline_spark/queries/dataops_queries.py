@@ -771,10 +771,10 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL})
 SELECT lang, source,
-       count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       sum(len(string_split({_NORM_SQL}, ' '))) AS total_tokens,
-       sum(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS avg_chars_ppm
 FROM corpus
 GROUP BY lang, source
 """
@@ -782,13 +782,22 @@ GROUP BY lang, source
 
 @query("text_stats_by_lang", _STATS_ORACLE)
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition aggregate per (lang, source)."""
+    """Corpus composition aggregate per (lang, source).
+
+    avg chars is reported as an integer-exact micro-ratio
+    (total_chars * 1e6 div n_docs) so the cross-engine hash never
+    depends on float formatting; Spark ``div`` and DuckDB ``//``
+    agree on non-negative integers.
+    """
     c = corpus(spark, sf_dir)
-    return c.groupBy("lang", "source").agg(
+    g = c.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(tx.n_tokens(F.col("text"))).cast("long").alias("total_tokens"),
-        (F.sum("n_chars") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+    )
+    return g.withColumn(
+        "avg_chars_ppm",
+        F.expr("total_chars * 1000000 div n_docs").cast("long"),
     )
 
 

@@ -47,7 +47,8 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_ORACLE = """
 SELECT o_custkey AS custkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
 FROM orders
 GROUP BY o_custkey

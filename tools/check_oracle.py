@@ -87,6 +87,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
+            d_types = [str(t).upper() for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -94,6 +95,20 @@ def main() -> int:
             continue
 
         problems = []
+        # fetchall() returns python ints/Decimals, so HUGEINT/DECIMAL
+        # results hash fine HERE but diverge under the driver's
+        # arrow/pandas fetch (HUGEINT -> float64, DECIMAL -> Decimal).
+        # Lint the oracle's output types so that gap can't recur.
+        unsafe = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, d_types)
+            if "HUGEINT" in t or "DECIMAL" in t or "INT128" in t
+        ]
+        if unsafe:
+            problems.append(
+                "driver-unsafe oracle types (CAST to BIGINT/DOUBLE): "
+                + ", ".join(unsafe)
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
