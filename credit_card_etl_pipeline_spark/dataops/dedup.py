@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..functions.hashing import MERSENNE_P, MINHASH_COEFFS, md5_int60, minhash_residue
 from .text import fingerprint, normalize_text
 
@@ -106,13 +107,21 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+#: Library-default hot-bucket cap: a degenerate band key shared by m
+#: docs yields m²/2 candidate pairs, so one boilerplate bucket of 10⁶
+#: docs would emit 5·10¹¹ pairs.  1000 keeps the worst bucket at ~500k
+#: pairs — noise at cluster scale — while leaving genuine near-dup
+#: clusters (typically ≪ 1000 members per band bucket) untouched.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
     bands: int = 2,
     rows: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Banded LSH: docs sharing all ``rows`` minhashes of any band are
     candidates.  Returns distinct (doc_a < doc_b) pairs.
@@ -121,20 +130,18 @@ def lsh_candidate_pairs(
     corpora: a degenerate band key shared by m docs yields m²/2 pairs
     in one bucket (boilerplate/empty documents are the classic cause).
     Buckets larger than the cap are dropped from candidate generation —
-    standard practice; route capped buckets through exact dedup
-    instead, since a bucket that hot is near-certainly one duplicate
-    class.  ``None`` (default) applies no cap (the oracle-checked
-    semantics)."""
-    assert bands * rows <= len(MINHASH_COEFFS)
-    banded = None
-    for b in range(bands):
-        cols = [f"mh{b * rows + r}" for r in range(rows)]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
+    standard practice; route capped buckets through exact dedup (see
+    :func:`lsh_overflow_docs`), since a bucket that hot is
+    near-certainly one duplicate class.  The cap is ON by default
+    (``DEFAULT_MAX_BUCKET_SIZE``); pass ``None`` for the uncapped
+    exhaustive semantics (small corpora / oracle checks only — at
+    100 TB an uncapped run is one hot key away from an m²/2 blowup)."""
+    if bands * rows > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the "
+            f"{len(MINHASH_COEFFS)} available minhash coefficients"
         )
-        banded = part if banded is None else banded.unionByName(part)
+    banded = _banded(signatures, id_col, bands, rows)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -153,6 +160,56 @@ def lsh_candidate_pairs(
         left.join(right, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _banded(
+    signatures: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """(id, band, band_key) exploded view of the signature table."""
+    banded = None
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    return banded
+
+
+def lsh_overflow_docs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 2,
+    rows: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Distinct doc ids that fell in at least one over-cap band bucket.
+
+    The companion of the capped :func:`lsh_candidate_pairs`: docs the
+    cap excluded from pairwise candidate generation.  Route them
+    through :func:`exact_dup_groups` — a bucket hot enough to overflow
+    is near-certainly one boilerplate duplicate class, which exact
+    hashing resolves in one shuffle with no quadratic step."""
+    if bands * rows > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the "
+            f"{len(MINHASH_COEFFS)} available minhash coefficients"
+        )
+    banded = _banded(signatures, id_col, bands, rows)
+    sizes = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    return (
+        banded.join(
+            sizes.where(F.col("__bn") > max_bucket_size).drop("__bn"),
+            ["band", "band_key"],
+        )
+        .select(id_col)
         .distinct()
     )
 
@@ -249,7 +306,17 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
-    return labels.select(F.col("v").alias(id_col), "component")
+    # Materialize the final projection off the cached labels, then drop
+    # the per-round cache: the returned frame must not silently keep the
+    # last iteration's labels pinned.  The result stays persisted (it IS
+    # the answer and its lineage replays the whole iteration) but is
+    # tracked for release at the next query boundary (functions.caching).
+    out = caching.track(
+        labels.select(F.col("v").alias(id_col), "component").persist()
+    )
+    out.count()
+    labels.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------

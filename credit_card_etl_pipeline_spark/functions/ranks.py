@@ -159,13 +159,6 @@ def with_pct_ranks(
     return df
 
 
-def pct_rank_sql(col: str, *, ascending: bool = True) -> str:
-    """ANSI-SQL fragment computing the same pandas percentile over a
-    window spanning the whole relation — used for DuckDB oracles.
-    """
-    direction = "ASC" if ascending else "DESC"
-    return (
-        f"(RANK() OVER (ORDER BY {col} {direction})"
-        f" + (COUNT(*) OVER (PARTITION BY {col}) - 1) / 2.0)"
-        f" / COUNT({col}) OVER ()"
-    )
+# NOTE: the oracle-side SQL twin of this rank lives ONLY in
+# queries/__init__.py (pct_rank_sql / scoped_pct_rank_sql) — a second
+# copy here once diverged on null handling and was deleted.

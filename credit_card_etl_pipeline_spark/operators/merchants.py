@@ -204,11 +204,13 @@ def _stage3_regex_join(
     fallback_name: Column,
 ) -> DataFrame:
     """Broadcast rlike-join stage 3 for large rule corpora: the rule
-    table ships once per executor, each row scans it via a broadcast
-    nested-loop join, FMW resolved by ``row_number`` over the
-    priority-sorted rule index.  Plan cost is O(rows × rules) regex
-    evaluations — the same work as the when-chain — without the O(n²)
-    expression-tree blowup."""
+    table ships once per executor and FMW is resolved by ``row_number``
+    over the priority-sorted rule index.  Resolution is a pure function
+    of the stripped merchant string, so the probe side is the DISTINCT
+    set of still-unresolved strings — O(distinct_strings × rules) regex
+    evaluations instead of O(rows × rules), and the join-back key is
+    the string itself: deterministic under task retry and AQE
+    re-partitioning (no ``monotonically_increasing_id``)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -228,30 +230,34 @@ def _stage3_regex_join(
         "__idx long, __pat string, __r3 string, __rc3 string, "
         "__rs3 string, __re3 boolean",
     )
-    wid = df.withColumn("__rid", F.monotonically_increasing_id())
-    probe = wid.where(
-        F.col(merchant_col).isNotNull() & F.col("__k").isNull()
-    ).select("__rid", "__stripped")
+    elig = F.col(merchant_col).isNotNull() & F.col("__k").isNull()
+    probe = (
+        df.where(elig)
+        .select(F.coalesce(F.col("__stripped"), F.lit("")).alias("__probe"))
+        .distinct()
+    )
     cand = probe.join(
         F.broadcast(rules_df),
-        F.expr("rlike(coalesce(__stripped, ''), __pat)"),
+        F.expr("rlike(__probe, __pat)"),
         "inner",
     )
     best = (
         cand.withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy("__rid").orderBy("__idx")
+                Window.partitionBy("__probe").orderBy("__idx")
             ),
         )
         .where(F.col("__rn") == 1)
-        .select("__rid", "__r3", "__rc3", "__rs3", "__re3")
+        .select("__probe", "__r3", "__rc3", "__rs3", "__re3")
     )
-    # Join-back is fact-sized on both sides → one shuffle on __rid; the
-    # price of escaping the O(n²) expression tree.  (__rid comes from
-    # monotonically_increasing_id over the same deterministic scan on
-    # both branches of the self-join.)
-    out = wid.join(best, "__rid", "left")
+    # Join-back on the string key: best is at most one row per distinct
+    # unresolved string (dim-sized in practice — merchants repeat
+    # heavily), so AQE is free to broadcast it; ineligible rows carry a
+    # null key and fall through to the stage-4 fallback.
+    out = df.withColumn(
+        "__probe", F.when(elig, F.coalesce(F.col("__stripped"), F.lit("")))
+    ).join(best, "__probe", "left")
     return out.withColumns(
         {
             "__n3": F.coalesce(F.col("__r3"), fallback_name),
@@ -259,7 +265,7 @@ def _stage3_regex_join(
             "__s3": F.coalesce(F.col("__rs3"), F.lit("")),
             "__e3": F.coalesce(F.col("__re3"), F.lit(False)),
         }
-    ).drop("__rid", "__r3", "__rc3", "__rs3", "__re3")
+    ).drop("__probe", "__r3", "__rc3", "__rs3", "__re3")
 
 
 def _parse_bool(v: Any) -> bool:

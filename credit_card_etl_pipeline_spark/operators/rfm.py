@@ -33,6 +33,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import caching
 from ..functions.ranks import SMALL_INPUT_THRESHOLD, with_pct_rank
 
 #: Bank-noise transaction types excluded from every RFM job
@@ -104,7 +105,10 @@ def rfm_aggregate(
     if rank_metrics:
         # The aggregate feeds one rank join per metric; persist it and
         # use its (now known) cardinality to pick the rank strategy.
-        out = out.persist()
+        # Tracked for release at the next query boundary (caching.py) —
+        # the returned frame reads this cache, so it can't be
+        # unpersisted here.
+        out = caching.track(out.persist())
         distributed = out.count() >= SMALL_INPUT_THRESHOLD
         for metric in rank_metrics:
             col, asc, out_name = rank_specs[metric]
@@ -165,8 +169,9 @@ def rfm_dual_window(
     # fact — so caching it is the right trade at any scale.  Its count
     # (already materialized by the persist) picks the rank strategy:
     # small group tables use the single-window path, huge ones the
-    # two-pass range-partitioned rank (functions.ranks).
-    agg = agg.persist()
+    # two-pass range-partitioned rank (functions.ranks).  Tracked for
+    # release at the next query boundary (caching.py).
+    agg = caching.track(agg.persist())
     distributed = agg.count() >= SMALL_INPUT_THRESHOLD
 
     for col, asc, out in [

@@ -25,6 +25,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import caching
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -54,6 +56,10 @@ def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_conf(spark)
+            # Drop caches pinned by the PREVIOUS query's operators so a
+            # long-running driver looping over queries() never
+            # accumulates persisted intermediates (functions.caching).
+            caching.release_tracked()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -147,10 +147,54 @@ FROM banded a JOIN banded b
 @query("dedup_lsh_candidates", _LSH_ORACLE)
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded LSH candidate pairs (2 bands × 4 rows): bucket self-join,
-    O(collisions) not O(n²)."""
+    O(collisions) not O(n²).  Explicitly uncapped — the exhaustive
+    semantics this oracle checks; the library default applies the
+    hot-bucket cap (see ``dedup_lsh_capped``)."""
     sh = dd.exploded_shingles(corpus(spark, sf_dir))
     sig = dd.minhash_signatures(sh)
-    return dd.lsh_candidate_pairs(sig, bands=2, rows=4)
+    return dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
+
+
+_LSH_CAP = 3
+
+_LSH_CAPPED_ORACLE = f"""
+WITH {{sig}},
+banded AS (
+    SELECT doc_id, 0 AS band,
+           CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+           CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band_key
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1 AS band,
+           CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+           CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS band_key
+    FROM signatures
+),
+kept AS (
+    SELECT band, band_key FROM banded
+    GROUP BY band, band_key HAVING count(*) <= {_LSH_CAP}
+),
+eligible AS (
+    SELECT banded.* FROM banded JOIN kept USING (band, band_key)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM eligible a JOIN eligible b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""".format(sig=_SIGNATURE_CTE)
+
+
+@query("dedup_lsh_capped", _LSH_CAPPED_ORACLE)
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The library-default capped LSH path: band buckets above the
+    hot-bucket cap are excluded from candidate generation (their docs
+    route through exact dedup via ``lsh_overflow_docs``).  Cap chosen
+    so it BITES at this corpus size — the oracle encodes the cap
+    semantics, not just the happy path."""
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    sig = dd.minhash_signatures(sh)
+    return dd.lsh_candidate_pairs(
+        sig, bands=2, rows=4, max_bucket_size=_LSH_CAP
+    )
 
 
 _COMPONENTS_ORACLE = f"""
@@ -197,7 +241,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
     sh = dd.exploded_shingles(c)
     sig = dd.minhash_signatures(sh)
-    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4)
+    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
     return dd.connected_components(c.select("doc_id"), pairs)
 
 

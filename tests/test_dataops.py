@@ -142,10 +142,22 @@ def test_lsh_hot_bucket_cap(spark):
         }
     )
     sig = minhash_signatures(exploded_shingles(spark.createDataFrame(pdf)))
-    uncapped = lsh_candidate_pairs(sig, bands=2, rows=4).count()
+    uncapped = lsh_candidate_pairs(
+        sig, bands=2, rows=4, max_bucket_size=None
+    ).count()
     capped = lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=3).count()
     assert uncapped == 10  # C(5,2) from the hot bucket
     assert capped == 0     # hot bucket dropped, distinct docs collide nowhere
+
+    from credit_card_etl_pipeline_spark.dataops.dedup import lsh_overflow_docs
+
+    # the capped-out docs surface through the overflow companion, so a
+    # caller can route them through exact dedup
+    overflow = sorted(
+        r["doc_id"]
+        for r in lsh_overflow_docs(sig, bands=2, rows=4, max_bucket_size=3).collect()
+    )
+    assert overflow == [0, 1, 2, 3, 4]
 
 
 def test_connected_components_chain_and_isolates(spark):

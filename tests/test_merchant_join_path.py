@@ -55,6 +55,31 @@ def _resolve(spark, threshold):
     )
 
 
+def test_join_path_duplicates_and_repartition(spark):
+    """Row count must be preserved and every duplicate of a merchant
+    string must resolve identically, even when the input arrives
+    pre-shuffled — the join path keys on the stripped string itself,
+    so partitioning must not matter."""
+    names = ["FOOD-9 deluxe", "LinePay－STORE-7", "unmatched shop", None] * 50
+    pdf = pd.DataFrame({"merchant_name": names, "v": range(len(names))})
+    df = spark.createDataFrame(pdf).repartition(7, "v")
+    out = resolve_merchant_hybrid(
+        df, RULES, PREFIXES,
+        merchant_col="merchant_name", regex_join_threshold=1,
+    )
+    rows = out.collect()
+    assert len(rows) == len(names)
+    res: dict = {}
+    for r in rows:
+        res.setdefault(r["merchant_name"], set()).add(
+            (r["clean_merchant_name"], r["Category"], r["RFM_Exclusion"])
+        )
+    assert res["FOOD-9 deluxe"] == {("FoodCourt", "Food", False)}
+    assert res["LinePay－STORE-7"] == {("STORE-3", "Cafe", False)}
+    assert res["unmatched shop"] == {("unmatched shop", "Unknown", False)}
+    assert res[None] == {("Unknown", "Unknown", False)}
+
+
 def test_join_path_equals_when_chain(spark):
     chain = _resolve(spark, threshold=10_000)  # force when-chain
     join = _resolve(spark, threshold=1)        # force rlike-join
