@@ -107,6 +107,26 @@ def _dot_f(a: Column, b: Column) -> Column:
     )
 
 
+#: Centroid components live on this fixed binary grid (multiples of
+#: 2⁻²⁰): every centroid value, every v·c product, and every 64-term
+#: dot sum is then EXACTLY representable in a double, so dot products
+#: are order-independent and bit-identical across engines — which is
+#: what makes the fully unrolled DuckDB oracle of the 3-iteration fit
+#: possible.
+CENTROID_GRID = 1 << 20
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//``
+    semantics; Python ``//`` floors, which differs for negative a)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _grid_to_float(g: list[int]) -> list[float]:
+    return [x / CENTROID_GRID for x in g]
+
+
 def ivf_fit(
     df: DataFrame,
     *,
@@ -119,10 +139,15 @@ def ivf_fit(
 
     Iterative-algorithm pattern: the driver holds only the k×dim
     codebook (bounded state); each iteration is one distributed
-    assignment + one aggregation job.  Determinism: initial centroids
-    are the k lowest-id vectors, and centroid updates aggregate the
-    INTEGER quantized vectors (exact, order-independent sums) before a
-    single float division — no float-accumulation drift.
+    assignment pass + ONE per-cluster aggregation of 64 element sums
+    (``element_at`` projections — no row explosion; the former
+    ``posexplode`` shuffled |corpus|×dim rows).  Determinism: initial
+    centroids are the k lowest-id vectors; updates aggregate the
+    INTEGER quantized vectors (exact, order-independent sums) and land
+    on the ``CENTROID_GRID`` binary grid via truncating division, so
+    every subsequent float dot product is exact — no accumulation
+    drift, and the whole fit unrolls into the DuckDB oracle
+    (queries/dataops_queries.py) bit-for-bit.
     """
     init = (
         df.orderBy(id_col)
@@ -130,32 +155,33 @@ def ivf_fit(
         .select(vec_col)
         .collect()
     )
-    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    grids = [[int(x) * CENTROID_GRID for x in r[vec_col]] for r in init]
+    if not grids or iters <= 0:
+        return [_grid_to_float(g) for g in grids]
+    dim = len(grids[0])
 
+    sum_aggs = [
+        F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+        for d in range(dim)
+    ]
     for _ in range(iters):
         assigned = df.withColumn(
-            "__cluster", assign_cluster(F.col(vec_col), centroids)
+            "__cluster",
+            assign_cluster(F.col(vec_col), [_grid_to_float(g) for g in grids]),
         )
-        # element-wise integer sums per cluster: explode positions once
-        sums = (
-            assigned.select(
-                "__cluster", F.posexplode(vec_col).alias("__pos", "__v")
-            )
-            .groupBy("__cluster", "__pos")
-            .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        rows = (
+            assigned.groupBy("__cluster")
+            .agg(*sum_aggs, F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["__cluster"], {})[r["__pos"]] = (
-                r["__s"],
-                r["__n"],
-            )
-        for c, dims in by_cluster.items():
-            centroids[c] = [
-                dims[p][0] / dims[p][1] for p in sorted(dims)
+        # clusters with no members keep their previous centroid
+        for r in rows:
+            c, n = r["__cluster"], r["__n"]
+            grids[c] = [
+                _trunc_div(int(r[f"s{d}"]) * CENTROID_GRID, n)
+                for d in range(dim)
             ]
-    return centroids
+    return [_grid_to_float(g) for g in grids]
 
 
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
