@@ -12,12 +12,15 @@ E2 window (partition by file, order by line) against a DuckDB
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schema as S
 from ..functions.cleanse import general_cleanse
 from ..operators.extract_cards import extract_card_info
+from ..sources.ingest import DEFAULT_BANK_SPECS, parse_bank, statement_lines
 from . import load, query
 
 # ====================================================================
@@ -422,3 +425,91 @@ def etl_card_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_card_info(lines, "esun_bank")
     return out.select("path", "pos", S.MERCHANT, S.CARD_NO, S.CARD_TYPE)
+
+
+# ====================================================================
+# A1-A5 + B1 + B2 + A2 + G1: the real file-ingest path over a committed
+# fixture directory (FIXTURES.md §1; reference etl.py:129-152 smart CSV,
+# :259-335 per-file pipeline, :453-482 routing + union)
+# ====================================================================
+
+_FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures" / "statements"
+
+#: Hand-derived expected parse of fixtures/statements/* (DuckDB cannot
+#: decode cp950/Big5/HTML, so the cross-check is a pinned literal table
+#: transcribed from the raw files by hand — byte-level provenance is in
+#: the fixture files themselves, which are committed).
+_INGEST_ORACLE = """
+SELECT bank, CAST(pos AS BIGINT) AS pos,
+       CAST(txn_date AS VARCHAR) AS txn_date,
+       CAST(post_date AS VARCHAR) AS post_date,
+       CAST(card_no AS VARCHAR) AS card_no,
+       CAST(merchant AS VARCHAR) AS merchant,
+       CAST(currency_amount AS VARCHAR) AS currency_amount,
+       CAST(amount AS VARCHAR) AS amount,
+       CAST(currency_type AS VARCHAR) AS currency_type,
+       CAST(raw_country_currency AS VARCHAR) AS raw_country_currency,
+       CAST(base_year AS INTEGER) AS base_year,
+       CAST(bill_month AS INTEGER) AS bill_month
+FROM (VALUES
+('esun_bank', 3, '01/15', '01/16', NULL,
+ '卡號：XXXX-XXXX-XXXX-1234（Unicard－正卡）', NULL, NULL, NULL, NULL, 2024, 1),
+('esun_bank', 4, '01/10', '01/11', NULL, '全聯福利中心', NULL, '1,234',
+ NULL, NULL, 2024, 1),
+('esun_bank', 5, '12/30', '12/31', NULL, '星巴克咖啡', NULL, '200',
+ NULL, NULL, 2024, 1),
+('esun_bank', 6, '01/12', '01/13', NULL, 'AMAZON.CO.JP  JPN CHIYODA-KU 01/15',
+ '1,500.50', '450', NULL, NULL, 2024, 1),
+('esun_bank', 7, '01/20', '01/21', NULL, '信用卡繳款感謝您 轉帳', NULL,
+ '-5000', NULL, NULL, 2024, 1),
+('cube_bank', 2, '02/01', '02/02', '5678/9012', 'ＬＩＮＥ　ＰＡＹ全家便利商店',
+ NULL, '150', NULL, 'TW / TWD', 2024, 2),
+('cube_bank', 3, '02/05', '02/06', '5678/9012', 'AMAZON JAPAN',
+ NULL, '3000', NULL, 'JPN TOKYO / JPY', 2024, 2),
+('cube_bank', 4, '2024/02/10', '02/11', '1111', '誠品書店',
+ NULL, '500', NULL, NULL, 2024, 2),
+('ctbc_bank', 2, '03/05', '03/06', '2222', '麥當勞', NULL, '180',
+ NULL, NULL, 2024, 3),
+('ctbc_bank', 3, '03/08', '03/09', '2222', 'UBER EATS', NULL, '250',
+ NULL, NULL, 2024, 3),
+('hncb_bank', 1, '04/01', '04/02', '', '旅鉅卡************3333', NULL, '',
+ NULL, NULL, 2024, 4),
+('hncb_bank', 2, '04/03', '04/04', '', '家樂福', NULL, '890',
+ NULL, NULL, 2024, 4)
+) AS t(bank, pos, txn_date, post_date, card_no, merchant, currency_amount,
+       amount, currency_type, raw_country_currency, base_year, bill_month)
+"""
+
+
+@query("ingest_statement_files", _INGEST_ORACLE)
+def ingest_statement_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3+A4+A5+B1+B2+G1 (etl.py:129-152,259-335,453-482): the
+    distributed bytes→lines→header-detect→mapping-projection ingest over
+    the committed fixture directory — one binaryFile scan, per-bank
+    routing by filename keyword, utf-8/cp950/big5 decode, HTML table
+    flattening, keyword header detection, raw→canonical projection, and
+    the per-bank unionByName.  The fixture dir is constant (sf-independent)
+    so the expected parse is a pinned literal table."""
+    lines = statement_lines(spark, str(_FIXTURE_DIR))
+    parts = [
+        parsed
+        for spec in DEFAULT_BANK_SPECS
+        if (parsed := parse_bank(lines, spec)) is not None
+    ]
+    raw = parts[0]
+    for p in parts[1:]:
+        raw = raw.unionByName(p, allowMissingColumns=True)
+    return raw.select(
+        F.col(S.BANK_NAME).alias("bank"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col(S.TRANSACTION_DATE).alias("txn_date"),
+        F.col(S.POSTING_DATE).alias("post_date"),
+        F.col(S.CARD_NO).alias("card_no"),
+        F.col(S.MERCHANT).alias("merchant"),
+        F.col(S.CURRENCY_AMOUNT).alias("currency_amount"),
+        F.col(S.AMOUNT).alias("amount"),
+        F.col(S.CURRENCY_TYPE).alias("currency_type"),
+        F.col(S.RAW_COUNTRY_CURRENCY).alias("raw_country_currency"),
+        F.col("base_year").cast("int").alias("base_year"),
+        F.col("bill_month").cast("int").alias("bill_month"),
+    )
