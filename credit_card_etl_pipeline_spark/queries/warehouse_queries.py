@@ -53,3 +53,70 @@ def warehouse_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transaction_type",
         "payment_amount",
     )
+
+
+# ====================================================================
+# A10 + A12 incremental (dynamic partition overwrite) load path
+# ====================================================================
+
+_INCREMENTAL_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey AS ok,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents
+    FROM orders
+),
+inc AS (
+    SELECT ok, d, CAST(amt_cents * 2 AS BIGINT) AS amt_cents
+    FROM base WHERE year(d) = 1995 AND ok % 2 = 1
+)
+SELECT ok, strftime(d, '%Y-%m') AS year_month, amt_cents
+FROM (
+    SELECT * FROM base WHERE year(d) <> 1995
+    UNION ALL
+    SELECT * FROM inc
+)
+"""
+
+
+@query("warehouse_incremental", _INCREMENTAL_ORACLE)
+def warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+A12 incremental: full refresh of a month-partitioned Parquet
+    table, then a DYNAMIC partition overwrite that replaces only the
+    billing months present in the increment (here: 1995's months, with
+    odd keys and doubled amounts) while every other month's files stay
+    untouched — the monthly-statement load story at 100 TB (a new
+    statement must never rewrite history).  The returned frame is the
+    post-merge table as read back FROM DISK, so partition-dir encoding,
+    dynamic-overwrite semantics, and the A12 count-back validation are
+    all on the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..warehouse import write_warehouse
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.to_date("o_orderdate").alias("transaction_date"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+    )
+    inc = (
+        base.where(F.year("transaction_date") == 1995)
+        .where(F.col("ok") % 2 == 1)
+        .withColumn("amt_cents", (F.col("amt_cents") * 2).cast("long"))
+    )
+    n_base = base.count()
+    n_1995 = base.where(F.year("transaction_date") == 1995).count()
+    n_inc = inc.count()
+
+    path = tempfile.mkdtemp(prefix="wh_incremental_") + "/transactions"
+    write_warehouse(base, path, expected_rows=n_base)
+    write_warehouse(
+        inc, path, incremental=True, expected_rows=n_base - n_1995 + n_inc
+    )
+    return spark.read.parquet(path).select(
+        "ok", F.col("year_month").cast("string").alias("year_month"), "amt_cents"
+    )
