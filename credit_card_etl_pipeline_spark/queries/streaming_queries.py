@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.windows import (
     event_time,
+    events_stream,
     session_counts,
     sliding_counts,
     tumbling_counts,
@@ -110,3 +111,61 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands SQL (lag + running sum)."""
     events = event_time(load(spark, sf_dir, "events"))
     return session_counts(events, "10 minutes")
+
+
+# ====================================================================
+# Custom stateful operator (applyInPandasWithState) — end-state oracle
+# ====================================================================
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+#: memory-sink names must be unique per start within a session.
+_stateful_run_counter = iter(range(1_000_000))
+
+
+@query("stream_stateful_user_stats", _STATEFUL_ORACLE)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL custom stateful streaming operator
+    (``streaming.stateful.running_user_stats``: per-user cumulative
+    count/value state via ``applyInPandasWithState``) as a streaming
+    query — availableNow trigger, memory sink, update mode — then
+    extracts each user's final state (the update with the highest
+    cumulative count).  The end state of the stateful stream must equal
+    a plain batch aggregation, which is the SQL-expressible oracle; the
+    per-batch burst/batch_events surface stays pytest-pinned
+    (tests/test_skew_stateful.py)."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_stats
+
+    name = f"user_stats_oracle_{next(_stateful_run_counter)}"
+    stream = event_time(events_stream(spark, sf_dir))
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )
