@@ -1,0 +1,222 @@
+"""Corpus-curation operators (engine extension for training-data
+pipelines): PII scrubbing, repetition signals, benchmark
+decontamination, and context-window chunking.
+
+These extend the dedup/text families with the remaining steps a
+large-scale LLM data pipeline runs between raw crawl and tokenizer:
+
+* **PII scrubbing** — pure JVM ``regexp_replace`` chains (no UDFs); the
+  patterns are restricted to the RE2-compatible subset (no
+  backreferences or lookaround) so the DuckDB oracle can run byte-
+  identical regexes.  At 100 TB this is a map-only pass: no shuffle.
+* **Repetition signals** (Gopher-style quality heuristics) — duplicate
+  word/bigram fractions and top-token share per document.  Exact
+  integer counts via one token explode + one bigram explode; the only
+  shuffles are the two per-doc aggregations, both map-side combinable.
+* **Decontamination** — n-gram overlap of the corpus against a
+  benchmark/eval set.  Benchmark shingle sets are tiny relative to the
+  corpus, so the join side is broadcast; the corpus is touched exactly
+  once (shingle explode), never joined against itself.
+* **Chunking** — context-window splitting (size/overlap in tokens) as a
+  pure array expression: ``sequence`` over chunk starts + ``slice`` per
+  start, exploded.  Map-only; chunk identity is (doc_id, chunk_index)
+  so downstream shuffles key on the composite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, words
+
+# ------------------------------------------------------------------
+# PII scrubbing
+# ------------------------------------------------------------------
+
+#: RE2-compatible PII patterns (shared verbatim with the SQL oracles —
+#: no backreferences, no lookaround).  Replacement order matters: cards
+#: before phones so a 4-4-4-4 run is consumed as one card, not a
+#: partial phone match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (computed BEFORE scrubbing)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(col: Column) -> Column:
+    """Mask every PII match, applying patterns in declaration order."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics)
+# ------------------------------------------------------------------
+
+def bigrams(col: Column) -> Column:
+    """Adjacent word 2-grams of the normalized text (NOT distinct —
+    repetition is the signal here, unlike dedup shingles)."""
+    w = words(col)
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_stats(grams: DataFrame, id_col: str, prefix: str) -> DataFrame:
+    """(id, gram) rows → per-doc total / distinct / top-gram counts."""
+    return (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias(f"n_{prefix}"),
+            F.count(F.lit(1)).cast("long").alias(f"n_distinct_{prefix}"),
+            F.max("cnt").cast("long").alias(f"top_{prefix}_n"),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: word and bigram totals,
+    distincts, and top-gram counts, plus the derived fractions
+    (single double division of identical integers — cross-engine
+    exact).  Docs with no bigrams (single-token texts) report zeros."""
+    text = F.col(text_col)
+    toks = df.select(
+        F.col(id_col), F.explode(words(text)).alias("gram")
+    )
+    bigs = df.select(F.col(id_col), F.explode(bigrams(text)).alias("gram"))
+    word_stats = _gram_stats(toks, id_col, "words")
+    bigram_stats = _gram_stats(bigs, id_col, "bigrams")
+    out = word_stats.join(bigram_stats, id_col, "left").na.fill(
+        {"n_bigrams": 0, "n_distinct_bigrams": 0, "top_bigrams_n": 0}
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "top_words_n",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigrams_n",
+        ((F.col("n_words") - F.col("n_distinct_words"))
+         / F.col("n_words")).alias("dup_word_frac"),
+        (F.col("top_words_n") / F.col("n_words")).alias("top_word_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+            / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination
+# ------------------------------------------------------------------
+
+def benchmark_overlap(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct word ``n``-gram
+    shingles also occur anywhere in the benchmark set.
+
+    Scale shape: the benchmark (an eval set) is orders of magnitude
+    smaller than the corpus, so its distinct shingle set is broadcast;
+    the corpus pays one shingle explode and one map-side-combinable
+    aggregation.  Rows with ``n_shared > 0`` are contamination
+    candidates; ``overlap_frac`` supports thresholded dropping."""
+    from .dedup import exploded_shingles
+
+    bench = F.broadcast(
+        exploded_shingles(benchmark_df, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    doc_shingles = exploded_shingles(
+        corpus_df, text_col=text_col, id_col=id_col, n=n
+    )
+    shared = (
+        doc_shingles.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    totals = doc_shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        totals.join(shared, id_col, "left")
+        .na.fill({"n_shared": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("overlap_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# Context-window chunking
+# ------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document's token stream into ``chunk_tokens``-sized
+    windows advancing by ``chunk_tokens - overlap`` — the standard
+    pre-tokenizer context packing step.  Pure array expressions
+    (sequence of starts + slice per start), map-only: no shuffle, no
+    UDF; every document yields at least one chunk."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = words(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("chunk_start"),
+                F.slice(w, s, chunk_tokens).alias("toks"),
+            ),
+        )
+    )
+    exploded = df.select(F.col(id_col), chunk.alias("c"))
+    return exploded.select(
+        id_col,
+        ((F.col("c.chunk_start") - 1) / stride).cast("long").alias("chunk_index"),
+        F.col("c.chunk_start").cast("long").alias("chunk_start"),
+        F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk_text"),
+    )

@@ -1,0 +1,239 @@
+"""Curation query family (engine extension): PII scrubbing, repetition
+signals, benchmark decontamination, and context-window chunking over
+the ``documents`` corpus — each with a DuckDB oracle computing
+bit-identical values (RE2-compatible regexes shared verbatim, integer
+counts, doubles only as a final division of identical integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataops import curate as cu
+from . import load, query
+
+#: Normalized text (twin of dataops.text.normalize_text).
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+# ------------------------------------------------------------------
+# PII scrubbing
+# ------------------------------------------------------------------
+
+#: Deterministic PII injection per doc_id % 4 — the raw corpus has no
+#: PII, which would make the scrubber vacuous.  Built identically on
+#: both engines (string concat of integer-derived pieces).
+def _pii_text_spark(doc_id: F.Column, text: F.Column) -> F.Column:
+    d3 = F.lpad((doc_id % 1000).cast("string"), 3, "0")
+    d4 = F.lpad((doc_id % 10000).cast("string"), 4, "0")
+    oct_ = (doc_id % 256).cast("string")
+    m = doc_id % 4
+    return F.concat(
+        text,
+        F.when(
+            m == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"),
+                     F.lit("@mail.example.com now")),
+        )
+        .when(m == 1, F.concat(F.lit(" call 555-"), d3, F.lit("-"), d4,
+                               F.lit(" today")))
+        .when(m == 2, F.concat(F.lit(" card 4111-1111-1111-"), d4,
+                               F.lit(" on file")))
+        .otherwise(F.concat(F.lit(" host 10."), oct_, F.lit(".0.1 up"))),
+    )
+
+
+_PII_TEXT_SQL = """
+text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com now'
+    WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' today'
+    WHEN 2 THEN ' card 4111-1111-1111-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file'
+    ELSE ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+END
+"""
+
+_PII_COUNT_SQL = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}s"
+    for kind, pat, _ in cu.PII_PATTERNS
+)
+
+_PII_SCRUB_SQL = "t"
+for _, _pat, _tok in cu.PII_PATTERNS:
+    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
+
+_PII_ORACLE = f"""
+WITH pii AS (
+    SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       {_PII_COUNT_SQL},
+       md5({_PII_SCRUB_SQL}) AS scrubbed_md5
+FROM pii
+"""
+
+
+@query("pii_scrub_documents", _PII_ORACLE)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a map-only JVM regex pass: per-kind occurrence
+    counts plus the md5 of the fully masked text, over documents with
+    deterministically injected emails/phones/cards/IPs.  Patterns are
+    the RE2-compatible subset, shared verbatim with the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    t = _pii_text_spark(F.col("doc_id"), F.col("text"))
+    counts = cu.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        *[counts[kind].alias(f"n_{kind}s") for kind, _, _ in cu.PII_PATTERNS],
+        F.md5(cu.pii_scrub(t)).alias("scrubbed_md5"),
+    )
+
+
+# ------------------------------------------------------------------
+# Repetition signals
+# ------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+words AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
+),
+toks AS (SELECT doc_id, unnest(w) AS gram FROM words),
+bigs AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> w[i] || ' ' || w[i+1])) AS gram
+    FROM words
+),
+wstats AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(max(cnt) AS BIGINT) AS top_words_n
+    FROM (SELECT doc_id, gram, count(*) AS cnt FROM toks GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+bstats AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_bigrams_n
+    FROM (SELECT doc_id, gram, count(*) AS cnt FROM bigs GROUP BY 1, 2)
+    GROUP BY doc_id
+)
+SELECT w.doc_id, n_words, n_distinct_words, top_words_n,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COALESCE(top_bigrams_n, 0) AS BIGINT) AS top_bigrams_n,
+       (n_words - n_distinct_words) / CAST(n_words AS DOUBLE)
+           AS dup_word_frac,
+       top_words_n / CAST(n_words AS DOUBLE) AS top_word_frac,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM wstats w LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+@query("text_repetition_signals", _REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile per document: word/bigram totals,
+    distincts, top-gram counts, and duplicate fractions — exact integer
+    counts from two map-side-combinable aggregations."""
+    return cu.repetition_signals(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination
+# ------------------------------------------------------------------
+
+def _shingle_cte(src: str, name: str) -> str:
+    return f"""
+{name}_words AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM {src}
+),
+{name} AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM {name}_words
+)"""
+
+
+_DECONTAM_ORACLE = f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+{_shingle_cte('train', 'ts')},
+{_shingle_cte('bench', 'bs')},
+bset AS (SELECT DISTINCT shingle FROM bs),
+shared AS (
+    SELECT ts.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM ts JOIN bset USING (shingle)
+    GROUP BY ts.doc_id
+),
+totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM ts GROUP BY doc_id
+)
+SELECT t.doc_id, n_shingles,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(n_shared, 0) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+FROM totals t LEFT JOIN shared s USING (doc_id)
+"""
+
+
+@query("decontaminate_vs_benchmark", _DECONTAM_ORACLE)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the count and
+    fraction of its distinct 3-gram shingles that occur anywhere in the
+    held-out benchmark slice (doc_id % 50 == 0).  The benchmark shingle
+    set is broadcast — the corpus is scanned exactly once."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return cu.benchmark_overlap(train, bench)
+
+
+# ------------------------------------------------------------------
+# Context-window chunking
+# ------------------------------------------------------------------
+
+_CHUNK, _OVERLAP, _STRIDE = 32, 8, 24
+
+_CHUNK_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+words AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
+),
+starts AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w), 1), {_STRIDE})) AS s
+    FROM words
+)
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_index,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(w, s, least(s + {_CHUNK} - 1, len(w))))
+            AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(w, s, least(s + {_CHUNK} - 1, len(w))), ' ')
+           AS chunk_text
+FROM starts
+"""
+
+
+@query("chunk_context_windows", _CHUNK_ORACLE)
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: {_CHUNK}-token windows advancing by
+    {_STRIDE} (8-token overlap), as a pure map-only array expression —
+    every chunk carries (doc_id, chunk_index, start, length, text)."""
+    return cu.chunk_documents(
+        load(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK,
+        overlap=_OVERLAP,
+    )

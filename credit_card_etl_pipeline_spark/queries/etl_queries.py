@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from .. import schema as S
 from ..functions.cleanse import general_cleanse
 from ..operators.extract_cards import extract_card_info
-from ..sources.ingest import DEFAULT_BANK_SPECS, parse_bank, statement_lines
+from ..sources.ingest import (
+    DEFAULT_BANK_SPECS,
+    BankSpec,
+    parse_bank,
+    read_excel_statement,
+    statement_lines,
+)
 from . import load, query
 
 # ====================================================================
@@ -510,6 +516,61 @@ def ingest_statement_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(S.AMOUNT).alias("amount"),
         F.col(S.CURRENCY_TYPE).alias("currency_type"),
         F.col(S.RAW_COUNTRY_CURRENCY).alias("raw_country_currency"),
+        F.col("base_year").cast("int").alias("base_year"),
+        F.col("bill_month").cast("int").alias("bill_month"),
+    )
+
+
+# ====================================================================
+# A6 Excel ingest (vendored stdlib .xlsx reader; etl.py:312-316)
+# ====================================================================
+
+_EXCEL_SPEC = BankSpec(
+    bank_id="fubon_bank",
+    keywords=["富邦"],
+    file_type="excel",
+    header_keyword=None,
+    columns_mapping={
+        "交易日期": S.TRANSACTION_DATE,
+        "入帳日期": S.POSTING_DATE,
+        "卡號末四碼": S.CARD_NO,
+        "交易說明": S.MERCHANT,
+        "臺幣金額": S.AMOUNT,
+    },
+)
+
+_EXCEL_ORACLE = """
+SELECT bank, CAST(pos AS BIGINT) AS pos,
+       CAST(txn_date AS VARCHAR) AS txn_date,
+       CAST(card_no AS VARCHAR) AS card_no,
+       CAST(merchant AS VARCHAR) AS merchant,
+       CAST(amount AS VARCHAR) AS amount,
+       CAST(base_year AS INTEGER) AS base_year,
+       CAST(bill_month AS INTEGER) AS bill_month
+FROM (VALUES
+('fubon_bank', 0, '05/02', '7777', '咖啡店', '120', 2024, 5),
+('fubon_bank', 1, '05/06', '7777', '誠品 書店', '1,350', 2024, 5),
+('fubon_bank', 2, '05/09', '', '富邦momo購物', '899', 2024, 5)
+) AS t(bank, pos, txn_date, card_no, merchant, amount, base_year, bill_month)
+"""
+
+
+@query("ingest_excel_statement", _EXCEL_ORACLE)
+def ingest_excel_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (etl.py:312-316): Excel statement ingest through the vendored
+    stdlib .xlsx parser (sources/xlsx.py — pandas.read_excel is used
+    instead when a workbook engine is installed), checked against the
+    hand-transcribed content of the committed fixture workbook."""
+    df = read_excel_statement(
+        spark, str(_FIXTURE_DIR / "富邦_202405.xlsx"), _EXCEL_SPEC
+    )
+    return df.select(
+        F.col(S.BANK_NAME).alias("bank"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col(S.TRANSACTION_DATE).alias("txn_date"),
+        F.col(S.CARD_NO).alias("card_no"),
+        F.col(S.MERCHANT).alias("merchant"),
+        F.col(S.AMOUNT).alias("amount"),
         F.col("base_year").cast("int").alias("base_year"),
         F.col("bill_month").cast("int").alias("bill_month"),
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io
+import zipfile
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -371,15 +372,23 @@ def parse_bank(
 def read_excel_statement(
     spark: SparkSession, path: str, spec: BankSpec
 ) -> DataFrame:
-    """A6 (etl.py:312-316): driver-side Excel fallback, gated on a
-    workbook engine being installed."""
+    """A6 (etl.py:312-316): driver-side Excel read — ``pandas.read_excel``
+    when an engine is installed, else the vendored stdlib .xlsx parser
+    (sources.xlsx).  Legacy binary .xls still needs a pandas engine."""
     try:
         pdf = pd.read_excel(path, dtype=str)
     except ImportError as e:  # openpyxl/xlrd not in the runtime
-        raise NotImplementedError(
-            "Excel ingest requires a pandas Excel engine (openpyxl); "
-            "install one or convert the workbook to CSV"
-        ) from e
+        if not zipfile.is_zipfile(path):  # legacy .xls is not a zip
+            raise NotImplementedError(
+                "legacy .xls ingest requires a pandas Excel engine "
+                "(xlrd); convert the workbook to .xlsx or CSV"
+            ) from e
+        from .xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path)
+        if not rows:
+            raise ValueError(f"empty workbook: {path}") from e
+        pdf = pd.DataFrame(rows[1:], columns=rows[0])
     pdf.columns = [" ".join(str(c).split()) for c in pdf.columns]
     pdf = pdf.astype(str)  # raw cells as strings BEFORE adding typed cols
     pdf["path"] = path

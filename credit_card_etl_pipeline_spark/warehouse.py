@@ -85,6 +85,12 @@ def write_warehouse(
             F.date_format(F.col("transaction_date"), "yyyy-MM"), F.lit("unknown")
         ),
     )
+    # Cluster rows by the partition value before writing: without this,
+    # EVERY task writes a file into EVERY month directory (tasks ×
+    # months small files — the classic small-files explosion).  A hash
+    # repartition on the partition column gives one task (→ one file)
+    # per month; AQE splits a genuinely skewed month at runtime.
+    out = out.repartition(F.col(partition_by))
     writer = out.write.mode("overwrite").partitionBy(partition_by)
     if incremental:
         writer = writer.option("partitionOverwriteMode", "dynamic")

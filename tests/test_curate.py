@@ -1,0 +1,106 @@
+"""Unit tests for the curation operators (dataops.curate): PII
+scrubbing order/edge cases, repetition-signal edges, decontamination
+overlap, and chunk boundary arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from credit_card_etl_pipeline_spark.dataops import curate as cu
+
+
+def _one_text(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_pii_scrub_masks_all_kinds(spark):
+    text = (
+        "mail a.user+x@ex-ample.co.uk card 4111-1111-1111-2222 "
+        "call 555-123-4567 from 192.168.0.1 ok"
+    )
+    row = (
+        _one_text(spark, text)
+        .select(cu.pii_scrub(F.col("text")).alias("t"))
+        .first()
+    )
+    assert row["t"] == "mail <EMAIL> card <CARD> call <PHONE> from <IP> ok"
+
+
+def test_pii_card_consumed_before_phone(spark):
+    # a 4-4-4-4 run must become ONE card token, never a partial phone
+    row = (
+        _one_text(spark, "x 1234 5678 9012 3456 y")
+        .select(cu.pii_scrub(F.col("text")).alias("t"))
+        .first()
+    )
+    assert row["t"] == "x <CARD> y"
+
+
+def test_pii_counts(spark):
+    text = "a@b.co and c@d.io but 555-123-4567"
+    counts = cu.pii_counts(F.col("text"))
+    row = (
+        _one_text(spark, text)
+        .select(*[c.alias(k) for k, c in counts.items()])
+        .first()
+    )
+    assert row["email"] == 2
+    assert row["phone"] == 1
+    assert row["card"] == 0
+    assert row["ip"] == 0
+
+
+def test_repetition_signals_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in cu.repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct_words"], r1["top_words_n"]) == (5, 2, 3)
+    # bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct, top 2
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"], r1["top_bigrams_n"]) == (
+        4, 2, 2,
+    )
+    assert r1["dup_word_frac"] == (5 - 2) / 5
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_bigrams"]) == (1, 0)
+    assert r2["dup_bigram_frac"] == 0.0
+
+
+def test_benchmark_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox runs")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in cu.benchmark_overlap(train, bench).collect()}
+    # doc 1 shares the shingle "quick brown fox"; doc 2 shares none
+    assert rows[1]["n_shared"] == 1 and rows[1]["n_shingles"] == 3
+    assert rows[2]["n_shared"] == 0
+    assert rows[1]["overlap_frac"] == 1 / 3
+
+
+def test_chunking_boundaries(spark):
+    n = 40
+    text = " ".join(f"t{i}" for i in range(1, n + 1))
+    rows = sorted(
+        cu.chunk_documents(
+            _one_text(spark, text), chunk_tokens=32, overlap=8
+        ).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    # starts at 1 and 25: chunk0 = t1..t32, chunk1 = t25..t40 (16 toks)
+    assert [r["chunk_start"] for r in rows] == [1, 25]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 16]
+    assert rows[0]["chunk_text"].startswith("t1 t2 ") and rows[0][
+        "chunk_text"
+    ].endswith(" t32")
+    assert rows[1]["chunk_text"] == " ".join(f"t{i}" for i in range(25, 41))
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    rows = cu.chunk_documents(_one_text(spark, "a b c")).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 3 and rows[0]["chunk_text"] == "a b c"
