@@ -220,3 +220,51 @@ def chunk_documents(
         F.size("c.toks").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "c.toks").alias("chunk_text"),
     )
+
+
+# ------------------------------------------------------------------
+# Training-mix weighted sampling
+# ------------------------------------------------------------------
+
+#: Weight basis: 10_000 = exactly 1.0 epoch.  Integer basis points keep
+#: the replicate/threshold arithmetic exact across engines.
+MIX_BASIS = 10_000
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_bp: int = MIX_BASIS,
+) -> DataFrame:
+    """Deterministic training-mixture sampling: each document appears
+    ``floor(w)`` times plus one more with probability ``frac(w)``, where
+    ``w`` is its group's weight in basis points (``MIX_BASIS`` = 1.0
+    epoch) — so ``{'en': 25000}`` means 2.5 epochs of English and
+    ``{'zh': 5000}`` keeps half the Chinese docs.
+
+    The fractional keep-decision hashes the document id (md5-stream
+    determinism — reproducible across runs, engines, and partitionings;
+    no RNG state).  Map-only: the replication is a per-row ``sequence``
+    explode, so the mix composes with downstream shuffles instead of
+    adding one.  Output carries ``epoch`` (1-based replicate index)."""
+    from ..functions.hashing import md5_int60
+
+    wcol: Column = F.lit(default_bp)
+    for group, bp in sorted(weights.items()):
+        wcol = F.when(F.col(group_col) == group, F.lit(bp)).otherwise(wcol)
+    full = (wcol / MIX_BASIS).cast("long")
+    frac = wcol % MIX_BASIS
+    extra = (
+        md5_int60(F.col(id_col).cast("string")) % MIX_BASIS < frac
+    ).cast("long")
+    n_copies = (full + extra).alias("n_copies")
+    out = df.withColumn("__n_copies", n_copies).where(F.col("__n_copies") >= 1)
+    # sequence(1, 0) would DESCEND in Spark — the filter above guards it
+    return (
+        out.withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

@@ -237,3 +237,40 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=_CHUNK,
         overlap=_OVERLAP,
     )
+
+
+# ------------------------------------------------------------------
+# Training-mix weighted sampling
+# ------------------------------------------------------------------
+
+#: en upsampled to 2.5 epochs, zh kept at 40%, everything else 1.0.
+_MIX_WEIGHTS = {"en": 25000, "zh": 4000}
+
+_MIX_ORACLE = f"""
+WITH weighted AS (
+    SELECT doc_id, lang, source,
+           CASE lang WHEN 'en' THEN 25000 WHEN 'zh' THEN 4000
+                ELSE 10000 END AS bp,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10000 AS h
+    FROM documents
+),
+copies AS (
+    SELECT doc_id, lang, source,
+           bp // 10000 + CASE WHEN h < bp % 10000 THEN 1 ELSE 0 END AS n
+    FROM weighted
+)
+SELECT doc_id, lang, source,
+       CAST(unnest(generate_series(1, CAST(n AS INTEGER))) AS BIGINT) AS epoch
+FROM copies WHERE n >= 1
+"""
+
+
+@query("training_mix_sample", _MIX_ORACLE)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling over documents: English
+    upsampled to 2.5 epochs (every doc twice + a hash-chosen half a
+    third time), Chinese downsampled to 0.4, other languages kept at
+    1.0 — md5-stream determinism, map-only replication."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cu.weighted_mix(docs, _MIX_WEIGHTS)

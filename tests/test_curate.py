@@ -104,3 +104,30 @@ def test_chunking_short_doc_single_chunk(spark):
     rows = cu.chunk_documents(_one_text(spark, "a b c")).collect()
     assert len(rows) == 1
     assert rows[0]["n_chunk_tokens"] == 3 and rows[0]["chunk_text"] == "a b c"
+
+
+def test_weighted_mix_epochs(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = cu.weighted_mix(df, {"en": 20000, "zh": 0}, group_col="lang")
+    rows = out.collect()
+    # en docs appear exactly twice (2.0 epochs), zh docs are dropped
+    assert all(r["lang"] == "en" for r in rows)
+    assert len(rows) == 100
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [1, 2] for v in per_doc.values())
+
+
+def test_weighted_mix_fractional_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(1000)], "doc_id long, lang string"
+    )
+    out1 = cu.weighted_mix(df, {"x": 5000}, group_col="lang")
+    n1 = out1.count()
+    n2 = cu.weighted_mix(df, {"x": 5000}, group_col="lang").count()
+    assert n1 == n2  # md5-stream determinism, no RNG
+    assert 350 < n1 < 650  # ~half kept

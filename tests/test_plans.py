@@ -75,3 +75,41 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "IsNotNull(o_orderkey)" in plan or "EqualTo(o_orderkey,42)" in plan
     # column pruning: ReadSchema carries only the projected columns
     assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    # the benchmark shingle set must be the broadcast side — the corpus
+    # is never sort-merge-joined against the (tiny) eval set
+    from credit_card_etl_pipeline_spark.queries.curate_queries import (
+        decontaminate_vs_benchmark,
+    )
+
+    plan = _plan(decontaminate_vs_benchmark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    # chunking is map-only: the only Exchange allowed is the round-robin
+    # parallelism guard queries.load() adds for the single-row-group
+    # local corpus (RoundRobinPartitioning) — no key shuffle anywhere
+    from credit_card_etl_pipeline_spark.queries.curate_queries import (
+        chunk_context_windows,
+    )
+
+    plan = _plan(chunk_context_windows(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body.lower()
+    assert "rangepartitioning" not in body.lower()
+
+
+def test_pii_scrub_is_map_only(spark):
+    from credit_card_etl_pipeline_spark.queries.curate_queries import (
+        pii_scrub_documents,
+    )
+
+    plan = _plan(pii_scrub_documents(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    # no key shuffle (the load() round-robin guard is allowed)
+    assert "hashpartitioning" not in body.lower()
+    assert "rangepartitioning" not in body.lower()
