@@ -169,3 +169,58 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "value_cents")
     )
+
+
+# ====================================================================
+# Streaming ingest dedup (stateful dropDuplicates)
+# ====================================================================
+
+_STREAM_DEDUP_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_dedup_ingest", _STREAM_DEDUP_ORACLE)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: the events stream UNIONED WITH ITSELF
+    (an at-least-once source redelivering every record) flows through
+    stateful ``dropDuplicates`` on event_id; the deduped append stream
+    lands in a memory sink and is batch-aggregated per user.  Equality
+    with the plain single-copy batch aggregation proves the duplicate
+    deliveries were all suppressed — without the dedup every count and
+    sum would be exactly doubled."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import dedup_stream
+
+    name = f"dedup_ingest_oracle_{next(_stateful_run_counter)}"
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    q = (
+        dedup_stream(doubled)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("value_cents"),
+        )
+    )

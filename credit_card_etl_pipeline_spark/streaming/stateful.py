@@ -95,3 +95,16 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact-dedup on ``event_id``: keeps the first arrival of
+    every key via Spark's stateful ``dropDuplicates`` — the ingestion-
+    time dedup step of a streaming training-data pipeline (at-least-once
+    sources redeliver; state holds one compact key per event).  Emits
+    append-mode rows carrying integer-cents values."""
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).dropDuplicates(["event_id"])
