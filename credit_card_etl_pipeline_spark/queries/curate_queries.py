@@ -274,3 +274,43 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 — md5-stream determinism, map-only replication."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return cu.weighted_mix(docs, _MIX_WEIGHTS)
+
+
+# ------------------------------------------------------------------
+# Sequence packing
+# ------------------------------------------------------------------
+
+_SEQ_TOKENS = 512
+
+_PACK_ORACLE = f"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+    FROM counted
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {_SEQ_TOKENS} AS BIGINT) AS first_seq,
+       CAST((start_tok + n_tokens - 1) // {_SEQ_TOKENS} AS BIGINT) AS last_seq,
+       CAST(start_tok % {_SEQ_TOKENS} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+
+@query("pack_training_sequences", _PACK_ORACLE)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents concatenated in doc_id order and cut
+    into 512-token training sequences — the global token prefix sum runs
+    as the fully distributed two-pass (range partition → in-partition
+    prefix sums → broadcast per-partition offsets), never a global
+    ordered window; the oracle is the single-window cumulative sum."""
+    return cu.pack_sequences(
+        load(spark, sf_dir, "documents"), seq_tokens=_SEQ_TOKENS
+    )

@@ -131,3 +131,50 @@ def test_weighted_mix_fractional_deterministic(spark):
     n2 = cu.weighted_mix(df, {"x": 5000}, group_col="lang").count()
     assert n1 == n2  # md5-stream determinism, no RNG
     assert 350 < n1 < 650  # ~half kept
+
+
+def test_pack_sequences_contiguous(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        cu.pack_sequences(df, seq_tokens=64).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # starts are the exclusive prefix sum in doc_id order — contiguous
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos
+        assert r["first_seq"] == pos // 64
+        assert r["last_seq"] == (pos + r["n_tokens"] - 1) // 64
+        assert r["seq_offset"] == pos % 64
+        pos += r["n_tokens"]
+    assert pos == sum(10 + i for i in range(1, 21))
+
+
+def test_pack_sequences_matches_single_window(spark):
+    # the two-pass distributed prefix sum must equal the naive global
+    # cumulative sum regardless of partitioning
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * (1 + (i * 7) % 13))) for i in range(500)],
+        "doc_id long, text string",
+    ).repartition(16)
+    got = {
+        r["doc_id"]: r["start_tok"]
+        for r in cu.pack_sequences(df, seq_tokens=32).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(
+                F.sum(F.size(F.split(F.col("text"), " "))).over(w), F.lit(0)
+            ).alias("s"),
+        ).collect()
+    }
+    assert got == want
