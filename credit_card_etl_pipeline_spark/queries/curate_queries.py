@@ -314,3 +314,158 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.pack_sequences(
         load(spark, sf_dir, "documents"), seq_tokens=_SEQ_TOKENS
     )
+
+
+# ------------------------------------------------------------------
+# End-to-end curation pipeline (flagship composition)
+# ------------------------------------------------------------------
+
+_PIPE_CORPUS_SQL = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0
+"""
+
+_PIPE_ORACLE = f"""
+WITH corpus AS ({_PIPE_CORPUS_SQL}),
+-- 1. exact dedup: min-id survivor per normalized text
+survivors AS (
+    SELECT min(doc_id) AS doc_id
+    FROM corpus GROUP BY md5({_NORM_SQL})
+),
+deduped AS (
+    SELECT c.doc_id, c.text, c.lang,
+           string_split({_NORM_SQL}, ' ') AS w
+    FROM corpus c JOIN survivors USING (doc_id)
+),
+-- 2. quality filter: length + per-row duplicate-word fraction
+quality AS (
+    SELECT doc_id, text, lang, w, len(w) AS n_tokens
+    FROM deduped
+    WHERE len(w) >= 10
+      AND (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) <= 0.6
+),
+-- 3. decontamination: drop docs sharing any 3-shingle with the
+--    benchmark slice (doc_id % 50 = 0 of the ORIGINAL table)
+bench_sh AS (
+    SELECT DISTINCT unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT string_split({_NORM_SQL}, ' ') AS w
+          FROM documents WHERE doc_id % 50 = 0)
+),
+contaminated AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM quality
+    ) q JOIN bench_sh USING (shingle)
+),
+clean AS (
+    SELECT doc_id, lang, n_tokens FROM quality
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+-- 4. training mix: en 2.0 epochs, zh 0.5, rest 1.0 (md5-stream)
+weighted AS (
+    SELECT doc_id, lang, n_tokens,
+           CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 5000
+                ELSE 10000 END AS bp,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10000 AS h
+    FROM clean
+),
+mixture AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(unnest(generate_series(1, CAST(
+               bp // 10000 + CASE WHEN h < bp % 10000 THEN 1 ELSE 0 END
+               AS INTEGER))) AS BIGINT) AS epoch
+    FROM weighted
+),
+-- 5. sequence packing in (doc_id, epoch) order, 256-token sequences
+packed AS (
+    SELECT doc_id, lang, epoch, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id * 10 + epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+    FROM mixture
+)
+SELECT doc_id, lang, epoch, n_tokens, start_tok,
+       CAST(start_tok // 256 AS BIGINT) AS first_seq,
+       CAST((start_tok + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+FROM packed
+"""
+
+
+@query("curation_pipeline", _PIPE_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation composition — one declarative plan chaining
+    exact dedup (min-id survivors over the dup-injected corpus), a
+    per-row quality gate (length >= 10 tokens, duplicate-word fraction
+    <= 0.6), benchmark decontamination (anti-join on broadcast benchmark
+    shingles), deterministic training-mix sampling (en 2.0 epochs /
+    zh 0.5), and distributed sequence packing into 256-token sequences.
+    Every stage is an existing library operator; Catalyst fuses the
+    map-side stages and AQE sizes the shuffles."""
+    from ..dataops import dedup as dd
+    from ..dataops.text import normalize_text, words
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "lang").unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    deduped = dd.dedup_exact(corpus)
+
+    w = words(F.col("text"))
+    n_tokens = F.size(w).cast("long")
+    dup_frac = (F.size(w) - F.size(F.array_distinct(w))) / F.size(w)
+    quality = deduped.withColumn("n_tokens", n_tokens).where(
+        (F.col("n_tokens") >= 10) & (dup_frac <= 0.6)
+    )
+
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    bench_shingles = F.broadcast(
+        dd.exploded_shingles(bench).select("shingle").distinct()
+    )
+    q_shingles = dd.exploded_shingles(quality.select("doc_id", "text"))
+    contaminated = (
+        q_shingles.join(bench_shingles, "shingle").select("doc_id").distinct()
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", "text"
+    )
+
+    mixture = cu.weighted_mix(clean, {"en": 20000, "zh": 5000})
+
+    packed = cu.pack_sequences(
+        mixture.select(
+            (F.col("doc_id") * 10 + F.col("epoch")).alias("pack_id"),
+            "doc_id",
+            "lang",
+            "epoch",
+            "text",
+        ),
+        id_col="pack_id",
+        seq_tokens=256,
+    )
+    ids = mixture.select(
+        (F.col("doc_id") * 10 + F.col("epoch")).alias("pack_id"),
+        "doc_id",
+        "lang",
+        "epoch",
+    )
+    return packed.join(ids, "pack_id").select(
+        "doc_id",
+        "lang",
+        "epoch",
+        "n_tokens",
+        "start_tok",
+        (F.col("start_tok") / 256).cast("long").alias("first_seq"),
+        ((F.col("start_tok") + F.col("n_tokens") - 1) / 256)
+        .cast("long")
+        .alias("last_seq"),
+    )
