@@ -93,6 +93,7 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
     "en": ["the", "and", " th", "ing", "ion", " of", "ed ", " to", "er ", "at "],
     "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "che", "en ", " ge"],
     "fr": ["les", "ent", " de", "ion", "que", " la", "des", " le", "ait", "eur"],
+    "es": [" de", "que", "ión", " la", " el", "ado", "nte", "los", "con", "ció"],
 }
 
 

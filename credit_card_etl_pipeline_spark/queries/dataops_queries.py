@@ -883,27 +883,33 @@ def _lang_score_sql(grams: list[str]) -> str:
     return f"CAST(({terms}) AS BIGINT)"
 
 
+def _lang_fold_sql(langs: list[str]) -> tuple[str, str]:
+    """Nested-CASE twin of text.lang_id_ngram's strict-``>`` fold:
+    (argmax-lang expr, max-score expr) over ``s_<lang>`` columns, ties
+    breaking toward earlier profile order."""
+    best, val = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {val} THEN '{lang}' ELSE {best} END"
+        val = f"CASE WHEN s_{lang} > {val} THEN s_{lang} ELSE {val} END"
+    return best, val
+
+
+_LANGS = list(tx.LANG_TRIGRAMS)
+_BEST_SQL, _VAL_SQL = _lang_fold_sql(_LANGS)
+
 _LANG_ID_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL}),
 norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM corpus),
 scored AS (
     SELECT doc_id,
-           {_lang_score_sql(tx.LANG_TRIGRAMS['en'])} AS s_en,
-           {_lang_score_sql(tx.LANG_TRIGRAMS['de'])} AS s_de,
-           {_lang_score_sql(tx.LANG_TRIGRAMS['fr'])} AS s_fr
+           {",".join(f"{_lang_score_sql(tx.LANG_TRIGRAMS[lang])} AS s_{lang}"
+                     for lang in _LANGS)}
     FROM norm
-),
-folded AS (
-    SELECT *,
-           CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b1,
-           CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS v1
-    FROM scored
 )
-SELECT doc_id, s_en, s_de, s_fr,
-       CASE WHEN greatest(v1, CASE WHEN s_fr > v1 THEN s_fr ELSE v1 END) >= 1
-            THEN CASE WHEN s_fr > v1 THEN 'fr' ELSE b1 END
+SELECT doc_id, {", ".join(f"s_{lang}" for lang in _LANGS)},
+       CASE WHEN {_VAL_SQL} >= 1 THEN {_BEST_SQL}
             ELSE 'unknown' END AS lang_guess
-FROM folded
+FROM scored
 """
 
 
@@ -917,9 +923,7 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = tx.lang_scores(F.col("text"))
     return c.select(
         "doc_id",
-        scores["en"].alias("s_en"),
-        scores["de"].alias("s_de"),
-        scores["fr"].alias("s_fr"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANGS],
         tx.lang_id_ngram(F.col("text")).alias("lang_guess"),
     )
 
