@@ -120,3 +120,54 @@ def warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "ok", F.col("year_month").cast("string").alias("year_month"), "amt_cents"
     )
+
+
+# ====================================================================
+# A9 BOM CSV sink round-trip
+# ====================================================================
+
+_BOM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(CAST(count(*) AS BIGINT) AS VARCHAR) AS n_orders,
+       CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS VARCHAR) AS total_cents,
+       TRUE AS bom_present
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("sink_csv_bom_roundtrip", _BOM_ORACLE)
+def sink_csv_bom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (etl.py:500, refine.py:432): the Excel-interop BOM CSV sink,
+    proven by round-trip — a small result table goes through
+    write_csv_bom, the file is checked for the utf-8-sig BOM bytes, and
+    the CONTENT READ BACK FROM DISK (pandas utf-8-sig, all-string — the
+    reference's own consumer) is what gets hashed.  Integer-cents
+    rendering keeps the serialized form engine-predictable."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import write_csv_bom
+    from . import load
+
+    summary = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="bom_sink_") + "/summary.csv"
+    write_csv_bom(summary, path)
+    with open(path, "rb") as fh:
+        bom_present = fh.read(3) == b"\xef\xbb\xbf"
+    pdf = pd.read_csv(path, encoding="utf-8-sig", dtype=str)
+    return spark.createDataFrame(pdf).withColumn(
+        "bom_present", F.lit(bom_present)
+    )
