@@ -171,3 +171,57 @@ def sink_csv_bom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf).withColumn(
         "bom_present", F.lit(bom_present)
     )
+
+
+# ====================================================================
+# A7 workbook → CSV config export
+# ====================================================================
+
+_WORKBOOK_ORACLE = """
+SELECT file, CAST(row AS BIGINT) AS row, col, value
+FROM (VALUES
+('cards.csv', 0, '卡號末四碼', '1234'),
+('cards.csv', 0, '卡片名稱', 'Unicard'),
+('cards.csv', 1, '卡號末四碼', '5678'),
+('cards.csv', 1, '卡片名稱', 'CUBE卡'),
+('merchants.csv', 0, 'pattern', '^UBER'),
+('merchants.csv', 0, 'name', 'Uber'),
+('merchants.csv', 0, 'priority', '1'),
+('merchants.csv', 1, 'pattern', 'STARBUCKS|星巴克'),
+('merchants.csv', 1, 'name', 'Starbucks'),
+('merchants.csv', 1, 'priority', '2')
+) AS t(file, row, col, value)
+"""
+
+
+@query("export_workbook_configs", _WORKBOOK_ORACLE)
+def export_workbook_configs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A7 (convert_model.py:15-23,54-75): the committed master workbook
+    (fixtures/configs_workbook.xlsx) exported to per-sheet BOM CSV
+    configs through the vendored stdlib path (pandas engine when
+    installed), read back utf-8-sig and hashed cell-by-cell — covers
+    sheet-map routing, all-empty-row drops, and unmapped-sheet skips."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.sinks import export_workbook_configs
+
+    workbook = str(
+        __import__("pathlib").Path(__file__).resolve().parents[2]
+        / "fixtures"
+        / "configs_workbook.xlsx"
+    )
+    out_dir = tempfile.mkdtemp(prefix="workbook_export_")
+    rows: list[tuple[str, int, str, str]] = []
+    for path in export_workbook_configs(workbook, out_dir):
+        pdf = pd.read_csv(path, encoding="utf-8-sig", dtype=str)
+        fname = os.path.basename(path)
+        for i, rec in enumerate(pdf.to_dict(orient="records")):
+            rows.extend((fname, i, col, str(v)) for col, v in rec.items())
+    return spark.createDataFrame(
+        rows, "file string, row long, col string, value string"
+    )

@@ -67,9 +67,25 @@ def export_workbook_configs(
     try:
         sheets = pd.read_excel(workbook_path, sheet_name=None, dtype=str)
     except ImportError as e:
-        raise NotImplementedError(
-            "workbook export requires a pandas Excel engine (openpyxl)"
-        ) from e
+        import zipfile
+
+        if not zipfile.is_zipfile(workbook_path):  # legacy .xls
+            raise NotImplementedError(
+                "legacy .xls workbook export requires a pandas Excel "
+                "engine (xlrd)"
+            ) from e
+        from .xlsx import read_xlsx_sheets
+
+        # Vendored stdlib path: '' → NA so the all-empty row/column
+        # drops below behave exactly like the pandas engine's NaNs.
+        sheets = {
+            name: (
+                pd.DataFrame(rows[1:], columns=rows[0]).replace("", pd.NA)
+                if rows
+                else pd.DataFrame()
+            )
+            for name, rows in read_xlsx_sheets(workbook_path).items()
+        }
     os.makedirs(output_dir, exist_ok=True)
     written: list[str] = []
     for sheet_name, csv_name in sheet_map.items():

@@ -62,8 +62,8 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     return [_text_of(si) for si in root if _local(si.tag) == "si"]
 
 
-def _first_sheet_target(z: zipfile.ZipFile) -> str:
-    """Worksheet part of the workbook's first sheet (rels-resolved)."""
+def _sheet_targets(z: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet name, worksheet part) pairs in workbook order."""
     wb = ET.fromstring(z.read("xl/workbook.xml"))
     rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
     by_id = {
@@ -71,6 +71,7 @@ def _first_sheet_target(z: zipfile.ZipFile) -> str:
         for rel in rels
         if _local(rel.tag) == "Relationship"
     }
+    out: list[tuple[str, str]] = []
     for sheets in wb:
         if _local(sheets.tag) != "sheets":
             continue
@@ -79,8 +80,12 @@ def _first_sheet_target(z: zipfile.ZipFile) -> str:
             target = by_id.get(rid)
             if target:
                 target = target.lstrip("/")
-                return target if target.startswith("xl/") else f"xl/{target}"
-    raise ValueError("workbook has no resolvable sheets")
+                if not target.startswith("xl/"):
+                    target = f"xl/{target}"
+                out.append((sheet.get("name") or target, target))
+    if not out:
+        raise ValueError("workbook has no resolvable sheets")
+    return out
 
 
 def _cell_value(c: ET.Element, shared: list[str]) -> str:
@@ -102,60 +107,93 @@ def _cell_value(c: ET.Element, shared: list[str]) -> str:
     return v
 
 
-def read_xlsx_rows(path: str) -> list[list[str]]:
-    """First worksheet as rows of cell strings, right-padded to the
-    widest row.  Missing cells (sparse refs) become ''."""
-    with zipfile.ZipFile(path) as z:
-        shared = _shared_strings(z)
-        sheet = ET.fromstring(z.read(_first_sheet_target(z)))
-        rows: list[list[str]] = []
-        for elem in sheet.iter():
-            if _local(elem.tag) != "row":
+def _parse_sheet(sheet: ET.Element, shared: list[str]) -> list[list[str]]:
+    rows: list[list[str]] = []
+    for elem in sheet.iter():
+        if _local(elem.tag) != "row":
+            continue
+        cells: dict[int, str] = {}
+        nxt = 0
+        for c in elem:
+            if _local(c.tag) != "c":
                 continue
-            cells: dict[int, str] = {}
-            nxt = 0
-            for c in elem:
-                if _local(c.tag) != "c":
-                    continue
-                idx = _cell_col(c.get("r"), nxt)
-                cells[idx] = _cell_value(c, shared)
-                nxt = idx + 1
-            width = max(cells) + 1 if cells else 0
-            rows.append([cells.get(i, "") for i in range(width)])
+            idx = _cell_col(c.get("r"), nxt)
+            cells[idx] = _cell_value(c, shared)
+            nxt = idx + 1
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i, "") for i in range(width)])
     width = max((len(r) for r in rows), default=0)
     return [r + [""] * (width - len(r)) for r in rows]
+
+
+def read_xlsx_sheets(path: str) -> dict[str, list[list[str]]]:
+    """Every worksheet as name → padded rows of cell strings, in
+    workbook order.  Missing cells (sparse refs) become ''."""
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        return {
+            name: _parse_sheet(ET.fromstring(z.read(target)), shared)
+            for name, target in _sheet_targets(z)
+        }
+
+
+def read_xlsx_rows(path: str) -> list[list[str]]:
+    """First worksheet as rows of cell strings (see read_xlsx_sheets)."""
+    return next(iter(read_xlsx_sheets(path).values()), [])
 
 
 # ------------------------------------------------------------------
 # Minimal writer (test fixtures)
 # ------------------------------------------------------------------
 
-_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-<Default Extension="xml" ContentType="application/xml"/>
-<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-</Types>"""
+def _content_types(n_sheets: int) -> str:
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + overrides
+        + "</Types>"
+    )
 
 _ROOT_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="{_PKG_REL_NS}">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
 </Relationships>"""
 
-_WORKBOOK = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<workbook xmlns="{_MAIN_NS}" xmlns:r="{_REL_NS}">
-<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-</workbook>"""
+def _workbook_xml(names: list[str]) -> str:
+    sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, n in enumerate(names, start=1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_MAIN_NS}" xmlns:r="{_REL_NS}">'
+        f"<sheets>{sheets}</sheets></workbook>"
+    )
 
-_WORKBOOK_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Relationships xmlns="{_PKG_REL_NS}">
-<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-</Relationships>"""
+
+def _workbook_rels(n_sheets: int) -> str:
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS}">{rels}</Relationships>'
+    )
 
 
-def write_minimal_xlsx(path: str, rows: list[list[str]]) -> None:
-    """Write ``rows`` as a single-sheet .xlsx using inline strings."""
+def _sheet_xml(rows: list[list[str]]) -> str:
     body = []
     for i, row in enumerate(rows, start=1):
         cells = "".join(
@@ -164,18 +202,29 @@ def write_minimal_xlsx(path: str, rows: list[list[str]]) -> None:
             for j, v in enumerate(row)
         )
         body.append(f'<row r="{i}">{cells}</row>')
-    sheet = (
+    return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<worksheet xmlns="{_MAIN_NS}"><sheetData>'
         + "".join(body)
         + "</sheetData></worksheet>"
     )
+
+
+def write_minimal_xlsx(
+    path: str,
+    rows: list[list[str]] | dict[str, list[list[str]]],
+) -> None:
+    """Write an .xlsx using inline strings — a bare row list becomes one
+    'Sheet1'; a dict writes one worksheet per (name → rows) entry."""
+    sheets = rows if isinstance(rows, dict) else {"Sheet1": rows}
+    names = list(sheets)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("[Content_Types].xml", _content_types(len(names)))
         z.writestr("_rels/.rels", _ROOT_RELS)
-        z.writestr("xl/workbook.xml", _WORKBOOK)
-        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/workbook.xml", _workbook_xml(names))
+        z.writestr("xl/_rels/workbook.xml.rels", _workbook_rels(len(names)))
+        for i, name in enumerate(names, start=1):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(sheets[name]))
 
 
 def _col_letter(idx: int) -> str:
