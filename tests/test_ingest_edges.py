@@ -77,3 +77,55 @@ def test_empty_dir_yields_empty_canonical(spark, tmp_path):
     out = run_etl(spark, str(d))
     assert out.count() == 0
     assert set(S.ETL_OUTPUT_COLUMNS) == set(out.columns)
+
+
+def test_vendored_xlsx_shared_strings_and_sparse_cells(tmp_path):
+    # hand-built workbook exercising the t="s" sharedStrings branch and
+    # sparse cell refs (B2 present, A2 missing -> '')
+    import zipfile
+
+    from credit_card_etl_pipeline_spark.sources.xlsx import read_xlsx_rows
+
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    path = tmp_path / "shared.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        z.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            '<Relationship Id="rId1" Type="t" Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{main}" xmlns:r="{rel}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst xmlns="{main}">'
+            "<si><t>交易日期</t></si>"
+            "<si><r><t>rich</t></r><r><t>text</t></r></si></sst>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{main}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="B2"><v>42</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    assert read_xlsx_rows(str(path)) == [
+        ["交易日期", "richtext"],
+        ["", "42"],
+    ]
