@@ -469,3 +469,68 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_seq"),
     )
+
+
+# ------------------------------------------------------------------
+# Composite quality filter (Gopher-style rules with reasons)
+# ------------------------------------------------------------------
+
+_FILTER_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS t FROM documents
+),
+sig AS (
+    SELECT doc_id, t,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(t, ' '))
+                - len(list_distinct(string_split(t, ' '))) AS BIGINT)
+               AS n_dup_tokens,
+           CAST(length(t) - (len(string_split(t, ' ')) - 1) AS BIGINT)
+               AS n_word_chars
+    FROM norm
+)
+SELECT doc_id, n_tokens,
+       n_dup_tokens / CAST(n_tokens AS DOUBLE) AS dup_word_frac,
+       n_word_chars / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+       n_tokens < 10 AS flag_too_short,
+       n_dup_tokens / CAST(n_tokens AS DOUBLE) > 0.6 AS flag_repetitive,
+       (n_word_chars / CAST(n_tokens AS DOUBLE) < 3.0
+        OR n_word_chars / CAST(n_tokens AS DOUBLE) > 10.0)
+           AS flag_word_len,
+       NOT (n_tokens < 10
+            OR n_dup_tokens / CAST(n_tokens AS DOUBLE) > 0.6
+            OR n_word_chars / CAST(n_tokens AS DOUBLE) < 3.0
+            OR n_word_chars / CAST(n_tokens AS DOUBLE) > 10.0) AS keep
+FROM sig
+"""
+
+
+@query("quality_filter_verdicts", _FILTER_ORACLE)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document filter as a single map-only
+    projection: token count, duplicate-word fraction, and mean word
+    length feed per-rule boolean flags plus the final keep verdict —
+    per-row array expressions only, no explode, no shuffle."""
+    from ..dataops.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    t = normalize_text(F.col("text"))
+    w = F.split(t, " ")
+    n_tokens = F.size(w).cast("long")
+    n_dup = (F.size(w) - F.size(F.array_distinct(w))).cast("long")
+    n_word_chars = (F.length(t) - (F.size(w) - 1)).cast("long")
+    dup_frac = n_dup / n_tokens
+    mean_wl = n_word_chars / n_tokens
+    too_short = n_tokens < 10
+    repetitive = dup_frac > 0.6
+    word_len = (mean_wl < 3.0) | (mean_wl > 10.0)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        mean_wl.alias("mean_word_len"),
+        too_short.alias("flag_too_short"),
+        repetitive.alias("flag_repetitive"),
+        word_len.alias("flag_word_len"),
+        (~(too_short | repetitive | word_len)).alias("keep"),
+    )
