@@ -127,3 +127,62 @@ def merchant_unknown_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("total_count"),
         (unknown * 100.0 / total).alias("unknown_rate_pct"),
     )
+
+
+# ====================================================================
+# Semi-structured (JSON) extraction — the jsonl-shaped source path
+# ====================================================================
+
+_JSON_ORACLE = """
+WITH built AS (
+    SELECT event_id,
+           CAST(props ->> '$.k' AS BIGINT) AS k,
+           '{"id": ' || CAST(event_id AS VARCHAR)
+           || ', "vals": [' || (props ->> '$.k') || ', '
+           || CAST(CAST(props ->> '$.k' AS BIGINT) * 2 AS VARCHAR)
+           || '], "u": {"uid": ' || CAST(user_id AS VARCHAR) || '}}' AS doc
+    FROM events
+)
+SELECT event_id, k,
+       CAST(doc ->> '$.vals[1]' AS BIGINT) AS second_val,
+       CAST(doc ->> '$.u.uid' AS BIGINT) AS uid
+FROM built
+"""
+
+
+@query("json_props_extract", _JSON_ORACLE)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the jsonl-shaped source every LLM
+    corpus ships as): the real ``props`` JSON column is parsed with
+    ``from_json``, then a nested document (object + array + sub-object)
+    built from event fields round-trips through a full struct schema —
+    array indexing and nested field access on the hash.  All JVM-side
+    expressions; DuckDB's JSON operators are the twin."""
+    from . import load
+
+    events = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    built = events.select(
+        "event_id",
+        k.alias("k"),
+        F.concat(
+            F.lit('{"id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "vals": ['),
+            k.cast("string"),
+            F.lit(", "),
+            (k * 2).cast("string"),
+            F.lit('], "u": {"uid": '),
+            F.col("user_id").cast("string"),
+            F.lit("}}"),
+        ).alias("doc"),
+    )
+    parsed = F.from_json(
+        F.col("doc"), "id long, vals array<bigint>, u struct<uid: bigint>"
+    )
+    return built.select(
+        "event_id",
+        "k",
+        F.element_at(parsed.getField("vals"), 2).alias("second_val"),
+        parsed.getField("u").getField("uid").alias("uid"),
+    )
