@@ -186,3 +186,112 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parsed.getField("vals"), 2).alias("second_val"),
         parsed.getField("u").getField("uid").alias("uid"),
     )
+
+
+# ====================================================================
+# OLAP aggregate families: exact percentiles, ROLLUP, pivot
+# ====================================================================
+
+_PERCENTILE_ORACLE = """
+WITH e AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(vc, 0.5) AS p50_cents,
+       quantile_cont(vc, 0.95) AS p95_cents
+FROM e
+GROUP BY event_type
+"""
+
+
+@query("events_value_percentiles", _PERCENTILE_ORACLE)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n-1)·p linear-interpolation definition,
+    so over integer-cents inputs the doubles match bit-for-bit.  (The
+    approx sketch path — approx_percentile/HLL — is engine-private and
+    deliberately not on the oracle surface.)"""
+    from . import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("vc", F.lit(0.5)).alias("p50_cents"),
+        F.percentile("vc", F.lit(0.95)).alias("p95_cents"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderpriority, '<ALL>') AS priority,
+       coalesce(o_orderstatus, '<ALL>') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("orders_rollup", _ROLLUP_ORACLE)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → status → grand total) with
+    integer-cents sums; NULL grouping slots rendered as '<ALL>' so the
+    subtotal rows hash identically across engines."""
+    from . import load
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+_PIVOT_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE o_orderstatus = '{s}') AS BIGINT)"
+           f" AS n_{s}" for s in _PIVOT_STATUSES)}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("orders_pivot_status", _PIVOT_ORACLE)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status (explicit value list — at scale an
+    unconstrained pivot means a distinct-scan planning pass) vs the
+    DuckDB FILTER-clause conditional aggregation twin."""
+    from . import load
+
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        F.col("o_orderpriority").alias("priority"),
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}")
+            for s in _PIVOT_STATUSES
+        ],
+    )
