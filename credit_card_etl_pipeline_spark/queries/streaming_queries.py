@@ -11,6 +11,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.windows import (
     event_time,
@@ -223,4 +224,65 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum("vc").cast("long").alias("value_cents"),
         )
+    )
+
+
+# ====================================================================
+# As-of join (custom operator — Spark lacks a native ASOF)
+# ====================================================================
+
+_ASOF_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT event_id, user_id, us,
+       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS) OVER w AS last_purchase_id,
+       us - last_value(CASE WHEN event_type = 'purchase' THEN us END
+                       IGNORE NULLS) OVER w AS us_since_purchase
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+@query("events_asof_last_purchase", _ASOF_ORACLE)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, Spark-first: for every event, the user's most recent
+    STRICTLY-PRIOR 'purchase' event and the elapsed micros.  Spark has
+    no native ASOF operator; the scalable re-expression is a per-key
+    ordered window with an ignore-nulls last_value over the conditional
+    — ONE shuffle on the join key, no range explosion, no sort-merge
+    inequality join.  Ties on identical timestamps break on event_id,
+    making the operator (and its DuckDB window twin) deterministic —
+    which a bare ASOF JOIN on a non-unique time column is not."""
+    from . import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purch_id = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    purch_us = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("us")),
+        ignorenulls=True,
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        purch_id.alias("last_purchase_id"),
+        (F.col("us") - purch_us).alias("us_since_purchase"),
     )
