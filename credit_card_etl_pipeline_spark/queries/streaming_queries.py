@@ -286,3 +286,83 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         purch_id.alias("last_purchase_id"),
         (F.col("us") - purch_us).alias("us_since_purchase"),
     )
+
+
+# ====================================================================
+# Range (interval) join — bucketed-bin re-expression
+# ====================================================================
+
+_RANGE_WIN_US = 600_000_000  # 10 minutes
+
+_RANGE_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+err AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error'),
+pur AS (SELECT user_id, us FROM e WHERE event_type = 'purchase')
+SELECT err.event_id, err.user_id,
+       CAST(count(pur.us) AS BIGINT) AS n_purchases_10m
+FROM err LEFT JOIN pur
+  ON pur.user_id = err.user_id
+ AND pur.us >= err.us - {_RANGE_WIN_US}
+ AND pur.us < err.us
+GROUP BY err.event_id, err.user_id
+"""
+
+
+@query("events_range_join_purchases", _RANGE_ORACLE)
+def events_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, Spark-first: purchases in the 10 minutes
+    before each error event, per user.  A naive inequality join is a
+    per-key cross product; the scalable re-expression buckets both
+    sides into interval-width time bins and equi-joins on (user, bin)
+    with each probe row exploded into exactly the TWO bins its window
+    can touch — bounded 2× expansion, ordinary hash join, exact
+    inequality applied post-join.  The oracle is the naive inequality
+    join (fine at corpus scale)."""
+    from . import load
+
+    W = _RANGE_WIN_US
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("us").alias("p_us"),
+        (F.col("us") / W).cast("long").alias("bin"),
+    )
+    probe = err.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    ((F.col("us") - W) / W).cast("long"),
+                    (F.col("us") / W).cast("long"),
+                )
+            )
+        ).alias("bin"),
+    )
+    hits = (
+        probe.join(pur, ["user_id", "bin"])
+        .where(
+            (F.col("p_us") >= F.col("us") - W) & (F.col("p_us") < F.col("us"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        err.join(hits, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases_10m"),
+        )
+    )
