@@ -991,3 +991,71 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getField("byte_len").alias("byte_len"),
         meta.getField("checksum").alias("checksum"),
     )
+
+
+# ------------------------------------------------------------------
+# Count-min sketch (deterministic universal hashes -> oracle-checkable)
+# ------------------------------------------------------------------
+
+def _cms_bucket_sql(j: int) -> str:
+    from ..dataops.sketches import CMS_WIDTH
+
+    a, b = MINHASH_COEFFS[j]
+    x = f"({md5_int60_sql('CAST(k AS VARCHAR)')} % {MERSENNE_P})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {CMS_WIDTH})"
+
+
+_CMS_CELLS_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM keys"
+    for j in range(4)
+)
+
+_CMS_ORACLE = f"""
+WITH keys AS (SELECT o_custkey AS k FROM orders),
+sketch AS (
+    SELECT j, bucket, CAST(count(*) AS BIGINT) AS counter
+    FROM ({_CMS_CELLS_SQL})
+    GROUP BY j, bucket
+),
+probes AS (
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 100 = 0
+),
+lookups AS (
+    {" UNION ALL ".join(
+        f"SELECT k, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM probes"
+        for j in range(4))}
+),
+est AS (
+    SELECT l.k, CAST(min(s.counter) AS BIGINT) AS cms_estimate
+    FROM lookups l JOIN sketch s ON s.j = l.j AND s.bucket = l.bucket
+    GROUP BY l.k
+),
+truth AS (
+    SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS true_n
+    FROM orders GROUP BY o_custkey
+)
+SELECT e.k AS custkey, t.true_n, e.cms_estimate
+FROM est e JOIN truth t ON t.k = e.k
+"""
+
+
+@query("sketch_count_min", _CMS_ORACLE)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over order customer keys: the 4×256 sketch is
+    built in one explode + one groupBy, broadcast, and point-queried for
+    every probe key alongside the exact count — estimates are
+    deterministic (fixed universal-hash family over md5 residues), so
+    the sketch arithmetic itself is on the hash, and
+    ``cms_estimate >= true_n`` always holds."""
+    from ..dataops import sketches as sk
+
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("k"))
+    sketch = sk.cms_build(keys, "k")
+    probes = keys.where(F.col("k") % 100 == 0).distinct()
+    est = sk.cms_estimate(sketch, probes, "k")
+    truth = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    return (
+        est.join(truth, "k")
+        .select(F.col("k").alias("custkey"), "true_n", "cms_estimate")
+    )

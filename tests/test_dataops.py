@@ -190,3 +190,26 @@ def test_dedup_exact_survivors(spark):
     out = dedup_exact(spark.createDataFrame(pdf))
     # normalization folds case+whitespace → docs 1,2,4 are one group
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.dataops import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(2000)], "k long"
+    )
+    sketch = sk.cms_build(df, "k")
+    probes = df.distinct()
+    est = {r["k"]: r["cms_estimate"] for r in sk.cms_estimate(sketch, probes, "k").collect()}
+    truth = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(truth)
+    # count-min never underestimates
+    assert all(est[k] >= truth[k] for k in truth)
+    # with 37 keys in 4x256 cells, most estimates should be exact
+    exact = sum(1 for k in truth if est[k] == truth[k])
+    assert exact >= 30
