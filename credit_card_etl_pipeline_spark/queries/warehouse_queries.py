@@ -225,3 +225,97 @@ def export_workbook_configs_query(
     return spark.createDataFrame(
         rows, "file string, row long, col string, value string"
     )
+
+
+# ====================================================================
+# Hypertable rollup (continuous aggregate + incremental bucket refresh)
+# ====================================================================
+
+_HYPER_ORACLE = """
+WITH base AS (
+    SELECT (epoch_us(ts) // 21600000000) AS hour_bucket, event_type,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+late AS (
+    SELECT hour_bucket, event_type, CAST(vc * 2 AS BIGINT) AS vc
+    FROM base
+    WHERE (hour_bucket + CASE event_type
+               WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+               WHEN 'signup' THEN 3 ELSE 4 END) % 10 = 0
+),
+merged AS (
+    SELECT * FROM base UNION ALL SELECT * FROM late
+)
+SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS value_cents
+FROM merged
+GROUP BY hour_bucket, event_type
+"""
+
+
+@query("hypertable_rollup_refresh", _HYPER_ORACLE)
+def hypertable_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: a 6-hour (bucket ×
+    event_type) rollup is materialized as an hour-partitioned table;
+    late-arriving rows (a deterministic slice, doubled values) touch a
+    subset of buckets, and the refresh RECOMPUTES ONLY THOSE buckets
+    from base+late and dynamic-partition-overwrites them — untouched
+    hours keep their original files.  The hashed result is the
+    post-refresh table read back from disk, equal to a from-scratch
+    recompute over the merged stream (the oracle)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    events = load(spark, sf_dir, "events").select(
+        (F.expr("ts div 1000") / 21_600_000_000).cast("long").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_bucket", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("value_cents"),
+        )
+
+    path = tempfile.mkdtemp(prefix="hypertable_") + "/hourly_rollup"
+    base_rollup = rollup(events).repartition(F.col("hour_bucket"))
+    base_rollup.write.mode("overwrite").partitionBy("hour_bucket").parquet(
+        path
+    )
+
+    type_off = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    late = events.where(
+        (F.col("hour_bucket") + type_off) % 10 == 0
+    ).withColumn("vc", (F.col("vc") * 2).cast("long"))
+
+    dirty = late.select("hour_bucket").distinct()
+    refreshed = rollup(
+        events.join(F.broadcast(dirty), "hour_bucket").unionByName(late)
+    ).repartition(F.col("hour_bucket"))
+    (
+        refreshed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour_bucket")
+        .parquet(path)
+    )
+
+    return spark.read.parquet(path).select(
+        F.col("hour_bucket").cast("long").alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
