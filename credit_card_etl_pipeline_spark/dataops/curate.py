@@ -142,22 +142,29 @@ def benchmark_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per corpus document: how many of its distinct word ``n``-gram
     shingles also occur anywhere in the benchmark set.
 
-    Scale shape: the benchmark (an eval set) is orders of magnitude
-    smaller than the corpus, so its distinct shingle set is broadcast;
-    the corpus pays one shingle explode and one map-side-combinable
-    aggregation.  Rows with ``n_shared > 0`` are contamination
-    candidates; ``overlap_frac`` supports thresholded dropping."""
+    Scale shape: the benchmark (an eval set) is usually orders of
+    magnitude smaller than the corpus, so its distinct shingle set is
+    broadcast by default; the corpus pays one shingle explode and one
+    map-side-combinable aggregation.  Pass
+    ``broadcast_benchmark=False`` when the "benchmark" is itself
+    corpus-sized (cross-corpus dedup) — the join falls back to a
+    shuffle on the shingle key.  Rows with ``n_shared > 0`` are
+    contamination candidates; ``overlap_frac`` supports thresholded
+    dropping."""
     from .dedup import exploded_shingles
 
-    bench = F.broadcast(
+    bench = (
         exploded_shingles(benchmark_df, text_col=text_col, id_col=id_col, n=n)
         .select("shingle")
         .distinct()
     )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     doc_shingles = exploded_shingles(
         corpus_df, text_col=text_col, id_col=id_col, n=n
     )

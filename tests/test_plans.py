@@ -113,3 +113,29 @@ def test_pii_scrub_is_map_only(spark):
     # no key shuffle (the load() round-robin guard is allowed)
     assert "hashpartitioning" not in body.lower()
     assert "rangepartitioning" not in body.lower()
+
+
+def test_partitioned_warehouse_prunes_partitions(spark, tmp_path):
+    # the month-partitioned warehouse must answer single-month queries
+    # by reading ONE partition directory (PartitionFilters in the scan)
+    import pyspark.sql.functions as F
+
+    from credit_card_etl_pipeline_spark.warehouse import write_warehouse
+
+    df = spark.range(1000).select(
+        F.col("id").alias("ok"),
+        F.expr("date_add(DATE'2024-01-01', CAST(id % 90 AS INT))").alias(
+            "transaction_date"
+        ),
+        (F.col("id") * 100).alias("amt_cents"),
+    )
+    path = str(tmp_path / "wh")
+    write_warehouse(df, path)
+    scan = spark.read.parquet(path).where(F.col("year_month") == "2024-02")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan
+    assert "2024-02" in plan
+    # pruned read touches only the selected month's rows
+    assert scan.count() == df.where(
+        F.date_format("transaction_date", "yyyy-MM") == "2024-02"
+    ).count()
