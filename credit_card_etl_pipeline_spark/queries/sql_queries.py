@@ -295,3 +295,106 @@ def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in _PIVOT_STATUSES
         ],
     )
+
+
+# ====================================================================
+# Window-function breadth: lag / lead / ntile / cume_dist
+# ====================================================================
+
+_WINDOW_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+)
+SELECT event_id, user_id,
+       us - lag(us) OVER w AS us_since_prev,
+       lead(event_id) OVER w AS next_event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY vc, event_id)
+            AS BIGINT) AS value_quartile,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY vc) AS value_cume
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@query("events_window_analytics", _WINDOW_ORACLE)
+def events_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window analytics per user: inter-event gap (lag), next
+    event (lead), value quartile (ntile, event_id tiebreak for
+    determinism), and cumulative distribution — the window-function
+    families beyond rank that an analytics engine must carry, each
+    against its ANSI twin."""
+    from pyspark.sql import Window
+
+    from . import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("vc", "event_id")
+    wc = Window.partitionBy("user_id").orderBy("vc")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("us_since_prev"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.ntile(4).over(wv).cast("long").alias("value_quartile"),
+        F.cume_dist().over(wc).alias("value_cume"),
+    )
+
+
+# ====================================================================
+# Set operations: INTERSECT / EXCEPT
+# ====================================================================
+
+_SETOPS_ORACLE = """
+WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+nationals AS (SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_nationkey < 5),
+i AS (SELECT k, 'both' AS membership FROM
+      (SELECT k FROM buyers INTERSECT SELECT k FROM nationals)),
+l AS (SELECT k, 'buyer_only' AS membership FROM
+      (SELECT k FROM buyers EXCEPT SELECT k FROM nationals)),
+r AS (SELECT k, 'national_only' AS membership FROM
+      (SELECT k FROM nationals EXCEPT SELECT k FROM buyers))
+SELECT k AS custkey, membership FROM i
+UNION ALL SELECT k, membership FROM l
+UNION ALL SELECT k, membership FROM r
+"""
+
+
+@query("customer_set_operations", _SETOPS_ORACLE)
+def customer_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets (buyers vs low-nation
+    customers), labeled by membership — the set-operation family as
+    DataFrame ``intersect``/``exceptAll`` on distinct sets."""
+    from . import load
+
+    buyers = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    nationals = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    both = buyers.intersect(nationals).withColumn(
+        "membership", F.lit("both")
+    )
+    b_only = buyers.exceptAll(nationals).withColumn(
+        "membership", F.lit("buyer_only")
+    )
+    n_only = nationals.exceptAll(buyers).withColumn(
+        "membership", F.lit("national_only")
+    )
+    return (
+        both.unionByName(b_only)
+        .unionByName(n_only)
+        .select(F.col("k").alias("custkey"), "membership")
+    )
