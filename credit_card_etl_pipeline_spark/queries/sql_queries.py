@@ -398,3 +398,72 @@ def customer_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(n_only)
         .select(F.col("k").alias("custkey"), "membership")
     )
+
+
+# ====================================================================
+# Bucketed co-located join (zero-Exchange contract, self-asserted)
+# ====================================================================
+
+_BUCKETED_ORACLE = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("bucketed_join_colocated", _BUCKETED_ORACLE)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy`` the
+    join key as external tables, then joined WITHOUT any Exchange — the
+    query RAISES if a shuffle appears in the physical plan (broadcast
+    disabled for the probe), so the zero-shuffle contract is enforced on
+    every driver run, and the per-nation aggregate values are the
+    oracle's."""
+    import tempfile
+
+    from ..operators.bucketing import enable_bucketed_joins, write_bucketed
+    from . import load
+
+    enable_bucketed_joins(spark)
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        "orders_bucketed_q",
+        keys=["custkey"],
+        buckets=8,
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        ),
+        "customer_bucketed_q",
+        keys=["custkey"],
+        buckets=8,
+        path=f"{base}/customer",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_bucketed_q").join(
+            spark.table("customer_bucketed_q"), "custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join planned a shuffle — co-location contract "
+                "broken"
+            )
+        return joined.groupBy("nationkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
