@@ -487,16 +487,9 @@ FROM (VALUES
 """
 
 
-@query("ingest_statement_files", _INGEST_ORACLE)
-def ingest_statement_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2+A3+A4+A5+B1+B2+G1 (etl.py:129-152,259-335,453-482): the
-    distributed bytes→lines→header-detect→mapping-projection ingest over
-    the committed fixture directory — one binaryFile scan, per-bank
-    routing by filename keyword, utf-8/cp950/big5 decode, HTML table
-    flattening, keyword header detection, raw→canonical projection, and
-    the per-bank unionByName.  The fixture dir is constant (sf-independent)
-    so the expected parse is a pinned literal table."""
-    lines = statement_lines(spark, str(_FIXTURE_DIR))
+def _parsed_canonical_union(lines: DataFrame) -> DataFrame:
+    """parse_bank per spec → unionByName → stable canonical projection
+    (shared by the mapInPandas and Python-DataSource ingest oracles)."""
     parts = [
         parsed
         for spec in DEFAULT_BANK_SPECS
@@ -519,6 +512,37 @@ def ingest_statement_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("base_year").cast("int").alias("base_year"),
         F.col("bill_month").cast("int").alias("bill_month"),
     )
+
+
+@query("ingest_statement_files", _INGEST_ORACLE)
+def ingest_statement_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3+A4+A5+B1+B2+G1 (etl.py:129-152,259-335,453-482): the
+    distributed bytes→lines→header-detect→mapping-projection ingest over
+    the committed fixture directory — one binaryFile scan, per-bank
+    routing by filename keyword, utf-8/cp950/big5 decode, HTML table
+    flattening, keyword header detection, raw→canonical projection, and
+    the per-bank unionByName.  The fixture dir is constant (sf-independent)
+    so the expected parse is a pinned literal table."""
+    return _parsed_canonical_union(statement_lines(spark, str(_FIXTURE_DIR)))
+
+
+@query("ingest_via_datasource", _INGEST_ORACLE)
+def ingest_via_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ingest through the Spark 4 Python Data Source
+    (sources/datasource.py: one InputPartition per file, identical
+    decode/routing semantics): ``format("bank_statement")`` feeding the
+    same parse, checked against the SAME expected table — feed parity
+    between the pluggable reader and the mapInPandas path is the
+    contract."""
+    from ..sources.datasource import BankStatementDataSource
+
+    spark.dataSource.register(BankStatementDataSource)
+    lines = (
+        spark.read.format("bank_statement")
+        .option("path", str(_FIXTURE_DIR))
+        .load()
+    )
+    return _parsed_canonical_union(lines)
 
 
 # ====================================================================
