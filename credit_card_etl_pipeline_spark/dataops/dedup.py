@@ -352,3 +352,74 @@ def jaccard_for_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Substring containment (sub-document dedup)
+# ------------------------------------------------------------------
+
+def substring_containment(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_anchor_bucket: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Documents whose whole token stream appears contiguously inside
+    another document — the snippet/quotation/truncated-mirror dedup
+    case exact shingle methods miss (a 5-word snippet of a 500-word
+    page shares almost no *distinct-set* similarity with it).
+
+    Candidate generation is anchor-based, never all-pairs: if A's
+    tokens appear token-aligned in B, then A's FIRST ``n``-gram is
+    necessarily one of B's ``n``-gram shingles — so joining A's single
+    anchor shingle against the corpus shingle table yields an exact
+    superset of true containments at O(shingle collisions) cost.
+    Verification is a padded substring check on the normalized texts
+    (single spaces after normalization make char containment ⇔ token
+    containment).  Docs with fewer than ``n`` tokens are out of scope.
+
+    ``max_anchor_bucket`` is the same hot-key valve as LSH banding: an
+    anchor shared by m docs (boilerplate first lines) joins against
+    every container holding that shingle.  Anchors whose corpus-wide
+    shingle frequency exceeds the cap are dropped — route those docs
+    through exact dedup, as with :func:`lsh_overflow_docs`.  Pass
+    ``None`` for exhaustive semantics (small corpora / oracle checks).
+
+    Returns (contained_id, container_id, contained_tokens) pairs."""
+    norm = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col), norm.alias("__norm"))
+    w = F.split(F.col("__norm"), " ")
+    anchors = base.where(F.size(w) >= n).select(
+        F.col(id_col).alias("contained_id"),
+        F.col("__norm").alias("__a_norm"),
+        F.size(w).cast("long").alias("contained_tokens"),
+        F.concat_ws(" ", F.slice(w, 1, n)).alias("shingle"),
+    )
+    sh = exploded_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    if max_anchor_bucket is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__sn"))
+        sh = sh.join(
+            freq.where(F.col("__sn") <= max_anchor_bucket).drop("__sn"),
+            "shingle",
+        )
+    cand = (
+        anchors.join(sh.withColumnRenamed(id_col, "container_id"), "shingle")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id", "contained_tokens", "__a_norm")
+        .distinct()
+    )
+    container = base.select(
+        F.col(id_col).alias("container_id"), F.col("__norm").alias("__b_norm")
+    )
+    return (
+        cand.join(container, "container_id")
+        .where(
+            F.contains(
+                F.concat(F.lit(" "), F.col("__b_norm"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("__a_norm"), F.lit(" ")),
+            )
+        )
+        .select("contained_id", "container_id", "contained_tokens")
+    )

@@ -329,6 +329,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Substring containment (sub-document dedup)
+# ------------------------------------------------------------------
+
+#: Containment corpus: documents plus injected 5-word snippet docs
+#: (every doc_id % 7 == 0 reappears as doc_id + 2M truncated to its
+#: first five normalized words) — the raw table has no sub-document
+#: relationships, which would make the query vacuous.
+_SNIPPET_SQL = f"array_to_string(string_split({_NORM_SQL}, ' ')[1:5], ' ')"
+
+_CONTAIN_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, {_SNIPPET_SQL} AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+_CONTAIN_ORACLE = f"""
+WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+norms AS (
+    SELECT doc_id, {_NORM_SQL} AS nrm,
+           string_split({_NORM_SQL}, ' ') AS w
+    FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM norms
+),
+kept AS (
+    SELECT shingle FROM shingles
+    GROUP BY shingle HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept USING (shingle)),
+anchors AS (
+    SELECT doc_id AS contained_id, nrm AS a_nrm,
+           CAST(len(w) AS BIGINT) AS contained_tokens,
+           w[1] || ' ' || w[2] || ' ' || w[3] AS anchor
+    FROM norms WHERE len(w) >= 3
+),
+cand AS (
+    SELECT DISTINCT a.contained_id, s.doc_id AS container_id,
+           a.contained_tokens, a.a_nrm
+    FROM anchors a
+    JOIN sh s ON s.shingle = a.anchor AND s.doc_id <> a.contained_id
+)
+SELECT c.contained_id, c.container_id, c.contained_tokens
+FROM cand c JOIN norms b ON b.doc_id = c.container_id
+WHERE strpos(' ' || b.nrm || ' ', ' ' || c.a_nrm || ' ') > 0
+"""
+
+
+@query("dedup_substring_containment", _CONTAIN_ORACLE)
+def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: docs wholly contained in another doc's token
+    stream, found via a single-anchor shingle join (exact candidate
+    superset, O(collisions) not O(n²)) + padded substring verification;
+    hot-anchor cap on (library default) and mirrored in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(tx.normalize_text(F.col("text")), " ")
+    snippets = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 5)).alias("text"),
+    )
+    contain_corpus = docs.select("doc_id", "text").unionByName(snippets)
+    return dd.substring_containment(contain_corpus)
+
+
+# ------------------------------------------------------------------
 # Similarity search
 # ------------------------------------------------------------------
 

@@ -213,3 +213,49 @@ def test_cms_estimate_upper_bounds_truth(spark):
     # with 37 keys in 4x256 cells, most estimates should be exact
     exact = sum(1 for k in truth if est[k] == truth[k])
     assert exact >= 30
+
+
+def test_substring_containment_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox"),          # token-aligned substring of 1
+            (3, "Quick  Brown   FOX"),       # same after normalization
+            (4, "own fox jumps"),            # char-substring but NOT token-aligned
+            (5, "ick brown fox"),            # NOT token-aligned ('ick' != 'quick')
+            (6, "lazy cat"),                 # <3 tokens: out of scope
+            (7, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        substring_containment,
+    )
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment(docs).collect()
+    }
+    # 2 and 3 normalize identically -> contained in 1 and in each other
+    assert pairs == {(2, 1), (3, 1), (2, 3), (3, 2)}
+
+
+def test_substring_containment_anchor_cap(spark):
+    # Anchor 'a b c' occurs in every doc; cap 2 drops it corpus-wide.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c"),
+            (3, "x a b c d y"),
+        ],
+        "doc_id long, text string",
+    )
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        substring_containment,
+    )
+    uncapped = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment(docs, max_anchor_bucket=None).collect()
+    }
+    assert uncapped == {(1, 3), (2, 1), (2, 3)}
+    capped = substring_containment(docs, max_anchor_bucket=2).collect()
+    assert capped == []
