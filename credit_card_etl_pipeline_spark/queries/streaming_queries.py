@@ -228,6 +228,114 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Streaming curation composition (ingest dedup → scrub → filter)
+# ====================================================================
+
+def _stream_curate_oracle() -> str:
+    """Batch twin of the streaming curation pipeline: PII-injected
+    docs → scrub → quality rules → per-lang totals (single-copy,
+    i.e. after perfect dedup)."""
+    from .curate_queries import _NORM_SQL, _PII_SCRUB_SQL, _PII_TEXT_SQL
+
+    return f"""
+WITH pii AS (
+    SELECT doc_id, lang, {_PII_TEXT_SQL} AS t FROM documents
+),
+scrub AS (
+    SELECT doc_id, lang, {_PII_SCRUB_SQL} AS text FROM pii
+),
+sig AS (
+    SELECT lang,
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split({_NORM_SQL}, ' '))
+                - len(list_distinct(string_split({_NORM_SQL}, ' ')))
+                AS BIGINT) AS n_dup_tokens,
+           CAST(length({_NORM_SQL})
+                - (len(string_split({_NORM_SQL}, ' ')) - 1)
+                AS BIGINT) AS n_word_chars
+    FROM scrub
+),
+kept AS (
+    SELECT * FROM sig
+    WHERE NOT (n_tokens < 10
+               OR n_dup_tokens / CAST(n_tokens AS DOUBLE) > 0.6
+               OR n_word_chars / CAST(n_tokens AS DOUBLE) < 3.0
+               OR n_word_chars / CAST(n_tokens AS DOUBLE) > 10.0)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY lang
+"""
+
+
+@query("stream_curation_pipeline", _stream_curate_oracle())
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation as a STREAMING ingest composition: the documents stream
+    unioned with itself (at-least-once redelivery) flows through
+    stateful ``dropDuplicates`` on doc_id, then the map-only curation
+    stages — PII injection + scrub, Gopher-style quality verdict,
+    keep-filter, token count — inside the same streaming query
+    (append mode, availableNow).  The landed stream is batch-aggregated
+    per lang; equality with the single-copy batch twin proves both the
+    dedup (counts would double) and the scrub/filter parity.  In
+    production the final aggregation would also run streaming behind a
+    watermark; it is batch here because the memory sink is the
+    recorded artifact."""
+    import tempfile
+
+    from ..dataops import curate as cu
+    from ..dataops.text import normalize_text
+    from ..streaming.windows import documents_stream
+    from .curate_queries import _pii_text_spark
+
+    name = f"stream_curation_{next(_stateful_run_counter)}"
+    doubled = documents_stream(spark, sf_dir).unionByName(
+        documents_stream(spark, sf_dir)
+    )
+    deduped = doubled.dropDuplicates(["doc_id"])
+    t = normalize_text(
+        cu.pii_scrub(_pii_text_spark(F.col("doc_id"), F.col("text")))
+    )
+    w = F.split(t, " ")
+    n_tokens = F.size(w).cast("long")
+    n_dup = (F.size(w) - F.size(F.array_distinct(w))).cast("long")
+    n_word_chars = (F.length(t) - (F.size(w) - 1)).cast("long")
+    dup_frac = n_dup / n_tokens
+    mean_wl = n_word_chars / n_tokens
+    keep = ~(
+        (n_tokens < 10)
+        | (dup_frac > 0.6)
+        | (mean_wl < 3.0)
+        | (mean_wl > 10.0)
+    )
+    curated = deduped.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), keep.alias("keep")
+    ).where(F.col("keep"))
+    q = (
+        curated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="curate_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ====================================================================
 # As-of join (custom operator — Spark lacks a native ASOF)
 # ====================================================================
 

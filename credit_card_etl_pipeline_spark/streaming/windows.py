@@ -55,6 +55,29 @@ def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
     return event_time(df).withWatermark("event_ts", delay)
 
 
+#: Schema of the driver's documents table (for the streaming-ingest
+#: curation path; file source requires a declared schema).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the documents parquet."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
 def _value_cents() -> F.Column:
     return F.round(F.col("value") * 100).cast("long")
 

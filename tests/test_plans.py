@@ -139,3 +139,26 @@ def test_partitioned_warehouse_prunes_partitions(spark, tmp_path):
     assert scan.count() == df.where(
         F.date_format("transaction_date", "yyyy-MM") == "2024-02"
     ).count()
+
+
+def test_hypertable_rollup_readback_prunes_buckets(spark, tmp_path):
+    # the hour-partitioned continuous aggregate must serve single-bucket
+    # probes (the hypertable read path) from ONE partition directory
+    import pyspark.sql.functions as F
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("hour_bucket"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") * 10).alias("value_cents"),
+    )
+    path = str(tmp_path / "rollup")
+    df.repartition(F.col("hour_bucket")).write.mode("overwrite").partitionBy(
+        "hour_bucket"
+    ).parquet(path)
+    probe = spark.read.parquet(path).where(F.col("hour_bucket") == 3)
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan
+    assert "hour_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert probe.count() == 500 // 7 + (1 if 3 < 500 % 7 else 0)
