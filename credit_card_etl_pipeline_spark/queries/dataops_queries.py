@@ -1129,3 +1129,77 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(truth, "k")
         .select(F.col("k").alias("custkey"), "true_n", "cms_estimate")
     )
+
+
+# ------------------------------------------------------------------
+# TF-IDF top terms (integer-exact scoring)
+# ------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           CAST(tf.tf * n.n * 1000000 // dfreq.df AS BIGINT) AS score_ppm
+    FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_ppm, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms.  The idf is kept integer-exact
+    (``tf * N * 1e6 div df`` — identical truncating int64 division both
+    engines) instead of a float logarithm, so ranking and scores
+    hash-match.  Shape: one token explode, two partial-aggregatable
+    groupBys, a shuffle join on the term key (document-frequency table
+    is vocabulary-sized — too big to assume broadcastable), and a
+    per-doc ranking window keyed on doc_id.  The corpus row count is
+    the one scalar driver value (a single count job)."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tx.words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"CAST(tf * {n_docs}L * 1000000L div df AS LONG)").alias(
+            "score_ppm"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_ppm", "rk")
+    )

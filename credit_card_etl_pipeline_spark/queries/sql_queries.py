@@ -467,3 +467,74 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ====================================================================
+# TPC-H-shaped multi-join analytics (Q3 / Q5 adaptations)
+# ====================================================================
+
+#: Shared verbatim by Spark SQL and DuckDB (common-dialect subset:
+#: DATE literals, CAST-to-STRING dates, integer-cent money).
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-07-01'
+  AND l_shipdate > DATE '1998-07-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", _Q3_SQL)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the driver corpus: no shippriority
+    column): top-10 unshipped-revenue orders for one market segment.
+    Catalyst plan: both date/segment predicates push into the parquet
+    scans, customer (filtered, key-only) broadcasts under AQE, the
+    orders↔lineitem join shuffles on orderkey, and the top-10 is a
+    TakeOrderedAndProject — no global sort materializes.  Deterministic
+    under ties via the orderkey tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_local_supplier_volume", _Q5_SQL)
+def tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5: revenue from intra-nation (customer nation == supplier
+    nation) commerce per nation of one region.  Six-table join;
+    Catalyst broadcasts the dim chain (region→nation→supplier), prunes
+    the year predicate into the orders scan, and the only large
+    shuffles are orders↔lineitem↔customer on their keys.  Money stays
+    in integer cents end-to-end."""
+    for t in (
+        "customer", "orders", "lineitem", "supplier", "nation", "region"
+    ):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
