@@ -270,9 +270,10 @@ def connected_components(
     pathological chains.  Labels are persisted per round and the loop
     exits on a fixpoint (no label changed).
     """
-    labels = vertices.select(
+    cached = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).persist()
+    labels = cached
     both = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -284,7 +285,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        # The update join already sees old and new labels side by side,
+        # so the change flag folds into the same pass — one aggregate
+        # action per round instead of a separate old-vs-new join.
+        updated = (
             labels.join(
                 neighbor_min.withColumnRenamed("src", "v"), "v", "left"
             )
@@ -293,16 +297,16 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                (F.col("n_comp") < F.col("component"))
+                .cast("long")
+                .alias("__chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "v")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        cached.unpersist()
+        cached = updated
+        labels = updated.select("v", "component")
         if changed == 0:
             break
     both.unpersist()
@@ -315,7 +319,7 @@ def connected_components(
         labels.select(F.col("v").alias(id_col), "component").persist()
     )
     out.count()
-    labels.unpersist()
+    cached.unpersist()
     return out
 
 

@@ -538,3 +538,29 @@ def tpch_q5_local_supplier_volume(
     ):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q5_SQL)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", _Q4_SQL)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders of one quarter with at least one line shipped
+    after the order date, counted per priority.  The correlated EXISTS
+    compiles to a LEFT SEMI hash join on orderkey — lineitem is touched
+    once, never multiplied into the probe side — with the quarter
+    predicate pruned into the orders scan."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_SQL)
