@@ -319,3 +319,68 @@ def hypertable_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_cents",
     )
+
+
+# ====================================================================
+# Time-series gap filling (dense calendar from a sparse rollup)
+# ====================================================================
+
+_GAPFILL_ORACLE = """
+WITH e AS (
+    SELECT event_type, (epoch_us(ts) // 86400000000) AS day FROM events
+),
+bounds AS (
+    SELECT min(day) AS d0, max(day) AS d1 FROM e
+),
+days AS (
+    SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+),
+grid AS (
+    SELECT t.event_type, d.day
+    FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
+),
+counts AS (
+    SELECT event_type, day, count(*) AS n FROM e GROUP BY event_type, day
+)
+SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN counts c USING (event_type, day)
+"""
+
+
+@query("events_gap_filled_daily", _GAPFILL_ORACLE)
+def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: the sparse per-(type, day) rollup densified to a
+    complete calendar — every type × every day in the observed range,
+    zero-filled where no events landed (the hypertable/time-series
+    presentation step; downstream moving averages need the zeros).
+    The dense grid is generated, never scanned: one row of min/max
+    bounds broadcast-joined to the distinct type set, ``sequence`` +
+    ``explode`` for the days — grid size is |types| × |days|, bounded
+    by the calendar, not the fact table."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000 div 86400000000").alias("day"),
+    )
+    counts = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = e.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    grid = e.select("event_type").distinct().crossJoin(days)
+    return (
+        grid.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
