@@ -77,3 +77,30 @@ def test_word_vocab_filters_non_alpha(spark):
     }
     # normalized lowercase; 'cat,'/'cats!'/'42' fail the alpha filter
     assert rows == {"the": 2, "cat": 1, "and": 1}
+
+
+def test_bpe_invariants_on_random_vocabulary(spark):
+    # lossless: symbols concat back to the word; monotone: merges only
+    # ever shrink the token count; checked over one batch job
+    import random
+
+    rng = random.Random(7)
+    words = sorted(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+            for _ in range(200)
+        }
+    )
+    vocab = spark.createDataFrame(
+        [(w, 1) for w in words], "word string, cnt long"
+    )
+    merges = bpe.learn_merges(vocab, n_merges=4)
+    assert len(merges) == 4  # dense ab-alphabet always has pairs
+    out = vocab.select(
+        "word",
+        bpe.apply_merges(bpe.symbolize(F.col("word")), merges).alias("ws"),
+    ).collect()
+    for r in out:
+        syms = r["ws"].split(" ")
+        assert "".join(syms) == r["word"]
+        assert len(syms) <= len(r["word"])

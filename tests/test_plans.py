@@ -162,3 +162,28 @@ def test_hypertable_rollup_readback_prunes_buckets(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "hour_bucket" in plan.split("PartitionFilters", 1)[1][:200]
     assert probe.count() == 500 // 7 + (1 if 3 < 500 % 7 else 0)
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark):
+    # region/nation/supplier are dims: the six-table join must broadcast
+    # them, leaving shuffles only on the fact keys
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    plan = _plan(
+        tpch_q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan  # r_name / orderdate reach the scans
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark):
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q4_order_priority,
+    )
+
+    plan = _plan(tpch_q4_order_priority(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    # lineitem is probed once, not exploded into the aggregate
+    assert "Join LeftSemi" in plan or "LeftSemi BuildRight" in plan
