@@ -94,6 +94,8 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
     "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "che", "en ", " ge"],
     "fr": ["les", "ent", " de", "ion", "que", " la", "des", " le", "ait", "eur"],
     "es": [" de", "que", "ión", " la", " el", "ado", "nte", "los", "con", "ció"],
+    "it": ["che", " di", "zio", "lla", "del", " co", "ent", "re ", "ita", "gli"],
+    "pt": ["ção", " de", "os ", "ão ", "da ", "em ", "com", "ent", "ado", "par"],
 }
 
 

@@ -384,3 +384,34 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+# ====================================================================
+# SCD2 dimension construction (versioned validity intervals)
+# ====================================================================
+
+_SCD2_SQL = """
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       o_orderpriority AS priority,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS valid_from,
+       CAST(CAST(lead(o_orderdate) OVER w AS DATE) AS STRING) AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("orders_scd2_priority", _SCD2_SQL)
+def orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction: each customer's
+    order-priority history becomes versioned validity intervals —
+    valid_from, valid_to = next change (open for the current row),
+    version number, is_current flag.  One shuffle on the dimension key;
+    the per-key ordered window never sees more than one customer's
+    history.  Ties on the change date break on orderkey so interval
+    order is deterministic.  One SQL string runs on both engines."""
+    from . import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCD2_SQL)
