@@ -230,6 +230,63 @@ def chunk_documents(
 
 
 # ------------------------------------------------------------------
+# Boilerplate line removal
+# ------------------------------------------------------------------
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 50,
+) -> DataFrame:
+    """Strip corpus-wide boilerplate: lines (newline-delimited) that
+    appear in at least ``min_docs`` DISTINCT documents — cookie
+    banners, copyright footers, nav text — are removed from every
+    document; the document is rebuilt with its remaining lines in
+    original order.
+
+    Shape: one line explode with position, an exact two-level
+    count-distinct per line (partial-aggregatable; the hot set is tiny
+    — lines crossing a 50-doc threshold — so the anti-join broadcasts
+    under AQE), and a per-doc rebuild via ``array_sort(collect_list)``
+    bounded by document size.  Returns (id, n_lines, n_kept,
+    clean_text); docs whose every line was boilerplate come back
+    empty, not dropped."""
+    text = F.col(text_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, "\n")).alias("idx", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(text, "\n")).cast("long").alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# ------------------------------------------------------------------
 # Training-mix weighted sampling
 # ------------------------------------------------------------------
 

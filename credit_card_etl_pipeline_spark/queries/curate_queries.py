@@ -534,3 +534,87 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_len.alias("flag_word_len"),
         (~(too_short | repetitive | word_len)).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------
+# Boilerplate line removal
+# ------------------------------------------------------------------
+
+_BOIL1 = "copyright 2024 example corp all rights reserved"
+_BOIL2 = "subscribe to our newsletter for updates"
+_BOIL_MIN_DOCS = 50
+
+#: Injection: the raw corpus has no repeated lines, so footers/headers
+#: are attached deterministically (2/3 of docs get BOIL1, 1/5 BOIL2).
+_BOIL_CORPUS_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_BOIL1}'
+                WHEN doc_id % 3 = 1 THEN '{_BOIL1}' || chr(10) || text
+                ELSE text END
+           || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_BOIL2}'
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+_BOIL_ORACLE = f"""
+WITH corpus AS ({_BOIL_CORPUS_SQL}),
+t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+lines AS (
+    SELECT doc_id, s.idx AS idx, s.line AS line
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l)),
+                        i -> struct_pack(idx := i, line := l[i]))) AS s
+          FROM t)
+),
+hot AS (
+    SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+    ) WHERE nd >= {_BOIL_MIN_DOCS}
+),
+kept AS (SELECT lines.* FROM lines ANTI JOIN hot USING (line)),
+rebuilt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+    FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines FROM t)
+SELECT totals.doc_id, totals.n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM totals LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("remove_boilerplate_lines", _BOIL_ORACLE)
+def remove_boilerplate_lines_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate removal: lines shared by >= 50 distinct documents
+    (injected footers/headers) are stripped corpus-wide and each doc is
+    rebuilt in original line order — exact count-distinct per line,
+    anti-join against the (tiny) hot set, per-doc ordered rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit("\n" + _BOIL1)),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(_BOIL1 + "\n"), F.col("text")),
+            )
+            .otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _BOIL2)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = cu.remove_boilerplate_lines(injected, min_docs=_BOIL_MIN_DOCS)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )

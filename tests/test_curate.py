@@ -178,3 +178,29 @@ def test_pack_sequences_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_remove_boilerplate_lines(spark):
+    from credit_card_etl_pipeline_spark.dataops.curate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nFOOTER\nunique beta"),
+            (2, "FOOTER\nunique gamma"),
+            (3, "unique delta\nFOOTER"),
+            (4, "FOOTER"),              # fully boilerplate -> empty, kept
+            (5, "no footer here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == (3, 2, "unique alpha\nunique beta")
+    assert out[2] == (2, 1, "unique gamma")
+    assert out[3] == (2, 1, "unique delta")
+    assert out[4] == (1, 0, "")
+    assert out[5] == (1, 1, "no footer here")
