@@ -415,3 +415,64 @@ def orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCD2_SQL)
+
+
+# ====================================================================
+# Moving aggregates over the dense calendar (explicit frame specs)
+# ====================================================================
+
+_MOVING_ORACLE = """
+WITH e AS (
+    SELECT event_type, (epoch_us(ts) // 86400000000) AS day FROM events
+),
+bounds AS (
+    SELECT min(day) AS d0, max(day) AS d1 FROM e
+),
+days AS (
+    SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+),
+grid AS (
+    SELECT t.event_type, d.day
+    FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d
+),
+counts AS (
+    SELECT event_type, day, count(*) AS n FROM e GROUP BY event_type, day
+),
+filled AS (
+    SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN counts c USING (event_type, day)
+)
+SELECT event_type, day, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS sum_7d,
+       CAST(count(*) OVER w AS BIGINT) AS frame_days
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("events_moving_7d_counts", _MOVING_ORACLE)
+def events_moving_7d_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-frame window aggregate: 7-day moving event-count sum per
+    type over the GAP-FILLED calendar (zeros make the frame a true 7
+    days, not 7 sparse rows).  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    on the (type, day) grid — the window partitions on event_type, so
+    no global sort; exact integer sums.  frame_days < 7 marks the
+    warm-up edge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    filled = events_gap_filled_daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("sum_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_days"),
+    )
