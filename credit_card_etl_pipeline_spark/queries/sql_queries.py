@@ -564,3 +564,60 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q4_SQL)
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_SQL)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: potential revenue increase from discount elimination —
+    a pure scan-filter-aggregate with no join at all.  All four
+    predicates (ship year, discount band, quantity cap) push into the
+    parquet scan, the aggregate is a map-side partial followed by a
+    single-row exchange, and the whole pipeline is one WholeStageCodegen
+    span.  Money is exact: price-cents x discount-basis-points as
+    BIGINT (a fixed-point product of two exact integers), never a
+    floating sum.  One SQL string runs verbatim on both engines."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", _Q10_SQL)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in one
+    half-year, with their nation.  The orders half-year predicate and
+    the lineitem returnflag predicate both push into their scans before
+    the orderkey shuffle join; nation broadcasts; the top-20 compiles
+    to TakeOrderedAndProject (no global sort), deterministic under ties
+    via the custkey tiebreak."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10_SQL)
