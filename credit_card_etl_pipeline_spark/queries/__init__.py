@@ -116,6 +116,7 @@ from . import (  # noqa: E402,F401
     curate_queries,
     dataops_queries,
     etl_queries,
+    events_queries,
     merchant_queries,
     refine_queries,
     rfm_queries,

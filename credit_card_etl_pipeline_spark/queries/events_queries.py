@@ -1,0 +1,186 @@
+"""Behavioral event analytics (engine extension): cohort retention,
+funnel conversion, and event-type transition matrices over the
+``events`` stream — the product-analytics query family a warehouse on
+this engine serves alongside the ETL/RFM surface.
+
+Cross-engine determinism: event time is exact integer epoch arithmetic
+on both sides (Spark reads the nanos-parquet column as LONG and
+truncates ``ts div 1000`` to micros; DuckDB's ``epoch_us(ts)`` truncates
+the same way), orderings tie-break on the unique ``event_id``, and every
+output column is BIGINT/VARCHAR — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, query
+
+#: Epoch micros (Spark side): the events parquet stores nanos, read as
+#: LONG under spark.sql.legacy.parquet.nanosAsLong; integer division
+#: (never a float path — nanos exceed double precision).
+_US = "ts div 1000"
+
+#: Week index since the epoch: micros // 1 day // 7 (all positive here,
+#: so truncating and flooring division agree on both engines).
+_WEEK = f"{_US} div 86400000000 div 7"
+
+
+# ------------------------------------------------------------------
+# Cohort retention (weekly)
+# ------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH weeks AS (
+    SELECT user_id,
+           CAST((epoch_us(ts) // 86400000000) // 7 AS BIGINT) AS week
+    FROM events
+),
+firsts AS (
+    SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM weeks)
+SELECT f.cohort_week,
+       a.week - f.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@query("events_cohort_retention", _RETENTION_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first-ever
+    active week and counted at each later week they return — the
+    classic retention triangle.  Two aggregations shuffle on user_id
+    (first-week min, distinct active weeks); the join back is
+    key-aligned on user_id so AQE plans it without a third full
+    shuffle, and the final (cohort, offset) aggregate is
+    calendar-bounded, not fact-bounded."""
+    weeks = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(_WEEK).cast("long").alias("week")
+    )
+    firsts = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    active = weeks.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+# ------------------------------------------------------------------
+# Funnel conversion (ordered signup → click → purchase)
+# ------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+    SELECT user_id, min(epoch_us(ts)) AS s_us
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.s_us
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_funnel
+"""
+
+
+@query("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked strictly after
+    their first signup, then purchased strictly after that first
+    qualifying click.  Each stage filters by event type BEFORE joining
+    (the type predicate pushes into the scan), joins on user_id against
+    the previous stage's per-user frontier timestamp, and re-minimizes
+    — stage cardinality only ever shrinks, and every shuffle is on the
+    same user_id key."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_US).alias("us")
+    )
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after"))
+        )
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_funnel"))
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("events_type_transitions", _TRANSITIONS_ORACLE)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix: consecutive event-type pairs per
+    user, counted corpus-wide (the session-flow / Markov-chain input).
+    One shuffle on user_id; the lag window orders each user's history
+    by (micros, event_id) — the unique id makes same-microsecond
+    ordering deterministic on both engines — and the |types|² aggregate
+    that follows is tiny."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr(_US).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
