@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dataops import curate as cu
+from ..dataops import dedup as dd
 from . import load, query
 
 #: Normalized text (twin of dataops.text.normalize_text).
@@ -617,4 +618,210 @@ def remove_boilerplate_lines_query(
         "n_lines",
         "n_kept",
         F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+# ------------------------------------------------------------------
+# Curation pipeline v2 (boilerplate + containment aware)
+# ------------------------------------------------------------------
+
+#: Normalized clean_text (twin of dataops.text.normalize_text on the
+#: rebuilt column).
+_NORMC_SQL = "lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g')))"
+
+#: v2 corpus: originals with injected boilerplate (per the _BOIL rules),
+#: plain-text copies of every doc_id % 5 == 0 (exact dups ONLY after
+#: boilerplate removal — the ordering lesson), and 12-word snippet docs
+#: of every doc_id % 7 == 0 (long enough to pass the length gate, so
+#: only containment dedup catches them).
+_PIPE2_CORPUS_SQL = f"""
+    {_BOIL_CORPUS_SQL}
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(string_split({_NORM_SQL}, ' ')[1:12], ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+_PIPE2_ORACLE = f"""
+WITH corpus AS ({_PIPE2_CORPUS_SQL}),
+-- stage 1: boilerplate line removal (lines in >= {_BOIL_MIN_DOCS} docs)
+t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+lines AS (
+    SELECT doc_id, s.idx AS idx, s.line AS line
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l)),
+                        i -> struct_pack(idx := i, line := l[i]))) AS s
+          FROM t)
+),
+hot AS (
+    SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+    ) WHERE nd >= {_BOIL_MIN_DOCS}
+),
+kept AS (SELECT lines.* FROM lines ANTI JOIN hot USING (line)),
+rebuilt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(line, chr(10) ORDER BY idx) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines FROM t),
+cleaned AS (
+    SELECT totals.doc_id, totals.n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals LEFT JOIN rebuilt r USING (doc_id)
+),
+-- stage 2: exact dedup on the CLEANED text (min-id survivor)
+canon AS (
+    SELECT min(doc_id) AS doc_id FROM cleaned GROUP BY md5({_NORMC_SQL})
+),
+flagged AS (
+    SELECT c.*, (s.doc_id IS NULL) AS is_exact_dup
+    FROM cleaned c LEFT JOIN canon s USING (doc_id)
+),
+-- stage 3: substring containment among survivors (anchor-shingle
+-- candidates, hot-anchor cap, padded substring verify)
+normw AS (
+    SELECT doc_id, {_NORMC_SQL} AS nrm,
+           string_split({_NORMC_SQL}, ' ') AS w
+    FROM flagged WHERE NOT is_exact_dup
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM normw
+),
+kept_sh AS (
+    SELECT shingle FROM shingles
+    GROUP BY shingle HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept_sh USING (shingle)),
+anchors AS (
+    SELECT doc_id AS contained_id, nrm AS a_nrm,
+           w[1] || ' ' || w[2] || ' ' || w[3] AS anchor
+    FROM normw WHERE len(w) >= 3
+),
+contained AS (
+    SELECT DISTINCT c.contained_id AS doc_id FROM (
+        SELECT DISTINCT a.contained_id, s.doc_id AS container_id, a.a_nrm
+        FROM anchors a
+        JOIN sh s ON s.shingle = a.anchor AND s.doc_id <> a.contained_id
+    ) c JOIN normw b ON b.doc_id = c.container_id
+    WHERE strpos(' ' || b.nrm || ' ', ' ' || c.a_nrm || ' ') > 0
+),
+-- stage 4: length gate on cleaned tokens
+tok AS (
+    SELECT doc_id,
+           CAST(len(string_split({_NORMC_SQL}, ' ')) AS BIGINT) AS n_tokens
+    FROM cleaned
+)
+SELECT f.doc_id, f.n_lines, f.n_kept, t.n_tokens,
+       f.is_exact_dup,
+       (co.doc_id IS NOT NULL) AS is_contained,
+       (t.n_tokens < 10) AS flag_short,
+       (NOT f.is_exact_dup AND co.doc_id IS NULL AND t.n_tokens >= 10)
+           AS keep
+FROM flagged f
+JOIN tok t USING (doc_id)
+LEFT JOIN contained co USING (doc_id)
+"""
+
+
+@query("curation_pipeline_v2", _PIPE2_ORACLE)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the per-document verdict ledger of a
+    4-stage cleanse whose STAGE ORDER is the point: corpus-wide
+    boilerplate line removal must run BEFORE exact dedup (injected
+    copies differ from their originals only by boilerplate, so dedup
+    on raw bytes would miss them), and substring-containment dedup
+    catches the 12-word snippet docs that sail through the length
+    gate.  Stages are the library operators unchanged
+    (remove_boilerplate_lines, exact_dup_groups, substring_containment
+    with its default hot-anchor cap); the cleaned frame is persisted
+    once and reused by all three downstream stages.  Output: one row
+    per corpus doc with per-stage flags and the final keep verdict."""
+    from ..dataops import dedup as dd
+    from ..dataops.text import normalize_text, words
+    from ..functions import caching
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit("\n" + _BOIL1)),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(_BOIL1 + "\n"), F.col("text")),
+            )
+            .otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _BOIL2)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    copies = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    w = words(F.col("text"))
+    snippets = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 12)).alias("text"),
+    )
+    corpus = injected.unionByName(copies).unionByName(snippets)
+
+    cleaned = cu.remove_boilerplate_lines(
+        corpus, min_docs=_BOIL_MIN_DOCS
+    ).persist()
+    caching.track(cleaned)
+
+    canon = dd.exact_dup_groups(
+        cleaned, text_col="clean_text", id_col="doc_id"
+    ).select(F.col("canonical_id").alias("doc_id"), F.lit(True).alias("__srv"))
+    flagged = (
+        cleaned.join(canon, "doc_id", "left")
+        .withColumn("is_exact_dup", F.col("__srv").isNull())
+        .drop("__srv")
+    )
+
+    surv = flagged.where(~F.col("is_exact_dup")).select(
+        "doc_id", "clean_text"
+    )
+    contained = (
+        dd.substring_containment(surv, text_col="clean_text")
+        .select(F.col("contained_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__c", F.lit(True))
+    )
+
+    out = (
+        flagged.withColumn(
+            "n_tokens",
+            F.size(
+                F.split(normalize_text(F.col("clean_text")), " ")
+            ).cast("long"),
+        )
+        .join(contained, "doc_id", "left")
+        .withColumn("is_contained", F.coalesce(F.col("__c"), F.lit(False)))
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_tokens",
+        "is_exact_dup",
+        "is_contained",
+        (F.col("n_tokens") < 10).alias("flag_short"),
+        (
+            ~F.col("is_exact_dup")
+            & ~F.col("is_contained")
+            & (F.col("n_tokens") >= 10)
+        ).alias("keep"),
     )
