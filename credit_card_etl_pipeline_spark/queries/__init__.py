@@ -35,21 +35,33 @@ ORACLES: dict[str, str] = {}
 #: Session settings the queries depend on.  The DRIVER calls queries()
 #: with its own SparkSession, which may not come from session.get_spark
 #: — so every registered query re-asserts the runtime-settable subset
-#: (permissive casts for coerce-to-null semantics, nanos-parquet reads,
-#: UTC so to_date/window match the naive-UTC DuckDB oracle).
+#: (permissive casts for coerce-to-null semantics, UTC so
+#: to_date/window match the naive-UTC DuckDB oracle).  Event-time
+#: extraction deliberately does NOT ride a conf: it branches on the
+#: observed parquet type (functions.eventtime), because a conf can be
+#: silently ignored (the round-3 ``nanosAsLong`` tombstone).
 _SESSION_CONF = {
     "spark.sql.ansi.enabled": "false",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }
 
 
 def ensure_session_conf(spark: SparkSession) -> None:
+    """Set AND verify the session confs the queries rely on.
+
+    Both keys are runtime-settable on every Spark version we target, so
+    a silent no-op (static conf, renamed key, ignored tombstone) is a
+    real environment problem — fail loudly instead of letting queries
+    produce timezone- or cast-shifted answers."""
     for k, v in _SESSION_CONF.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:  # static conf on this session — keep going
-            pass
+        spark.conf.set(k, v)
+        got = spark.conf.get(k)
+        if got != v:
+            raise RuntimeError(
+                f"session conf {k!r} did not take effect: set {v!r}, "
+                f"read back {got!r} — refusing to run oracle-checked "
+                "queries on a session with drifted semantics"
+            )
 
 
 def query(name: str, oracle: str | None = None):

@@ -4,10 +4,12 @@ funnel conversion, and event-type transition matrices over the
 this engine serves alongside the ETL/RFM surface.
 
 Cross-engine determinism: event time is exact integer epoch arithmetic
-on both sides (Spark reads the nanos-parquet column as LONG and
-truncates ``ts div 1000`` to micros; DuckDB's ``epoch_us(ts)`` truncates
-the same way), orderings tie-break on the unique ``event_id``, and every
-output column is BIGINT/VARCHAR — no floats anywhere.
+on both sides (Spark derives micros type-adaptively via
+``functions.eventtime.event_micros`` — nanos-long div 1000 or
+TIMESTAMP_NTZ timestampdiff — matching DuckDB's ``epoch_us(ts)``
+exactly and timezone-independently), orderings tie-break on the unique
+``event_id``, and every output column is BIGINT/VARCHAR — no floats
+anywhere.
 """
 
 from __future__ import annotations
@@ -15,16 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.eventtime import event_micros
 from . import load, query
 
-#: Epoch micros (Spark side): the events parquet stores nanos, read as
-#: LONG under spark.sql.legacy.parquet.nanosAsLong; integer division
-#: (never a float path — nanos exceed double precision).
-_US = "ts div 1000"
-
 #: Week index since the epoch: micros // 1 day // 7 (all positive here,
-#: so truncating and flooring division agree on both engines).
-_WEEK = f"{_US} div 86400000000 div 7"
+#: so truncating and flooring division agree on both engines); applied
+#: to a column already named ``us``.
+_WEEK = "us div 86400000000 div 7"
 
 
 # ------------------------------------------------------------------
@@ -58,9 +57,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-aligned on user_id so AQE plans it without a third full
     shuffle, and the final (cohort, offset) aggregate is
     calendar-bounded, not fact-bounded."""
-    weeks = load(spark, sf_dir, "events").select(
-        "user_id", F.expr(_WEEK).cast("long").alias("week")
-    )
+    e = load(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", event_micros(e).alias("us")
+    ).select("user_id", F.expr(_WEEK).cast("long").alias("week"))
     firsts = weeks.groupBy("user_id").agg(
         F.min("week").alias("cohort_week")
     )
@@ -111,9 +111,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous stage's per-user frontier timestamp, and re-minimizes
     — stage cardinality only ever shrinks, and every shuffle is on the
     same user_id key."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr(_US).alias("us")
-    )
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_micros(ev).alias("us"))
     s = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -171,8 +170,9 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (micros, event_id) — the unique id makes same-microsecond
     ordering deterministic on both engines — and the |types|² aggregate
     that follows is tiny."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.expr(_US).alias("us")
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", event_micros(ev).alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return (

@@ -327,12 +327,14 @@ def events_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its ANSI twin."""
     from pyspark.sql import Window
 
+    from ..functions.eventtime import event_micros
     from . import load
 
-    e = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("us"),
+        event_micros(ev).alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")

@@ -364,13 +364,15 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join.  Ties on identical timestamps break on event_id,
     making the operator (and its DuckDB window twin) deterministic —
     which a bare ASOF JOIN on a non-unique time column is not."""
+    from ..functions.eventtime import event_micros
     from . import load
 
-    e = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("us"),
+        event_micros(ev).alias("us"),
     )
     from pyspark.sql import Window
 
@@ -428,14 +430,16 @@ def events_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     can touch — bounded 2× expansion, ordinary hash join, exact
     inequality applied post-join.  The oracle is the naive inequality
     join (fine at corpus scale)."""
+    from ..functions.eventtime import event_micros
     from . import load
 
     W = _RANGE_WIN_US
-    e = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("us"),
+        event_micros(ev).alias("us"),
     )
     err = e.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "us"

@@ -271,12 +271,18 @@ def hypertable_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import load
 
-    events = load(spark, sf_dir, "events").select(
-        (F.expr("ts div 1000") / 21_600_000_000).cast("long").alias(
-            "hour_bucket"
-        ),
+    from ..functions.eventtime import event_micros
+
+    ev = load(spark, sf_dir, "events")
+    events = ev.select(
+        event_micros(ev).alias("us"),
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).select(
+        # integer div — exact at any epoch, matching the oracle's `//`
+        F.expr("us div 21600000000").alias("hour_bucket"),
+        "event_type",
+        "vc",
     )
 
     def rollup(df: DataFrame) -> DataFrame:
@@ -362,10 +368,12 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import load
 
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("ts div 1000 div 86400000000").alias("day"),
-    )
+    from ..functions.eventtime import event_micros
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_micros(ev).alias("us")
+    ).select("event_type", F.expr("us div 86400000000").alias("day"))
     counts = e.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

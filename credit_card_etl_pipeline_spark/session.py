@@ -47,10 +47,10 @@ def get_spark(
         # (invalid date/number → null, etl.py:100-122,398-401); ANSI mode
         # (Spark 4 default) would turn those rows into task failures.
         .config("spark.sql.ansi.enabled", "false")
-        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
-        # vanilla reader rejects; read nanos as epoch-nano longs and
-        # convert explicitly where timestamps are needed.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Event-time extraction does NOT ride a reader conf: the events
+        # `ts` column has shipped as both nano-longs and TIMESTAMP_NTZ
+        # micros across driver corpora, so functions.eventtime branches
+        # on the observed type instead (confs can silently no-op).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Rule/dim tables are KB-sized; files at rest are parquet. Keep

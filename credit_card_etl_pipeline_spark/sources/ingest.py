@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import csv as _csv
 import io
-import zipfile
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -369,26 +368,65 @@ def parse_bank(
     return out.withColumns(filename_meta(F.col("path")))
 
 
+#: OLE2 / Compound-File-Binary magic — the container of legacy binary
+#: .xls workbooks (public format signature, [MS-CFB] 2.2).
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def sniff_workbook_format(path: str) -> str:
+    """Classify a workbook file by leading bytes, not extension:
+    ``xlsx`` (PK zip), ``xls`` (OLE2 compound file), ``html`` (bank
+    portals routinely serve HTML with an .xls name), else ``unknown``."""
+    with open(path, "rb") as f:
+        head = f.read(512)
+    if head[:4] == b"PK\x03\x04":
+        return "xlsx"
+    if head[:8] == _OLE2_MAGIC:
+        return "xls"
+    if head.lstrip()[:1] == b"<":
+        return "html"
+    return "unknown"
+
+
 def read_excel_statement(
     spark: SparkSession, path: str, spec: BankSpec
 ) -> DataFrame:
     """A6 (etl.py:312-316): driver-side Excel read — ``pandas.read_excel``
     when an engine is installed, else the vendored stdlib .xlsx parser
-    (sources.xlsx).  Legacy binary .xls still needs a pandas engine."""
+    (sources.xlsx).  The file format is sniffed from magic bytes, so an
+    HTML table masquerading under an ``.xls`` name (reference
+    README.md:98) parses via the HTML path and a true OLE2 binary .xls
+    fails with an actionable error instead of a zipfile traceback."""
     try:
         pdf = pd.read_excel(path, dtype=str)
     except ImportError as e:  # openpyxl/xlrd not in the runtime
-        if not zipfile.is_zipfile(path):  # legacy .xls is not a zip
-            raise NotImplementedError(
-                "legacy .xls ingest requires a pandas Excel engine "
-                "(xlrd); convert the workbook to .xlsx or CSV"
-            ) from e
-        from .xlsx import read_xlsx_rows
+        kind = sniff_workbook_format(path)
+        if kind == "html":
+            with open(path, "rb") as f:
+                text = f.read().decode(spec.encoding, errors="replace")
+            lines = html_table_lines(text, spec.header_keyword)
+            if not lines:
+                raise ValueError(
+                    f"no matching HTML table in {path}"
+                ) from e
+            grid = [ln.split(HTML_CELL_SEP) for ln in lines]
+            width = len(grid[0])
+            body = [r[:width] + [""] * (width - len(r)) for r in grid[1:]]
+            pdf = pd.DataFrame(body, columns=grid[0])
+        elif kind == "xlsx":
+            from .xlsx import read_xlsx_rows
 
-        rows = read_xlsx_rows(path)
-        if not rows:
-            raise ValueError(f"empty workbook: {path}") from e
-        pdf = pd.DataFrame(rows[1:], columns=rows[0])
+            rows = read_xlsx_rows(path)
+            if not rows:
+                raise ValueError(f"empty workbook: {path}") from e
+            pdf = pd.DataFrame(rows[1:], columns=rows[0])
+        else:  # true OLE2 binary .xls (or junk) — honest failure
+            raise NotImplementedError(
+                f"{path}: {'OLE2 binary .xls' if kind == 'xls' else 'unrecognized workbook format'}"
+                " requires a pandas Excel engine (xlrd); convert to"
+                " .xlsx/CSV.  (HTML masquerading as .xls is sniffed and"
+                " parsed automatically — this file is not HTML.)"
+            ) from e
     pdf.columns = [" ".join(str(c).split()) for c in pdf.columns]
     pdf = pdf.astype(str)  # raw cells as strings BEFORE adding typed cols
     pdf["path"] = path

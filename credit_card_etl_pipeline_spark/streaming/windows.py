@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema of the driver's events table with nanos read as longs
-#: (session config spark.sql.legacy.parquet.nanosAsLong).
+from ..functions.eventtime import event_micros
+
+#: Schema of a LEGACY events feed carrying epoch-nano longs (kept for
+#: synthesizing nano-long test fixtures; the live corpus now ships
+#: TIMESTAMP_NTZ micros and :func:`events_stream` reads the schema off
+#: the file footer instead of assuming either shape).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -32,19 +36,26 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def event_time(df: DataFrame) -> DataFrame:
-    """Append ``event_ts`` (timestamp) from the epoch-nano ``ts``."""
-    # Integer division: epoch nanos (~1.7e18) exceed double precision,
-    # so a float path would corrupt the low-order digits.
+    """Append ``event_ts`` (timestamp) from ``ts``, whatever type the
+    source shipped (epoch-nano LONG / TIMESTAMP_NTZ / TIMESTAMP) —
+    exact integer micros via :func:`event_micros`, never a float path."""
     return df.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "event_ts", F.timestamp_micros(event_micros(df))
     )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events parquet (one-file-per-
-    trigger keeps replays deterministic)."""
+    trigger keeps replays deterministic).
+
+    The file source requires a declared schema; declaring the WRONG
+    ``ts`` type (LongType over a TIMESTAMP_NTZ-micros file) silently
+    reads raw micros and compresses every timestamp 1000× — so the
+    schema is taken from the actual parquet footer via a one-off batch
+    read (driver-side metadata only, no data scan)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)

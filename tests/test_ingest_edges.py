@@ -129,3 +129,44 @@ def test_vendored_xlsx_shared_strings_and_sparse_cells(tmp_path):
         ["交易日期", "richtext"],
         ["", "42"],
     ]
+
+
+def test_workbook_sniffing_ole2_and_html(spark, tmp_path, monkeypatch):
+    """Magic-byte sniffing: true OLE2 .xls fails honestly; HTML
+    masquerading as .xls parses through the HTML table path."""
+    import pandas as pd
+    import pytest
+
+    from credit_card_etl_pipeline_spark.sources.ingest import (
+        DEFAULT_BANK_SPECS,
+        read_excel_statement,
+        sniff_workbook_format,
+    )
+
+    def no_engine(path, dtype=None, **kw):
+        raise ImportError("no excel engine")
+
+    monkeypatch.setattr(pd, "read_excel", no_engine)
+    spec = DEFAULT_BANK_SPECS[0]
+
+    ole2 = tmp_path / "玉山_202401.xls"
+    ole2.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    assert sniff_workbook_format(str(ole2)) == "xls"
+    with pytest.raises(NotImplementedError, match="OLE2 binary .xls"):
+        read_excel_statement(spark, str(ole2), spec)
+
+    cells = "".join(
+        f"<tr><td>01/{i:02d}</td><td>SHOP{i}</td><td>{100 + i}</td></tr>"
+        for i in range(1, 4)
+    )
+    html = tmp_path / "玉山_202402.xls"
+    html.write_text(
+        "<html><body><table><tr><th>交易日期</th><th>交易說明</th>"
+        f"<th>臺幣金額</th></tr>{cells}</table></body></html>",
+        encoding=spec.encoding,
+    )
+    assert sniff_workbook_format(str(html)) == "html"
+    df = read_excel_statement(spark, str(html), spec)
+    rows = df.orderBy("pos").collect()
+    assert len(rows) == 3
+    assert rows[0]["base_year"] == 2024 and rows[0]["bill_month"] == 2
