@@ -427,3 +427,42 @@ def substring_containment(
         )
         .select("contained_id", "container_id", "contained_tokens")
     )
+
+
+def canonical_per_component(
+    components: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+) -> DataFrame:
+    """Canonical-document selection: for every multi-document near-dup
+    cluster, pick the single doc to KEEP — highest ``quality_col``,
+    ties broken on the smaller id — and report the cluster size.
+
+    This is the decision step after clustering in an LLM curation
+    pipeline (keep the best copy, drop the rest): one shuffle on the
+    component key for the window and one for the size aggregate, both
+    bounded by cluster count, not corpus size.  Input ``components`` is
+    ``connected_components`` output (id, component); ``quality`` is any
+    per-doc exact integer score (length, token count, a rule score).
+    """
+    from pyspark.sql import Window
+
+    joined = components.join(quality, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    kept = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("kept_id"),
+            F.col(quality_col).cast("long").alias("kept_quality"),
+        )
+    )
+    return kept.join(sizes, "component").where(F.col("n_docs") > 1)

@@ -1203,3 +1203,130 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "score_ppm", "rk")
     )
+
+
+# ====================================================================
+# Corpus n-gram statistics (bigram counts — LM corpus profiling)
+# ====================================================================
+
+_NORM_DOC_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+    SELECT string_split({_NORM_DOC_SQL}, ' ') AS toks
+    FROM documents
+),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+b AS (
+    SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM t2, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+@query("text_bigram_counts", _BIGRAM_ORACLE)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top 50: the n-gram statistics pass an
+    LM data pipeline runs for vocabulary/contamination profiling.  The
+    bigram list is built per document with JVM-side array expressions
+    (``transform`` over an index ``sequence`` — 1-based ``element_at``
+    mirrors the oracle's list indexing), exploded, and counted; partial
+    aggregation absorbs the explosion before the single shuffle, and the
+    top-50 compiles to TakeOrderedAndProject.  No Python UDF anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.words(F.col("text"))
+    grams = (
+        docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat_ws(' ', element_at(toks, i),"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+# ====================================================================
+# Canonical-doc selection per near-dup cluster (keep-best curation)
+# ====================================================================
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_SIGNATURE_CTE},
+banded AS (
+    SELECT doc_id, 0 AS band,
+           CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+           CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band_key
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1 AS band,
+           CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+           CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS band_key
+    FROM signatures
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+bidir(a, b) AS (
+    SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM bidir
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN bidir e ON e.a = r.b
+),
+comp AS (
+    SELECT c.doc_id,
+           least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS component
+    FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+    GROUP BY c.doc_id
+),
+quality AS (
+    SELECT doc_id, CAST(length({_NORM_SQL}) AS BIGINT) AS q FROM corpus
+),
+ranked AS (
+    SELECT comp.component, comp.doc_id, quality.q,
+           row_number() OVER (PARTITION BY comp.component
+                              ORDER BY quality.q DESC, comp.doc_id) AS rn
+    FROM comp JOIN quality USING (doc_id)
+),
+stats AS (
+    SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+    FROM comp GROUP BY component
+)
+SELECT r.component, r.doc_id AS kept_id, r.q AS kept_quality, s.n_docs
+FROM ranked r JOIN stats s USING (component)
+WHERE r.rn = 1 AND s.n_docs > 1
+"""
+
+
+@query("dedup_canonical_selection", _CANONICAL_ORACLE)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best curation: near-dup clusters (LSH candidates →
+    connected components) reduced to ONE kept document each — highest
+    normalized-text length, id tiebreak — plus the cluster size.  The
+    decision step that turns clustering output into an actual training
+    corpus; both post-clustering shuffles key on the component label,
+    bounded by cluster count."""
+    c = corpus(spark, sf_dir)
+    sh = dd.exploded_shingles(c)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
+    comps = dd.connected_components(c.select("doc_id"), pairs)
+    quality = c.select(
+        "doc_id", F.length(tx.normalize_text(F.col("text"))).alias("q")
+    )
+    return dd.canonical_per_component(comps, quality)

@@ -623,3 +623,168 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q10_SQL)
+
+
+# ====================================================================
+# TPC-H Q14 (promo revenue share) — adapted to the corpus's p_type
+# ====================================================================
+
+_Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-03-01'
+"""
+
+
+@query("tpch_q14_promo_revenue", _Q14_SQL)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share over a ship-date window.
+    The date predicate pushes into the lineitem scan; part (dim-sized)
+    broadcasts, so the only exchange is the single-row final aggregate.
+    Both the promo and total sums ride exact integer cents — the ratio
+    is left to the consumer so the oracle never hashes a float
+    division.  One SQL string runs verbatim on both engines."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q14_SQL)
+
+
+# ====================================================================
+# TPC-H Q18 (large-volume customers)
+# ====================================================================
+
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@query("tpch_q18_large_volume", _Q18_SQL)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold only
+    ~1% of orders reach, with their customers.  The HAVING aggregate
+    runs FIRST and shrinks the fact table to a sliver; the surviving
+    keys hash-join back to orders (same orderkey — AQE reuses the
+    partitioning) and the customer dim broadcasts.  Quantities are
+    integral doubles, compared and summed as BIGINT so the threshold
+    and the output are exact."""
+    for t in ("lineitem", "orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SQL)
+
+
+# ====================================================================
+# TPC-H Q22 shape (anti join + exact scalar threshold)
+# ====================================================================
+
+_Q22_SQL = """
+WITH stats AS (
+    SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_acctbal > 0
+),
+urgent AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer CROSS JOIN stats
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * stats.n > stats.total_cents
+  AND NOT EXISTS (SELECT 1 FROM urgent WHERE urgent.o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@query("customers_above_avg_no_urgent", _Q22_SQL)
+def customers_above_avg_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO urgent
+    orders, aggregated per nation.  NOT EXISTS compiles to a broadcast
+    anti join against the DISTINCT urgent-customer set; the scalar
+    average rides a one-row CROSS JOIN, and the above-average predicate
+    is the exact integer cross-multiplication ``cents * n >
+    total_cents`` — no float average is ever compared, so both engines
+    agree bit-for-bit at any scale."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
+
+
+# ====================================================================
+# GROUPING SETS (multi-granularity aggregate in one pass)
+# ====================================================================
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS totalprice_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+@query("orders_grouping_sets", _GROUPING_SETS_SQL)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: (status × priority), per-status, and grand total
+    in ONE shuffle — Spark expands the sets map-side and partially
+    aggregates before the exchange, so the three granularities cost one
+    pass over the fact table instead of three.  Group keys are never
+    NULL in the data, so COALESCE labels the rollup rows identically on
+    both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ====================================================================
+# Top-k per group (windowed, not a global sort)
+# ====================================================================
+
+_TOP3_SQL = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders
+)
+SELECT o_orderpriority AS priority, o_orderkey, totalprice_cents,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("priority_top3_orders", _TOP3_SQL)
+def priority_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the 3 highest-value orders per priority via a
+    partitioned row_number — one shuffle on the group key, per-group
+    sorts only (never a global sort), and the rn <= 3 filter prunes
+    inside the window stage.  The orderkey tiebreak makes equal-price
+    rows deterministic on both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_TOP3_SQL)
