@@ -101,28 +101,32 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
 
 def _occurrences(col: Column, needle: str) -> Column:
     """Count of (possibly overlapping-adjacent) needle occurrences via
-    replace-length arithmetic — pure JVM expression."""
-    import re as _re
-
-    pat = _re.escape(needle)
+    replace-length arithmetic — a literal (non-regex) ``replace``, the
+    cheapest JVM path for a fixed needle."""
     return (
-        F.length(col) - F.length(F.regexp_replace(col, pat, ""))
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
     ) / len(needle)
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    """Per-language trigram-profile hit counts over normalized text."""
-    t = normalize_text(col)
+def lang_scores(col: Column, *, pre_normalized: bool = False) -> dict[str, Column]:
+    """Per-language trigram-profile hit counts over normalized text.
+
+    Pass ``pre_normalized=True`` when ``col`` is already a materialized
+    normalized column — each of the 60 occurrence expressions then reads
+    the attribute instead of inlining its own ``normalize_text`` regex
+    (the difference between 1 and 60 regex evaluations per row)."""
+    t = col if pre_normalized else normalize_text(col)
     return {
         lang: sum(_occurrences(t, tg) for tg in grams).cast("long")
         for lang, grams in LANG_TRIGRAMS.items()
     }
 
 
-def lang_id_ngram(col: Column, min_hits: int = 1) -> Column:
-    """N-gram language ID: argmax of the trigram-profile scores (ties
-    break by profile order), 'unknown' when nothing scores."""
-    scores = lang_scores(col)
+def lang_argmax(scores: dict[str, Column], min_hits: int = 1) -> Column:
+    """Argmax over precomputed per-language score columns (ties break
+    by dict order), 'unknown' below the hit floor.  Give it attribute
+    references (already-projected columns) in hot paths so the score
+    expressions aren't re-evaluated inside the CASE fold."""
     langs = list(scores)
     best_lang: Column = F.lit(langs[0])
     best_score: Column = scores[langs[0]]
@@ -131,6 +135,12 @@ def lang_id_ngram(col: Column, min_hits: int = 1) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, scores[lang]).otherwise(best_score)
     return F.when(best_score >= min_hits, best_lang).otherwise(F.lit("unknown"))
+
+
+def lang_id_ngram(col: Column, min_hits: int = 1) -> Column:
+    """N-gram language ID: argmax of the trigram-profile scores (ties
+    break by profile order), 'unknown' when nothing scores."""
+    return lang_argmax(lang_scores(col), min_hits)
 
 
 #: Rolling-hash parameters: base × accumulator stays within int64

@@ -990,11 +990,21 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor) — the classic profile-overlap heuristic as pure expressions.
     """
     c = corpus(spark, sf_dir)
-    scores = tx.lang_scores(F.col("text"))
-    return c.select(
+    # Mirror the oracle's staging: normalize ONCE, project the 60
+    # occurrence counts once, argmax over the projected columns —
+    # each trigram count is literal-replace arithmetic on a shared
+    # attribute, never a re-inlined regex (was ~3x the query's cost).
+    norm = c.select("doc_id", tx.normalize_text(F.col("text")).alias("t"))
+    scores = tx.lang_scores(F.col("t"), pre_normalized=True)
+    scored = norm.select(
+        "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in _LANGS]
+    )
+    return scored.select(
         "doc_id",
-        *[scores[lang].alias(f"s_{lang}") for lang in _LANGS],
-        tx.lang_id_ngram(F.col("text")).alias("lang_guess"),
+        *[f"s_{lang}" for lang in _LANGS],
+        tx.lang_argmax(
+            {lang: F.col(f"s_{lang}") for lang in _LANGS}
+        ).alias("lang_guess"),
     )
 
 
