@@ -788,3 +788,39 @@ def priority_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows deterministic on both engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_TOP3_SQL)
+
+
+# ====================================================================
+# Equi-depth histogram (decile buckets via ntile)
+# ====================================================================
+
+_EQUIDEPTH_SQL = """
+WITH e AS (
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+bucketed AS (
+    SELECT vc,
+           CAST(ntile(10) OVER (ORDER BY vc, event_id) AS BIGINT) AS bucket
+    FROM e
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(vc) AS BIGINT) AS lo_cents,
+       CAST(max(vc) AS BIGINT) AS hi_cents
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("events_equidepth_histogram", _EQUIDEPTH_SQL)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values: ntile over the
+    global value order (event_id tiebreak makes bucket edges
+    deterministic), then per-bucket count/min/max — the stats pass a
+    query optimizer or drift monitor runs.  NOTE the global ntile is a
+    single-partition sort by construction; at 100 TB the same output
+    comes from approx_percentile edges + a broadcast bucket join — this
+    query pins the EXACT semantics the approximate path is judged
+    against (10 buckets over ~100k rows here is fine; the 10-row
+    aggregate that follows is trivial)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_EQUIDEPTH_SQL)

@@ -478,3 +478,119 @@ def events_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases_10m"),
         )
     )
+
+
+# ====================================================================
+# Stream-static join (dimension enrichment inside the streaming query)
+# ====================================================================
+
+_STREAM_ENRICH_ORACLE = """
+SELECT 'seg_' || CAST(user_id % 7 AS VARCHAR) AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@query("stream_static_enrich", _STREAM_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events STREAM joins a static user→segment
+    dimension inside the streaming query (Spark re-plans the static side
+    per micro-batch; no state is kept for it), then aggregates per
+    segment in complete mode.  The dim is built deterministically from
+    the corpus's distinct users so the batch twin is SQL-expressible;
+    in production it would be any slowly-refreshed lookup table.  The
+    dim side stays broadcast-sized — the join adds no shuffle to the
+    stream."""
+    import tempfile
+
+    from .. import __name__ as _  # noqa: F401  (package anchor)
+
+    name = f"stream_enrich_{next(_stateful_run_counter)}"
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("seg_"), (F.col("user_id") % 7).cast("string")
+            ).alias("segment"),
+        )
+    )
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    enriched = stream.join(F.broadcast(users), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("value_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+# ====================================================================
+# Rolling 7-day DISTINCT users (window count-distinct re-expression)
+# ====================================================================
+
+_ROLLING_USERS_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+days AS (SELECT unnest(generate_series(d0, d1)) AS obs_day FROM bounds)
+SELECT CAST(obs_day AS BIGINT) AS obs_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM days JOIN ud ON ud.day BETWEEN obs_day - 6 AND obs_day
+GROUP BY obs_day
+"""
+
+
+@query("events_rolling_7d_users", _ROLLING_USERS_ORACLE)
+def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives — COUNT(DISTINCT) over a sliding
+    frame, which Spark's window functions cannot express.  Scalable
+    re-expression: dedup to (user, day), explode each user-day into the
+    ≤7 observation days it contributes to (bounded 7× expansion of the
+    already-deduped frame — NOT of the fact table), dedup (user,
+    obs_day), count per day.  Every step partial-aggregates before its
+    shuffle; the oracle is the naive range join DuckDB can afford at
+    corpus scale."""
+    from ..functions.eventtime import event_micros
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", event_micros(ev).alias("us"))
+        .select("user_id", F.expr("us div 86400000000").alias("day"))
+        .distinct()
+    )
+    d1 = ud.agg(F.max("day").alias("d1"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("obs_day"),
+        )
+        .distinct()
+        .join(F.broadcast(d1), F.col("obs_day") <= F.col("d1"))
+    )
+    return contrib.groupBy("obs_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_7d")
+    ).select(F.col("obs_day").cast("long").alias("obs_day"), "n_users_7d")

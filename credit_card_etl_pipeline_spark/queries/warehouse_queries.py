@@ -484,3 +484,88 @@ def events_moving_7d_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).cast("long").alias("sum_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("frame_days"),
     )
+
+
+# ====================================================================
+# MERGE-style upsert (SCD1) — full-outer-join re-expression
+# ====================================================================
+
+_MERGE_ORACLE = """
+WITH tgt AS (
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    WHERE o_orderdate < DATE '1997-01-01'
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+),
+src AS (
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+)
+SELECT COALESCE(s.custkey, t.custkey) AS custkey,
+       COALESCE(s.priority, t.priority) AS priority,
+       COALESCE(s.totalprice_cents, t.totalprice_cents)
+           AS totalprice_cents,
+       CASE WHEN t.custkey IS NULL THEN 'inserted'
+            WHEN s.custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+"""
+
+
+@query("warehouse_upsert_merge", _MERGE_ORACLE)
+def warehouse_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD1 upsert), Spark-first: the latest pre-cutoff
+    order state per customer is the target dim; post-cutoff arrivals
+    are the source; a single FULL OUTER join + coalesce implements
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, with the action
+    labeled per row.  Both sides reduce via the same keyed window
+    before the join, so the merge shuffles each input once on the
+    merge key — the shape a lakehouse MERGE compiles to when the
+    target has no clustering to exploit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("totalprice_cents"),
+            )
+        )
+
+    cutoff = F.lit("1997-01-01").cast("date")
+    tgt = latest(orders.where(F.col("o_orderdate") < cutoff))
+    src = latest(orders.where(F.col("o_orderdate") >= cutoff))
+    t = tgt.alias("t")
+    s = src.alias("s")
+    return t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer").select(
+        F.coalesce(F.col("s.custkey"), F.col("t.custkey")).alias("custkey"),
+        F.coalesce(F.col("s.priority"), F.col("t.priority")).alias("priority"),
+        F.coalesce(
+            F.col("s.totalprice_cents"), F.col("t.totalprice_cents")
+        ).alias("totalprice_cents"),
+        F.when(F.col("t.custkey").isNull(), "inserted")
+        .when(F.col("s.custkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
