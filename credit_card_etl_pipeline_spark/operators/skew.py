@@ -88,3 +88,35 @@ def salted_count_distinct(
     space — stage 2 counts per key."""
     pairs = df.select(*keys, distinct_col).distinct()
     return pairs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias(out))
+
+
+def salted_broadcastless_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join for when the dim side is too big to
+    broadcast and the fact side has hot keys: the fact salts each row
+    into one of ``n_salts`` buckets (derived from ``salt_source`` so
+    the assignment is deterministic), the dim replicates every row into
+    ALL buckets, and the join keys on (key, salt) — a hot fact key now
+    spreads over ``n_salts`` tasks instead of melting one.
+
+    Cost model: dim-side rows × n_salts extra shuffle volume buys
+    fact-side hot keys split n_salts ways — the right trade when
+    |dim| ≪ |fact| but above the broadcast threshold.  (AQE's runtime
+    skew-join split covers sort-merge joins; this explicit form also
+    pre-spreads the SHUFFLE itself, which AQE cannot.)"""
+    salt_col = (
+        F.abs(F.hash(F.col(salt_source))) % n_salts
+        if salt_source
+        else F.floor(F.rand(seed=7) * n_salts).cast("int")
+    )
+    salted_fact = fact.withColumn("__salt", salt_col)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")

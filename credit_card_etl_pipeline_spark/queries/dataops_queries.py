@@ -1340,3 +1340,43 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length(tx.normalize_text(F.col("text"))).alias("q")
     )
     return dd.canonical_per_component(comps, quality)
+
+
+# ====================================================================
+# Per-label embedding centroids (exact integer-scaled dimension sums)
+# ====================================================================
+
+_CENTROID_ORACLE = f"""
+WITH vecs AS (
+    SELECT label, {_QUANT_SQL} AS v FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(u.i AS BIGINT) AS dim,
+       CAST(sum(v[u.i]) AS BIGINT) AS sum_milli,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM vecs, UNNEST(generate_series(1, len(v))) AS u(i)
+GROUP BY label, u.i
+"""
+
+
+@query("embeddings_label_centroids", _CENTROID_ORACLE)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators: element-wise sums of the
+    milli-quantized embeddings plus member counts — the exact-integer
+    form of a cluster-centroid update (mean = sum/n is left to the
+    consumer; a float mean would hash differently between engines).
+    posexplode spreads (label, dim) over the cluster — a |labels|×|dims|
+    aggregate, partial-combined map-side, never a per-vector shuffle
+    of full arrays."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = sim.quantize(
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), q.alias("v"))
+        .select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.sum("x").cast("long").alias("sum_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )

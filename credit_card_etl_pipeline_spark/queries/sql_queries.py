@@ -824,3 +824,157 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate that follows is trivial)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_EQUIDEPTH_SQL)
+
+
+# ====================================================================
+# Skew-resistant salted JOIN (hot fact keys, unbroadcastable dim)
+# ====================================================================
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+    SELECT DISTINCT user_id,
+           'seg_' || CAST(user_id % 7 AS VARCHAR) AS segment
+    FROM events
+)
+SELECT d.segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY d.segment, e.event_type
+"""
+
+
+@query("skew_salted_join", _SALTED_JOIN_ORACLE)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join (operators/skew.py
+    salted_broadcastless_join): the fact side salts on a hash of its
+    unique event_id, the dim side replicates into every salt bucket,
+    and the join keys on (user_id, salt) — a hot user spreads over 8
+    tasks instead of melting one, without relying on the dim fitting
+    the broadcast threshold.  Results must equal the plain join, which
+    is the oracle."""
+    from ..operators.skew import salted_broadcastless_join
+    from . import load
+
+    events = load(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("seg_"), (F.col("user_id") % 7).cast("string")
+            ).alias("segment"),
+        )
+    )
+    fact = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    joined = salted_broadcastless_join(
+        fact, dim, "user_id", n_salts=8, salt_source="event_id"
+    )
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("value_cents"),
+    )
+
+
+# ====================================================================
+# UNPIVOT (wide measures → long) with exact per-measure totals
+# ====================================================================
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+    SELECT l_returnflag, 'quantity' AS measure,
+           CAST(round(l_quantity * 100) AS BIGINT) AS cents
+    FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice',
+           CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount',
+           CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'tax',
+           CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_hundredths
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+@query("lineitem_unpivot_measures", _UNPIVOT_ORACLE)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the four lineitem measures melt to (returnflag, measure,
+    value) via DataFrame.unpivot — ONE scan emitting 4 rows per input
+    row map-side (the oracle's UNION ALL shape would scan four times),
+    then an exact fixed-point aggregate per (flag, measure)."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("extendedprice"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="cents",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_hundredths"),
+    )
+
+
+# ====================================================================
+# Calendar-semantics weekly rollup (date_trunc parity, not epoch math)
+# ====================================================================
+
+_WEEKLY_ORACLE = """
+SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)
+           AS week_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_weekly_calendar", _WEEKLY_ORACLE)
+def events_weekly_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week rollup through the CALENDAR path (date_trunc on a real
+    timestamp), not epoch integer division — pins that the engine's
+    timestamp semantics (type-adaptive event micros → timestamp, UTC
+    session) agree with the oracle's naive calendar on week boundaries,
+    where a timezone shift or a Sunday-start convention would diverge."""
+    from ..streaming.windows import event_time
+    from . import load
+
+    ev = event_time(load(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("event_ts"))
+            .cast("date")
+            .cast("string")
+            .alias("week_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
