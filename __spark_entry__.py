@@ -24,8 +24,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering: queries with no driver correctness row yet (per the
+    committed CORRECTNESS_r*.json) come first.  The driver samples a
+    prefix of this dict each round, so surfacing never-verified
+    queries first spends the per-round check budget where it adds
+    signal; previously-verified queries follow in registration order.
+    """
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            continue
+    fresh = {k: v for k, v in q.QUERIES.items() if k not in seen}
+    rest = {k: v for k, v in q.QUERIES.items() if k in seen}
+    return {**fresh, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
