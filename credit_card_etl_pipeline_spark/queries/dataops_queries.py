@@ -1380,3 +1380,119 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+# ====================================================================
+# Multimodal decode plumbing on the oracle board (deterministic fake)
+# ====================================================================
+# The codec-free fake decoders are byte-deterministic, so the full
+# Arrow/mapInPandas plumbing — batching, schema, fan-out shape — lands
+# on the value hash; comparisons ride hex strings (DuckDB has no blob
+# substring/md5).
+
+_FRAMES_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
+),
+n AS (SELECT doc_id, h, length(h) // 32 AS nf FROM p),
+f AS (
+    SELECT doc_id, u.i AS frame_no,
+           substring(h, u.i * 32 + 1, 32) AS frame_hex
+    FROM n, UNNEST(generate_series(0, nf - 1)) AS u(i)
+    WHERE u.i % 4 = 0
+)
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, frame_hex FROM f
+"""
+
+
+@query("multimodal_frame_sample", _FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (dataops.multimodal.sample_frames):
+    payloads stream through Arrow-batched mapInPandas and fan out one
+    row per sampled 16-byte frame (every 4th) — the real partitioning
+    and explode contract of a demuxer stage, with the deterministic
+    fake standing in for pyav/ffmpeg (not in this runtime).  Frames are
+    hex-encoded so the byte slicing itself is on the hash."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", mm.pack_text_as_media(F.col("text")).alias("payload")
+    )
+    frames = mm.sample_frames(docs, frame_bytes=16, every=4, fake=True)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+_RESIZE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       substring(repeat(h, 64 // greatest(length(h) // 2, 1) + 1), 1, 128)
+           AS pixels_hex
+FROM p
+"""
+
+
+@query("multimodal_resize_tiles", _RESIZE_ORACLE)
+def multimodal_resize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (dataops.multimodal.resize_images): every
+    payload maps to a fixed 8x8 buffer via the deterministic
+    truncate/repeat fake (PIL absent) — fixed-dimension output contract
+    and Arrow batch shape on the hash, hex-compared."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", mm.pack_text_as_media(F.col("text")).alias("payload")
+    )
+    resized = mm.resize_images(docs, width=8, height=8, fake=True)
+    return resized.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS h FROM documents
+),
+nibs AS (
+    SELECT doc_id,
+           strpos('0123456789ABCDEF', substring(h, u.i * 2 + 1, 1)) - 1
+               AS bin
+    FROM p, UNNEST(generate_series(0, length(h) // 2 - 1)) AS u(i)
+),
+counts AS (
+    SELECT doc_id, bin, count(*) AS c FROM nibs GROUP BY doc_id, bin
+),
+grid AS (
+    SELECT d.doc_id, u.bin
+    FROM (SELECT DISTINCT doc_id FROM p) d,
+         UNNEST(generate_series(0, 15)) AS u(bin)
+)
+SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c USING (doc_id, bin)
+"""
+
+
+@query("multimodal_decode_features", _DECODE_ORACLE)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (dataops.multimodal.decode_media):
+    each payload decodes to a 16-bin high-nibble byte histogram — the
+    deterministic fake in place of a real image featurizer — and the
+    array output posexplodes to (doc_id, bin, count) rows with zeros
+    intact, pinning the whole Arrow round-trip."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", mm.pack_text_as_media(F.col("text")).alias("payload")
+    )
+    feats = mm.decode_media(docs, fake=True)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bin", "n")
+    ).select(
+        "doc_id",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+    )
