@@ -978,3 +978,95 @@ def events_weekly_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+# ====================================================================
+# Correlated scalar subqueries (decorrelation path)
+# ====================================================================
+
+_CORRELATED_SQL = """
+SELECT o.o_orderkey,
+       o.o_custkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(round(o.o_totalprice * 100) AS BIGINT)
+           * (SELECT count(*) FROM orders i
+              WHERE i.o_custkey = o.o_custkey)
+           > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+              FROM orders i WHERE i.o_custkey = o.o_custkey)
+           AS above_customer_avg
+FROM orders o
+"""
+
+
+@query("orders_above_customer_avg", _CORRELATED_SQL)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: each order compared against ITS
+    customer's average order value.  Catalyst decorrelates both
+    subqueries into one aggregate-then-join on o_custkey (verify with
+    .explain: a single additional shuffle, not a per-row loop), and the
+    above-average predicate is the exact integer cross-multiplication
+    ``cents * n > total_cents`` — no float division on the hash.  One
+    SQL string runs verbatim on both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+# ====================================================================
+# Window breadth II: first_value / last_value / nth_value
+# ====================================================================
+
+_FIRST_LAST_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+w AS (
+    SELECT user_id,
+           first_value(event_type) OVER win AS first_type,
+           last_value(event_type) OVER win AS last_type,
+           nth_value(event_id, 2) OVER win AS second_event_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS rn
+    FROM e
+    WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, first_type, last_type, second_event_id
+FROM w WHERE rn = 1
+"""
+
+
+@query("events_first_last_nth", _FIRST_LAST_ORACLE)
+def events_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spanning window breadth: each user's first/last event type
+    and second event id via first_value / last_value / nth_value over
+    an unbounded frame, reduced to one row per user.  (us, event_id)
+    ordering makes every pick deterministic; one shuffle on user_id
+    serves all four window expressions."""
+    from pyspark.sql import Window
+
+    from ..functions.eventtime import event_micros
+    from . import load
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", event_micros(ev).alias("us")
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_type"),
+            F.last("event_type").over(full).alias("last_type"),
+            F.nth_value("event_id", 2).over(full).alias("second_event_id"),
+            F.row_number().over(ordered).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
