@@ -569,3 +569,88 @@ def warehouse_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+# ====================================================================
+# Point-in-time (temporal) join against a versioned dimension
+# ====================================================================
+
+_PIT_ORACLE = """
+WITH dim AS (
+    SELECT o_custkey AS k, o_orderkey AS ok, o_orderpriority AS p,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+probes AS (
+    SELECT o_custkey AS k, o_orderkey AS ok,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (
+    SELECT k, d, 0 AS tag, ok, p FROM dim
+    UNION ALL
+    SELECT k, d, 1 AS tag, ok, NULL AS p FROM probes
+),
+filled AS (
+    SELECT k, d, tag, ok,
+           last_value(p IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY d, tag, ok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS priority_asof
+    FROM u
+)
+SELECT ok AS orderkey, k AS custkey,
+       CAST(d AS VARCHAR) AS orderdate, priority_asof
+FROM filled WHERE tag = 1
+"""
+
+
+@query("orders_point_in_time_join", _PIT_ORACLE)
+def orders_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each probe row picks the dimension version
+    valid AT its date (even-key orders act as the versioned priority
+    dim, odd-key orders probe it).  The naive form is a per-key
+    inequality join (quadratic on hot keys); the scalable re-expression
+    UNIONS dim-change rows and probe rows, sorts once per key on
+    (date, tag, key) — dim sorts before probes on equal dates, giving
+    '<=' semantics — and forward-fills the last dim value with an
+    ignore-nulls window.  ONE shuffle total; probes before any version
+    get NULL, not a fabricated match."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("p"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    dim = orders.where(F.col("ok") % 2 == 0)
+    probes = orders.where(F.col("ok") % 2 == 1).drop("p")
+    u = dim.select(
+        "k", "d", F.lit(0).alias("tag"), "ok", "p"
+    ).unionByName(
+        probes.select(
+            "k", "d", F.lit(1).alias("tag"), "ok",
+            F.lit(None).cast("string").alias("p"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d", "tag", "ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(
+            "priority_asof", F.last("p", ignorenulls=True).over(w)
+        )
+        .where(F.col("tag") == 1)
+        .select(
+            F.col("ok").alias("orderkey"),
+            F.col("k").alias("custkey"),
+            F.col("d").cast("string").alias("orderdate"),
+            "priority_asof",
+        )
+    )
