@@ -1496,3 +1496,31 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("long").alias("bin"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ====================================================================
+# Deterministic hash sampling (reproducible corpus subsetting)
+# ====================================================================
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {md5_int60_sql("CAST(doc_id AS VARCHAR)")} % 5 = 0
+"""
+
+
+@query("documents_hash_sample", _HASH_SAMPLE_ORACLE)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample keyed on a content-stable
+    hash (md5 of the id) — the reproducible subsetting a training
+    pipeline needs where TABLESAMPLE's RNG is neither cross-engine nor
+    run-stable.  The predicate is a pure scan filter: no shuffle, no
+    state, and the SAME rows come back on any engine, any partitioning,
+    any day."""
+    from ..functions.hashing import md5_int60
+
+    return (
+        load(spark, sf_dir, "documents")
+        .where(md5_int60(F.col("doc_id").cast("string")) % 5 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -654,3 +654,54 @@ def orders_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_asof",
         )
     )
+
+
+# ====================================================================
+# Small-file compaction (content-preserving file-count reduction)
+# ====================================================================
+
+_COMPACTION_ORACLE = """
+SELECT o_orderkey AS ok,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents,
+       TRUE AS compacted
+FROM orders
+"""
+
+
+@query("warehouse_compaction", _COMPACTION_ORACLE)
+def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a table written with pathological
+    parallelism (64 splits of a modest table — the streaming-sink /
+    per-trigger small-file disease) is compacted by rewriting through
+    ``repartition(4)``; the post-compaction table READ BACK FROM DISK
+    must carry identical content with the file count actually reduced
+    (asserted into the ``compacted`` column, so a silent no-op fails
+    the hash).  At cluster scale the same rewrite keys on
+    ``maxRecordsPerFile`` / target bytes instead of a fixed 4."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="compaction_")
+    fragmented = f"{root}/fragmented"
+    compacted = f"{root}/compacted"
+    base.repartition(64).write.mode("overwrite").parquet(fragmented)
+    n_frag = len(glob.glob(f"{fragmented}/part-*.parquet"))
+    (
+        spark.read.parquet(fragmented)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    n_comp = len(glob.glob(f"{compacted}/part-*.parquet"))
+    ok = bool(n_frag >= 32 and n_comp <= 8)
+    return spark.read.parquet(compacted).select(
+        "ok", "amt_cents", F.lit(ok).alias("compacted")
+    )
