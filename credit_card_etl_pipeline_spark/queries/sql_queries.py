@@ -1070,3 +1070,30 @@ def events_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ====================================================================
+# CUBE (all grouping combinations in one pass)
+# ====================================================================
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS totalprice_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+"""
+
+
+@query("orders_cube_status_year", _CUBE_SQL)
+def orders_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four granularities of (status × order year) — detail,
+    each one-dimensional margin, and the grand total — expanded
+    map-side into one shuffle like GROUPING SETS; the year key is a
+    computed expression, pinning that grouping-expression (not just
+    column) cubes agree across engines.  Keys are never NULL in the
+    data, so COALESCE labels margins identically."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CUBE_SQL)

@@ -187,3 +187,53 @@ def test_tpch_q4_exists_compiles_to_semi_join(spark):
     assert "LeftSemi" in plan
     # lineitem is probed once, not exploded into the aggregate
     assert "Join LeftSemi" in plan or "LeftSemi BuildRight" in plan
+
+
+def test_tpch_q14_q18_broadcast_no_sort_merge(spark):
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q14_promo_revenue,
+        tpch_q18_large_volume,
+    )
+
+    p14 = _plan(tpch_q14_promo_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p14 and "SortMergeJoin" not in p14
+    assert "PushedFilters" in p14  # shipdate window reaches the scan
+
+    p18 = _plan(tpch_q18_large_volume(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in p18
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    # two correlated scalar subqueries must compile to aggregate+join,
+    # never a per-row nested loop over the fact
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        orders_above_customer_avg,
+    )
+
+    plan = _plan(orders_above_customer_avg(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_for_not_exists(spark):
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        customers_above_avg_no_urgent,
+    )
+
+    plan = _plan(
+        customers_above_avg_no_urgent(spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftAnti" in plan
+
+
+def test_point_in_time_join_single_shuffle(spark):
+    # union + window fill: exactly ONE exchange keyed on the entity —
+    # no inequality join blowup
+    from credit_card_etl_pipeline_spark.queries.warehouse_queries import (
+        orders_point_in_time_join,
+    )
+
+    plan = _plan(orders_point_in_time_join(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one shuffle for the window (plus AQE reads); no join exchanges
+    assert plan.count("hashpartitioning(k") <= 2
