@@ -594,3 +594,167 @@ def events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("obs_day").agg(
         F.count(F.lit(1)).cast("long").alias("n_users_7d")
     ).select(F.col("obs_day").cast("long").alias("obs_day"), "n_users_7d")
+
+
+# ====================================================================
+# Stream-stream join (watermarked, time-bounded self-join)
+# ====================================================================
+
+_SS_JOIN_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+err AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error'),
+pur AS (SELECT user_id, us FROM e WHERE event_type = 'purchase')
+SELECT err.event_id, err.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases_10m
+FROM err JOIN pur
+  ON pur.user_id = err.user_id
+ AND pur.us >= err.us - {_RANGE_WIN_US}
+ AND pur.us < err.us
+GROUP BY err.event_id, err.user_id
+"""
+
+
+@query("stream_stream_join_purchases", _SS_JOIN_ORACLE)
+def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join: the error stream joins the purchase stream
+    on user_id with a time-range condition (purchases in the 10 minutes
+    before each error), both sides watermarked so Spark can bound the
+    join state and drop expired rows — the streaming twin of the batch
+    range join.  Matched pairs land append-mode in a memory sink and
+    are counted per error batch-side; the oracle is the naive batch
+    inequality join (errors with >= 1 match, inner-join semantics)."""
+    import tempfile
+
+    name = f"ss_join_{next(_stateful_run_counter)}"
+    base = events_stream(spark, sf_dir)
+    err = (
+        event_time(base)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("event_ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    pur = (
+        event_time(events_stream(spark, sf_dir))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pur_user"),
+            F.col("event_ts").alias("pur_ts"),
+        )
+        .withWatermark("pur_ts", "1 hour")
+    )
+    joined = err.join(
+        pur,
+        F.expr(
+            "err_user = pur_user AND "
+            "pur_ts >= err_ts - INTERVAL 10 MINUTES AND pur_ts < err_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ssjoin_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("err_id").alias("event_id"),
+            F.col("err_user").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases_10m"))
+    )
+
+
+# ====================================================================
+# foreachBatch sink (per-micro-batch MERGE into a keyed table)
+# ====================================================================
+
+_FOREACH_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_foreachbatch_upsert", _FOREACH_ORACLE)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch's per-user partial aggregate
+    MERGES (full-outer + coalesced sums) into a keyed parquet state
+    table — the canonical pattern for sinks with no native streaming
+    writer (JDBC, lakehouse MERGE).  State is VERSIONED per batch
+    (read v_N, write v_{N+1}, never overwrite what you read) so the
+    merge stays fully distributed — no driver collect, no
+    read-then-overwrite lineage trap — and a replayed batch id simply
+    rewrites its own version (idempotent under checkpoint re-delivery).
+    The final version read back from disk must equal the plain batch
+    aggregate."""
+    import os
+    import tempfile
+
+    state_root = tempfile.mkdtemp(prefix="febatch_state_")
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        prior = [v for v in _versions() if v < batch_id + 1]
+        out = f"{state_root}/v{batch_id + 1}"
+        if not prior:
+            part.write.mode("overwrite").parquet(out)
+            return
+        cur = s.read.parquet(f"{state_root}/v{prior[-1]}")
+        c = cur.alias("c")
+        p = part.alias("p")
+        merged = c.join(
+            p, F.col("c.user_id") == F.col("p.user_id"), "full_outer"
+        ).select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias(
+                "user_id"
+            ),
+            (
+                F.coalesce(F.col("c.n_events"), F.lit(0))
+                + F.coalesce(F.col("p.n_events"), F.lit(0))
+            ).cast("long").alias("n_events"),
+            (
+                F.coalesce(F.col("c.value_cents"), F.lit(0))
+                + F.coalesce(F.col("p.value_cents"), F.lit(0))
+            ).cast("long").alias("value_cents"),
+        )
+        merged.write.mode("overwrite").parquet(out)
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="febatch_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.read.parquet(f"{state_root}/v{_versions()[-1]}")
