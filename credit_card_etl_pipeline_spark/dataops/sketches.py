@@ -89,3 +89,74 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("counter").cast("long").alias("cms_estimate"))
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic HyperLogLog (cross-engine verifiable registers)
+# --------------------------------------------------------------------
+# SURVEY §7 flags approx distinct counting as the opt-in scale variant
+# of the reference's exact nunique.  Spark's approx_count_distinct is a
+# black box to an oracle; this HLL builds its registers from the same
+# md5 hash both engines share, so the SKETCH ITSELF is value-checked —
+# bucket = low 6 bits of the 60-bit hash, rank = position of the
+# lowest set bit of the remaining 54 (max 55), register = max rank.
+
+HLL_M = 64  # registers (2^6 buckets)
+_HLL_SCALE = 56  # 2^(56 - rho) stays exact in int64 for rho in [0, 55]
+
+
+def hll_rho(rest: Column) -> Column:
+    """1-based position of the lowest set bit (0 input → 55, the
+    'all-zero remainder' sentinel).  log2 of a power of two is exact in
+    IEEE doubles, so the cast is safe on any engine."""
+    lsb = rest.bitwiseAND(-rest)
+    return (
+        F.when(rest == 0, F.lit(55))
+        .otherwise(F.log2(lsb).cast("int") + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, col: str, *, m: int = HLL_M
+) -> DataFrame:
+    """(bucket, max_rho) registers of the deterministic HLL over the
+    DISTINCT hash stream of ``col`` — one narrow groupBy, m rows out;
+    mergeable across partitions/streams by max, like any HLL."""
+    h = md5_int60(F.col(col).cast("string"))
+    # integer div, NOT / : the 60-bit hash exceeds double precision
+    prepped = df.select(h.alias("h")).select(
+        F.expr(f"CAST(h % {m} AS INT)").alias("bucket"),
+        F.expr(f"h div {m}").alias("rest"),
+    )
+    rho = hll_rho(F.col("rest"))
+    return (
+        prepped.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *, m: int = HLL_M) -> DataFrame:
+    """Raw HLL estimate from the registers: alpha_m * m^2 / Z, with
+    Z = sum(2^-M_j) over ALL m registers (absent buckets count 2^0).
+    The harmonic sum rides EXACT integers (2^(56 - rho) per register,
+    common denominator 2^56), so the one double division at the end is
+    bit-identical on any engine given identical registers."""
+    s_present = F.sum(F.expr(f"shiftleft(1L, {_HLL_SCALE} - max_rho)"))
+    n_present = F.count(F.lit(1))
+    return registers.agg(
+        (
+            s_present
+            + (F.lit(m) - n_present) * F.lit(1 << _HLL_SCALE)
+        ).cast("long").alias("s_scaled"),
+        n_present.cast("long").alias("n_buckets_hit"),
+    ).select(
+        "n_buckets_hit",
+        "s_scaled",
+        (
+            F.lit(0.7213 / (1 + 1.079 / m))
+            * m * m * float(1 << _HLL_SCALE)
+            / F.col("s_scaled")
+        ).alias("hll_estimate"),
+    )

@@ -1524,3 +1524,87 @@ def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(md5_int60(F.col("doc_id").cast("string")) % 5 == 0)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ====================================================================
+# Deterministic HyperLogLog (approx distinct with a checkable sketch)
+# ====================================================================
+
+_HLL_H_SQL = md5_int60_sql("CAST(o_custkey AS VARCHAR)")
+
+_HLL_REGISTERS_ORACLE = f"""
+WITH hashed AS (
+    SELECT {_HLL_H_SQL} % 64 AS bucket,
+           {_HLL_H_SQL} // 64 AS rest
+    FROM orders
+),
+rho AS (
+    SELECT CAST(bucket AS INT) AS bucket,
+           CASE WHEN rest = 0 THEN 55
+                ELSE CAST(log2(rest & -rest) AS INT) + 1 END AS r
+    FROM hashed
+)
+SELECT bucket, CAST(max(r) AS INT) AS max_rho
+FROM rho GROUP BY bucket
+"""
+
+
+@query("sketch_hll_registers", _HLL_REGISTERS_ORACLE)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog registers over the order-customer
+    stream (SURVEY §7's opt-in approx-distinct path, made verifiable):
+    bucket/rank derive from the cross-engine md5 hash, so the sketch
+    STATE — not just a count — is on the value hash.  One narrow
+    map-side-combined groupBy to 64 rows; registers merge by max, so
+    per-partition/per-day sketches union for free at cluster scale."""
+    from ..dataops.sketches import hll_registers
+
+    return hll_registers(load(spark, sf_dir, "orders"), "o_custkey")
+
+
+_HLL_ESTIMATE_ORACLE = f"""
+WITH hashed AS (
+    SELECT {_HLL_H_SQL} % 64 AS bucket,
+           {_HLL_H_SQL} // 64 AS rest
+    FROM orders
+),
+rho AS (
+    SELECT bucket,
+           CASE WHEN rest = 0 THEN 55
+                ELSE CAST(log2(rest & -rest) AS INT) + 1 END AS r
+    FROM hashed
+),
+regs AS (SELECT bucket, max(r) AS max_rho FROM rho GROUP BY bucket),
+agg AS (
+    SELECT CAST(sum(1::BIGINT << (56 - max_rho))
+                + (64 - count(*)) * (1::BIGINT << 56) AS BIGINT)
+               AS s_scaled,
+           CAST(count(*) AS BIGINT) AS n_buckets_hit
+    FROM regs
+)
+SELECT n_buckets_hit, s_scaled,
+       (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+           * CAST(1::BIGINT << 56 AS DOUBLE) / s_scaled AS hll_estimate,
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS n_exact
+FROM agg
+"""
+
+
+@query("sketch_hll_estimate", _HLL_ESTIMATE_ORACLE)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate next to the exact count: the harmonic
+    sum rides exact integers (2^(56-rho) per register, common
+    denominator 2^56), leaving ONE double division — bit-identical
+    across engines given identical registers, which the registers
+    query proves.  The exact distinct is the expensive full-shuffle
+    the sketch replaces at 100 TB; here it sits in the same row as the
+    estimate so the error is visible on the board."""
+    from ..dataops.sketches import hll_estimate, hll_registers
+
+    orders = load(spark, sf_dir, "orders")
+    est = hll_estimate(hll_registers(orders, "o_custkey"))
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.crossJoin(exact)

@@ -184,3 +184,62 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
+
+
+# ------------------------------------------------------------------
+# First-touch attribution
+# ------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+fp AS (
+    SELECT user_id, min(us) AS p_us
+    FROM e WHERE event_type = 'purchase' GROUP BY user_id
+),
+pre AS (
+    SELECT e.user_id, e.event_type, e.us, e.event_id
+    FROM e JOIN fp USING (user_id)
+    WHERE e.us < fp.p_us
+),
+ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS rn
+    FROM pre
+)
+SELECT event_type AS first_touch, CAST(count(*) AS BIGINT) AS n_users
+FROM ranked WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+@query("events_attribution_first_touch", _ATTRIBUTION_ORACLE)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: for every converting user, the type of
+    their earliest event strictly before their first purchase, counted
+    per channel.  The purchase frontier is a filtered pre-aggregation
+    (shuffles the purchase slice only); the join back is key-aligned on
+    user_id, and the per-user pick is a row_number window with the
+    (us, event_id) tiebreak both engines share."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", event_micros(ev).alias("us")
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    pre = e.join(fp, "user_id").where(F.col("us") < F.col("p_us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("first_touch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
