@@ -705,3 +705,104 @@ def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "ok", "amt_cents", F.lit(ok).alias("compacted")
     )
+
+
+# ====================================================================
+# Clustered (sorted) write — data-skipping layout on the hash
+# ====================================================================
+
+_SORTED_WRITE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS clustered
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("warehouse_sorted_write", _SORTED_WRITE_ORACLE)
+def warehouse_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering for data skipping: the events table is rewritten
+    repartitioned + sorted on event_type, so within every file the
+    parquet row groups are ORDERED AND NON-OVERLAPPING on the cluster
+    key (each row group's min >= the previous one's max) — the layout
+    that lets a type-filtered scan skip row groups by footer stats at
+    100 TB (the poor man's Z-order for a single key).  The claim is
+    VERIFIED from the written footers (pyarrow statistics) and asserted
+    onto the hashed output; content parity comes from the read-back
+    aggregate."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    path = tempfile.mkdtemp(prefix="sorted_write_") + "/events_clustered"
+    (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id")
+        .repartition(4, F.col("event_type"))
+        .sortWithinPartitions("event_type")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    tight = True
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("event_type")
+        prev_max = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or (prev_max is not None and st.min < prev_max):
+                tight = False
+            if st is not None:
+                prev_max = st.max
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn("clustered", F.lit(bool(tight)))
+    )
+
+
+# ====================================================================
+# Schema evolution (mergeSchema read across file generations)
+# ====================================================================
+
+_EVOLUTION_ORACLE = """
+SELECT o_orderkey AS ok,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+FROM orders
+"""
+
+
+@query("warehouse_schema_evolution", _EVOLUTION_ORACLE)
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: generation 1 files carry (ok, amt_cents),
+    generation 2 adds a priority column; a single ``mergeSchema`` read
+    unifies them with NULLs for the pre-evolution rows — the
+    append-only column-add story every long-lived warehouse needs
+    (no rewrite of history).  The hashed result is the merged table
+    read back from disk."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/facts"
+    orders.where(F.col("ok") % 2 == 0).drop("priority").write.mode(
+        "overwrite"
+    ).parquet(path)
+    orders.where(F.col("ok") % 2 == 1).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "ok", "amt_cents", "priority"
+    )
