@@ -1608,3 +1608,51 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("n_exact")
     )
     return est.crossJoin(exact)
+
+
+# ====================================================================
+# Python UDTF (table function) — sentence segmentation
+# ====================================================================
+
+_UDTF_SENTENCES_ORACLE = """
+WITH parts AS (
+    SELECT doc_id,
+           u.i - 1 AS pos,
+           trim(s[u.i]) AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents),
+         UNNEST(generate_series(1, len(s))) AS u(i)
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, sentence
+FROM parts WHERE sentence <> ''
+"""
+
+
+@query("udtf_sentence_split", _UDTF_SENTENCES_ORACLE)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): a sentence
+    segmenter that fans each document into (pos, sentence) rows via a
+    LATERAL join — the API for row-multiplying Python logic that
+    doesn't fit a scalar UDF (its eval streams per-row through Arrow
+    like any Python worker stage).  Here the segmentation rule is
+    deliberately SQL-expressible so the UDTF machinery itself —
+    registration, lateral correlation, fan-out schema — is what the
+    oracle checks; a production segmenter would carry the
+    model/abbreviation logic SQL can't."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(". ")):
+                s = raw.strip()
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM docs_udtf d, LATERAL sentence_split(d.text) s"
+    )
