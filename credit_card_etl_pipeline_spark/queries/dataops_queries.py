@@ -1656,3 +1656,46 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.sentence "
         "FROM docs_udtf d, LATERAL sentence_split(d.text) s"
     )
+
+
+# ====================================================================
+# Per-stratum fixed-size deterministic sample
+# ====================================================================
+
+_STRATUM_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {md5_int60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM keyed WHERE rk <= 5
+"""
+
+
+@query("documents_stratified_fixed_sample", _STRATUM_SAMPLE_ORACLE)
+def documents_stratified_fixed_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-stratum fixed-size sampling: exactly 5 docs per language,
+    chosen by ranking each stratum on the cross-engine md5 hash — the
+    deterministic equivalent of per-group reservoir sampling (eval-set
+    carving, per-source quota enforcement).  One shuffle on the
+    stratum key; the hash order is data-independent, so the SAME
+    sample survives repartitioning, engine swaps, and reruns."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int60
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_int60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )

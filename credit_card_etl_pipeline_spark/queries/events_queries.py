@@ -243,3 +243,39 @@ def events_attribution_first_touch(
         .groupBy(F.col("event_type").alias("first_touch"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# ------------------------------------------------------------------
+# Day-of-week × hour activity heatmap (integer calendar math)
+# ------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+WITH e AS (
+    SELECT epoch_us(ts) AS us FROM events
+)
+SELECT CAST(((us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+       CAST((us // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@query("events_hourly_heatmap", _HEATMAP_ORACLE)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap.  Calendar fields
+    derive from PURE integer epoch arithmetic (1970-01-01 was a
+    Thursday, so dow = (days + 4) % 7 with 0 = Sunday) rather than the
+    engines' dayofweek() builtins, whose numbering conventions differ
+    (Spark counts 1-7 from Sunday, DuckDB 0-6) — the classic silent
+    cross-engine off-by-one this query pins shut."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(event_micros(ev).alias("us"))
+    return (
+        e.select(
+            F.expr("(us div 86400000000 + 4) % 7").cast("long").alias("dow"),
+            F.expr("(us div 3600000000) % 24").cast("long").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
