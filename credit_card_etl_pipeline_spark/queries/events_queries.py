@@ -279,3 +279,53 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+# ------------------------------------------------------------------
+# Time-decayed engagement score (half-life weighting, exact integers)
+# ------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us FROM events
+),
+anchor AS (SELECT max(us) AS max_us FROM e),
+aged AS (
+    SELECT user_id,
+           least((max_us - us) // 604800000000, 50) AS weeks_old
+    FROM e CROSS JOIN anchor
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1::BIGINT << (50 - weeks_old)) AS BIGINT)
+           AS decayed_score_x2e50
+FROM aged
+GROUP BY user_id
+"""
+
+
+@query("events_decayed_user_score", _DECAY_ORACLE)
+def events_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score (the recency weighting a
+    feature store applies to interaction counts): each event
+    contributes 2^-weeks_old, summed per user.  The half-life is a
+    power of two ON PURPOSE — every contribution is an exact BIGINT
+    (2^(50-age), age capped at 50 weeks ≈ a 1e-15 weight), so the
+    score needs no float pow() whose libm rounding differs across
+    engines.  The corpus-max anchor is a 1-row broadcast; one shuffle
+    on user_id."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", event_micros(ev).alias("us"))
+    anchor = e.agg(F.max("us").alias("max_us"))
+    aged = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.least(
+            F.expr("(max_us - us) div 604800000000"), F.lit(50)
+        ).alias("weeks_old"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("shiftleft(1L, CAST(50 - weeks_old AS INT))"))
+        .cast("long")
+        .alias("decayed_score_x2e50"),
+    )
