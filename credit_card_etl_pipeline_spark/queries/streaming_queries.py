@@ -2,8 +2,9 @@
 
 The window functions in ``streaming.windows`` are batch/stream
 symmetric; here the batch shape runs against DuckDB oracles that
-recompute every window in pure integer epoch arithmetic (nanos →
-micros → bucket), so the window assignment logic itself is
+recompute every window in pure integer epoch arithmetic (epoch micros
+→ bucket; Spark derives the same micros type-adaptively via
+functions.eventtime), so the window assignment logic itself is
 value-checked.  Stream == batch is asserted separately in
 tests/test_streaming.py.
 """
@@ -22,7 +23,7 @@ from ..streaming.windows import (
 )
 from . import load, query
 
-#: epoch micros of the nanos timestamp, exact integer arithmetic.
+#: epoch micros of the event timestamp, exact integer arithmetic.
 _US_SQL = "epoch_us(ts)"
 
 _TUMBLING_ORACLE = f"""
