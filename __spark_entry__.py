@@ -26,27 +26,59 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering: queries with no driver correctness row yet (per the
-    committed CORRECTNESS_r*.json) come first.  The driver samples a
-    prefix of this dict each round, so surfacing never-verified
-    queries first spends the per-round check budget where it adds
-    signal; previously-verified queries follow in registration order.
+    Ordering (the driver samples a prefix of this dict each round, so
+    ordering decides where the per-round check budget goes):
+
+    1. queries with no driver correctness row in any committed
+       CORRECTNESS_r*.json (never verified),
+    2. queries whose LATEST driver row is a failure (so a fix made
+       since that round gets re-checked instead of carrying a stale
+       red row — the round-4 process bug),
+    3. previously-green queries, least-recently-verified round first,
+       so old greens rotate back through the sample and regressions
+       in already-verified queries still get caught.
+
+    Within each tier, registration order is preserved (stable sort).
     """
     import glob
     import json
     import os
 
-    seen: set[str] = set()
+    # name -> (round_index_of_latest_row, latest_row_was_green)
+    latest: dict[str, tuple[int, bool]] = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                rows = json.load(fh)
         except Exception:
             continue
-    fresh = {k: v for k, v in q.QUERIES.items() if k not in seen}
-    rest = {k: v for k, v in q.QUERIES.items() if k in seen}
-    return {**fresh, **rest}
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                latest[name] = (rnd, False)
+                continue
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and not row.get("err")
+                # hash_match is None for rows-only (no-oracle) checks;
+                # only an explicit False is a failure.
+                and row.get("hash_match") is not False
+            )
+            latest[name] = (rnd, green)
+
+    def tier(name: str) -> tuple[int, int]:
+        if name not in latest:
+            return (0, 0)  # never verified
+        rnd, green = latest[name]
+        if not green:
+            return (1, rnd)  # latest row is a failure: re-check next
+        return (2, rnd)  # green: least-recently-verified first
+
+    ordered = sorted(q.QUERIES, key=tier)
+    return {name: q.QUERIES[name] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -7,8 +7,18 @@ factor and prints ONE parseable JSON line:
 
 Timing = full plan execution into a no-op sink (``format("noop")``), so
 scan + shuffle + expression costs are measured without driver collect
-overhead.  Per-query wall times land in ``BENCH_r{N}.json`` for
-round-over-round comparison.
+overhead.
+
+Output contract (the driver records only the LAST 2000 chars of stdout,
+so a single 4.5 KB line with all 120 per-query timings can never survive
+intact — round 4 recorded ``parsed: null`` for exactly that reason):
+
+* one short ``BENCHQ {"q": name, "sec": s}`` line per query as it runs,
+* the COMPLETE result JSON (all per-query timings) written to
+  ``BENCH_FULL.json`` next to this script,
+* a compact final stdout JSON line (< 2000 chars, guaranteed intact in
+  the tail) carrying metric/value/sf/env plus the slowest-10 queries and
+  a ``queries_full`` pointer to the file.
 
     SPARK_GRAFT_SF_DIR  corpus dir   (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local cores  (default 32)
@@ -35,6 +45,10 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # comma-separated allowlist for local iteration
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-run initialization.
@@ -62,6 +76,9 @@ def main() -> int:
             # best-of-N damps host-load noise (BENCH_HISTORY shows ~1.5×
             # wall variance on the driver box for identical code)
             timings[name] = round(best, 3)
+            print(f'BENCHQ {{"q": "{name}", "sec": {timings[name]}}}', flush=True)
+        else:
+            print(f'BENCHQ {{"q": "{name}", "err": true}}', flush=True)
 
     import pyspark
 
@@ -87,12 +104,37 @@ def main() -> int:
     if failures:
         result["failures"] = failures
         result["n_failed"] = len(failures)
-    print(json.dumps(result, ensure_ascii=False))
-    # A partial failure must not erase the whole round's perf record
-    # (round 3: 12 broken queries -> rc 1 -> driver recorded parsed:
-    # null for the 73 healthy ones).  The JSON carries `failures`;
-    # exit non-zero only when nothing ran.
-    return 0 if timings else 1
+
+    # Complete record (all per-query timings) -> file; the driver's
+    # 2000-char stdout tail cannot hold it as one line.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, ensure_ascii=False)
+        fh.write("\n")
+
+    # Compact final line, guaranteed < 2000 chars so it survives intact
+    # in the driver tail: slowest-10 queries inline, rest in the file
+    # and in the BENCHQ lines above.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = dict(result)
+    compact["queries"] = slowest
+    compact["queries_full"] = "BENCH_FULL.json"
+    if failures:
+        # keep the final line bounded even if many queries break
+        names = sorted(failures)
+        compact["failures"] = {n: failures[n][:80] for n in names[:5]}
+        if len(names) > 5:
+            compact["failures_truncated"] = len(names) - 5
+    print(json.dumps(compact, ensure_ascii=False), flush=True)
+    # rc contract: 0 = all queries timed, 2 = partial failure (perf
+    # record still parseable -- see `failures`), 1 = nothing ran.
+    if not timings:
+        return 1
+    return 2 if failures else 0
 
 
 if __name__ == "__main__":
