@@ -26,6 +26,11 @@ from .functions.hashing import md5_int60
 #: engine's synthetic corpus so samples stay interesting).
 DEFAULT_KEYWORDS = ["LinePay", "Line", "街口", "繳款"]
 
+#: mask_cards collects the distinct card set to the driver; a card
+#: dimension is bounded (a portfolio is thousands of PANs), so anything
+#: past this is a mis-keyed column, not a bigger portfolio.
+MAX_DISTINCT_CARDS = 1_000_000
+
 
 def _rand_factor(id_col: Column, salt: str) -> Column:
     """Deterministic uniform-ish factor in [0.95, 1.05): the H15 noise
@@ -111,11 +116,25 @@ def mask_cards(
     custom_map: dict[str, str] | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
     """C7 (generate_mock.py:145): pseudonymize via broadcast map join +
-    coalesce; unmapped (null) cards pass through."""
-    cards = [
-        r[0]
-        for r in df.select(card_col).where(F.col(card_col).isNotNull()).distinct().collect()
-    ]
+    coalesce; unmapped (null) cards pass through.
+
+    The distinct card set is collected to the driver — correct for a
+    card DIMENSION (a portfolio holds thousands of PANs, not billions),
+    but a mis-keyed call (e.g. passing the transaction id column) would
+    otherwise stream a fact-sized distinct into driver memory, so the
+    cardinality is checked first and the call fails fast above
+    ``MAX_DISTINCT_CARDS``."""
+    distinct_cards = (
+        df.select(card_col).where(F.col(card_col).isNotNull()).distinct()
+    )
+    n = distinct_cards.count()
+    if n > MAX_DISTINCT_CARDS:
+        raise ValueError(
+            f"mask_cards: {n} distinct values in {card_col!r} exceeds "
+            f"MAX_DISTINCT_CARDS={MAX_DISTINCT_CARDS}; this column does "
+            "not look like a card dimension (mis-keyed call?)"
+        )
+    cards = [r[0] for r in distinct_cards.collect()]
     fake_map = build_card_mask(cards, custom_map)
     if not fake_map:
         return df, {}

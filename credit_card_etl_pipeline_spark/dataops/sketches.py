@@ -143,7 +143,11 @@ def hll_estimate(registers: DataFrame, *, m: int = HLL_M) -> DataFrame:
     The harmonic sum rides EXACT integers (2^(56 - rho) per register,
     common denominator 2^56), so the one double division at the end is
     bit-identical on any engine given identical registers."""
-    s_present = F.sum(F.expr(f"shiftleft(1L, {_HLL_SCALE} - max_rho)"))
+    # coalesce: sum over ZERO register rows is NULL, but an empty
+    # register set means every bucket is absent -> Z = m * 2^0 exactly
+    s_present = F.coalesce(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_SCALE} - max_rho)")), F.lit(0)
+    )
     n_present = F.count(F.lit(1))
     return registers.agg(
         (

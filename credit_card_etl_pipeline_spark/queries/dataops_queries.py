@@ -1646,7 +1646,9 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             for i, raw in enumerate(text.split(". ")):
-                s = raw.strip()
+                # strip SPACES only: the oracle's trim() does not eat
+                # tabs/newlines, so neither may the Python side
+                s = raw.strip(" ")
                 if s:
                     yield i, s
 

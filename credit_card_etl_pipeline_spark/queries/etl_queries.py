@@ -601,6 +601,63 @@ def ingest_excel_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# A6 legacy OLE2 .xls ingest (vendored stdlib BIFF8 reader; etl.py:312-316)
+# ====================================================================
+
+_XLS_SPEC = BankSpec(
+    bank_id="taishin_bank",
+    keywords=["台新"],
+    file_type="excel",
+    header_keyword=None,
+    columns_mapping={
+        "消費日": S.TRANSACTION_DATE,
+        "卡號末四碼": S.CARD_NO,
+        "消費明細": S.MERCHANT,
+        "新臺幣金額": S.AMOUNT,
+    },
+)
+
+_XLS_ORACLE = """
+SELECT bank, CAST(pos AS BIGINT) AS pos,
+       CAST(txn_date AS VARCHAR) AS txn_date,
+       CAST(card_no AS VARCHAR) AS card_no,
+       CAST(merchant AS VARCHAR) AS merchant,
+       CAST(amount AS VARCHAR) AS amount,
+       CAST(base_year AS INTEGER) AS base_year,
+       CAST(bill_month AS INTEGER) AS bill_month
+FROM (VALUES
+('taishin_bank', 0, '06/01', '4321', '超商 寄杯', '55', 2024, 6),
+('taishin_bank', 1, '06/03', '4321', '高鐵 台北-左營', '1490', 2024, 6),
+('taishin_bank', 2, '06/07', '', '台新Richart轉帳回饋', '-120', 2024, 6),
+('taishin_bank', 3, '06/15', '8765', '書店  文具', '2,480', 2024, 6)
+) AS t(bank, pos, txn_date, card_no, merchant, amount, base_year, bill_month)
+"""
+
+
+@query("ingest_xls_statement", _XLS_ORACLE)
+def ingest_xls_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (etl.py:312-316): legacy binary .xls statement ingest.  The
+    OLE2 container is sniffed by magic bytes and parsed by the vendored
+    stdlib BIFF8 reader (sources/xls.py — [MS-CFB]/[MS-XLS], SST/
+    LABELSST/NUMBER/RK records), checked against the hand-transcribed
+    content of the committed fixture workbook (tools/make_xls_fixture.py
+    regenerates it)."""
+    df = read_excel_statement(
+        spark, str(_FIXTURE_DIR.parent / "台新_202406.xls"), _XLS_SPEC
+    )
+    return df.select(
+        F.col(S.BANK_NAME).alias("bank"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col(S.TRANSACTION_DATE).alias("txn_date"),
+        F.col(S.CARD_NO).alias("card_no"),
+        F.col(S.MERCHANT).alias("merchant"),
+        F.col(S.AMOUNT).alias("amount"),
+        F.col("base_year").cast("int").alias("base_year"),
+        F.col("bill_month").cast("int").alias("bill_month"),
+    )
+
+
+# ====================================================================
 # JSONL corpus ingest (the jsonl interchange format LLM corpora ship as)
 # ====================================================================
 

@@ -391,42 +391,48 @@ def sniff_workbook_format(path: str) -> str:
 def read_excel_statement(
     spark: SparkSession, path: str, spec: BankSpec
 ) -> DataFrame:
-    """A6 (etl.py:312-316): driver-side Excel read — ``pandas.read_excel``
-    when an engine is installed, else the vendored stdlib .xlsx parser
-    (sources.xlsx).  The file format is sniffed from magic bytes, so an
-    HTML table masquerading under an ``.xls`` name (reference
-    README.md:98) parses via the HTML path and a true OLE2 binary .xls
-    fails with an actionable error instead of a zipfile traceback."""
-    try:
-        pdf = pd.read_excel(path, dtype=str)
-    except ImportError as e:  # openpyxl/xlrd not in the runtime
-        kind = sniff_workbook_format(path)
-        if kind == "html":
-            with open(path, "rb") as f:
-                text = f.read().decode(spec.encoding, errors="replace")
-            lines = html_table_lines(text, spec.header_keyword)
-            if not lines:
-                raise ValueError(
-                    f"no matching HTML table in {path}"
-                ) from e
-            grid = [ln.split(HTML_CELL_SEP) for ln in lines]
-            width = len(grid[0])
-            body = [r[:width] + [""] * (width - len(r)) for r in grid[1:]]
-            pdf = pd.DataFrame(body, columns=grid[0])
-        elif kind == "xlsx":
+    """A6 (etl.py:312-316): driver-side Excel read.  The file format is
+    sniffed from magic bytes BEFORE any parser touches it, so an HTML
+    table masquerading under an ``.xls`` name (reference README.md:98)
+    always parses via the HTML path — even when a pandas Excel engine
+    is installed and would raise a raw ValueError/BadZipFile on it —
+    a true OLE2 binary .xls goes through the vendored stdlib BIFF8
+    parser (sources.xls), and a real .xlsx goes through
+    ``pandas.read_excel`` when an engine is installed, else the
+    vendored stdlib .xlsx parser (sources.xlsx)."""
+    kind = sniff_workbook_format(path)
+    if kind == "html":
+        with open(path, "rb") as f:
+            text = f.read().decode(spec.encoding, errors="replace")
+        lines = html_table_lines(text, spec.header_keyword)
+        if not lines:
+            raise ValueError(f"no matching HTML table in {path}")
+        grid = [ln.split(HTML_CELL_SEP) for ln in lines]
+        width = len(grid[0])
+        body = [r[:width] + [""] * (width - len(r)) for r in grid[1:]]
+        pdf = pd.DataFrame(body, columns=grid[0])
+    elif kind == "xls":
+        from .xls import read_xls_rows
+
+        rows = read_xls_rows(path)
+        if not rows:
+            raise ValueError(f"empty workbook: {path}")
+        pdf = pd.DataFrame(rows[1:], columns=rows[0])
+    elif kind == "xlsx":
+        try:
+            pdf = pd.read_excel(path, dtype=str)
+        except (ImportError, ValueError) as e:  # no engine / engine balked
             from .xlsx import read_xlsx_rows
 
             rows = read_xlsx_rows(path)
             if not rows:
                 raise ValueError(f"empty workbook: {path}") from e
             pdf = pd.DataFrame(rows[1:], columns=rows[0])
-        else:  # true OLE2 binary .xls (or junk) — honest failure
-            raise NotImplementedError(
-                f"{path}: {'OLE2 binary .xls' if kind == 'xls' else 'unrecognized workbook format'}"
-                " requires a pandas Excel engine (xlrd); convert to"
-                " .xlsx/CSV.  (HTML masquerading as .xls is sniffed and"
-                " parsed automatically — this file is not HTML.)"
-            ) from e
+    else:
+        raise NotImplementedError(
+            f"{path}: unrecognized workbook format (not zip/.xlsx,"
+            " OLE2/.xls, or HTML); convert to .xlsx/CSV."
+        )
     pdf.columns = [" ".join(str(c).split()) for c in pdf.columns]
     pdf = pdf.astype(str)  # raw cells as strings BEFORE adding typed cols
     pdf["path"] = path

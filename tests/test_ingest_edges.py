@@ -41,9 +41,10 @@ def test_headerless_fallback_uses_first_line(spark, tmp_path):
     assert rows == []
 
 
-def test_excel_statement_path(spark, monkeypatch):
-    # A6 without a workbook engine: monkeypatch the pandas reader so the
-    # mapping/typing/ordering plumbing is exercised for real
+def test_excel_statement_path(spark, monkeypatch, tmp_path):
+    # A6 with a (faked) workbook engine: monkeypatch the pandas reader
+    # so the mapping/typing/ordering plumbing is exercised for real.
+    # The file itself only needs the zip magic — sniffing runs first.
     import pandas as pd
 
     from credit_card_etl_pipeline_spark.sources.ingest import (
@@ -62,7 +63,9 @@ def test_excel_statement_path(spark, monkeypatch):
 
     monkeypatch.setattr(pd, "read_excel", fake_read_excel)
     spec = DEFAULT_BANK_SPECS[0]
-    df = read_excel_statement(spark, "/tmp/玉山_202401.xlsx", spec)
+    xlsx = tmp_path / "玉山_202401.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04 fake zip body")
+    df = read_excel_statement(spark, str(xlsx), spec)
     rows = df.orderBy("pos").collect()
     assert dict(df.dtypes)["pos"] == "bigint"  # E2 ordering must be numeric
     assert [r["pos"] for r in rows] == list(range(12))
@@ -149,11 +152,30 @@ def test_workbook_sniffing_ole2_and_html(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(pd, "read_excel", no_engine)
     spec = DEFAULT_BANK_SPECS[0]
 
+    junk = tmp_path / "玉山_202401.dat"
+    junk.write_bytes(b"\x00\x01\x02\x03 not a workbook at all")
+    assert sniff_workbook_format(str(junk)) == "unknown"
+    with pytest.raises(NotImplementedError, match="unrecognized workbook"):
+        read_excel_statement(spark, str(junk), spec)
+
+    # true OLE2 .xls now parses via the vendored BIFF8 reader
+    from credit_card_etl_pipeline_spark.sources.xls import write_minimal_xls
+
     ole2 = tmp_path / "玉山_202401.xls"
-    ole2.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    write_minimal_xls(
+        str(ole2),
+        [
+            ["交易日期", "交易說明", "臺幣金額"],
+            ["01/05", "超商", "89"],
+            ["01/09", "書店", 450],
+        ],
+    )
     assert sniff_workbook_format(str(ole2)) == "xls"
-    with pytest.raises(NotImplementedError, match="OLE2 binary .xls"):
-        read_excel_statement(spark, str(ole2), spec)
+    df = read_excel_statement(spark, str(ole2), spec)
+    got = {r["pos"]: r for r in df.collect()}
+    assert len(got) == 2
+    assert got[1][S.MERCHANT] == "書店" and got[1][S.AMOUNT] == "450"
+    assert got[0]["base_year"] == 2024 and got[0]["bill_month"] == 1
 
     cells = "".join(
         f"<tr><td>01/{i:02d}</td><td>SHOP{i}</td><td>{100 + i}</td></tr>"
