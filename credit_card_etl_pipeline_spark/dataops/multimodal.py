@@ -3,11 +3,15 @@
 Media (image/audio/video) travels as opaque ``binary`` columns paired
 with a typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through
-driver memory.  The actual codecs are NOT part of the engine's
-dependency set (no PIL/ffmpeg in this runtime): :func:`decode_media`
-ships the real plumbing — schema, batching, partition shape — with the
-decoder stubbed behind ``NotImplementedError`` and a deterministic
-fake for tests (``fake=True``).
+driver memory.
+
+Image decode is REAL: Pillow when installed (JPEG/PNG/anything PIL
+reads), else the vendored stdlib PNG codec (dataops/png.py) for PNG
+payloads — so ``decode_media(..., fake=False)`` works on actual images
+in this runtime.  ``fake=True`` keeps the deterministic byte-histogram
+pseudo-decoder used by the SQL-expressible oracle queries.  Audio/video
+demuxing has no stdlib path and still raises ``NotImplementedError``
+at the exact call site a pyav/ffmpeg integration would fill.
 """
 
 from __future__ import annotations
@@ -18,6 +22,33 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import png as _png
+
+
+def decode_image_gray(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, luminance bytes) of a real encoded image.
+
+    Prefers Pillow (any format it reads); falls back to the vendored
+    PNG codec for PNG payloads.  Raises ``NotImplementedError`` only
+    when the payload is a non-PNG format AND Pillow is absent."""
+    try:
+        from PIL import Image  # optional dependency, not in runtime
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:
+            gray = im.convert("L")
+            return gray.width, gray.height, gray.tobytes()
+    if data[:8] == _png.PNG_MAGIC:
+        w, h, channels, pixels = _png.decode_png(data)
+        return w, h, _png.to_gray(channels, pixels)
+    raise NotImplementedError(
+        "non-PNG image decode requires Pillow; this runtime ships only "
+        "the vendored PNG codec (dataops/png.py)"
+    )
 
 #: Metadata carried alongside every media payload.
 MEDIA_METADATA_TYPE = T.StructType(
@@ -65,26 +96,25 @@ def decode_media(
 ) -> DataFrame:
     """Arrow-batched media decode returning per-item features.
 
-    With ``fake=True`` the "decoder" emits a deterministic 16-bin byte
-    histogram — exercising the real batch path (schema, Arrow transfer,
-    per-partition batching) without codec libraries.  With
-    ``fake=False`` it raises ``NotImplementedError`` inside the worker,
-    marking exactly where a PIL/torchaudio/pyav call would go.
+    With ``fake=False`` (the real path) payloads are decoded as images
+    — Pillow when installed, else the vendored PNG codec — and the
+    feature is a 16-bin LUMINANCE histogram of the decoded pixels.
+    With ``fake=True`` the "decoder" emits a 16-bin histogram of the
+    raw payload bytes instead: same batch path (schema, Arrow transfer,
+    per-partition batching), but SQL-expressible, which is what the
+    fake-mode oracle queries check.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires codec libraries (PIL/ffmpeg) "
-                    "not present in this runtime; pass fake=True for the "
-                    "deterministic test decoder"
-                )
             ids, sizes, feats = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                source = (
+                    data if fake else decode_image_gray(data)[2]
+                )
                 hist = [0] * 16
-                for byte in data:
+                for byte in source:
                     hist[byte >> 4] += 1
                 ids.append(doc_id)
                 sizes.append(len(data))
@@ -117,26 +147,30 @@ def resize_images(
     height: int = 8,
     fake: bool = False,
 ) -> DataFrame:
-    """Image resize plumbing: Arrow-batched, emits fixed-dimension pixel
-    buffers.  The fake decoder tiles payload bytes into the target
-    w×h buffer (truncate/repeat) — real shape contract, no codec."""
+    """Image resize: Arrow-batched, emits fixed-dimension pixel buffers.
+
+    Real path (``fake=False``): decode to luminance (Pillow or the
+    vendored PNG codec), then nearest-neighbor resample to w×h.  The
+    fake decoder tiles payload bytes into the target buffer
+    (truncate/repeat) — same shape contract, SQL-expressible."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
+
+        def real(data: bytes) -> bytes:
+            w, h, gray = decode_image_gray(data)
+            return _png.resize_nearest(gray, w, h, width, height)
+
+        def tiled(data: bytes) -> bytes:
+            return (data * (size // max(len(data), 1) + 1))[:size]
+
+        pix = tiled if fake else real
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec library (PIL); "
-                    "pass fake=True for the deterministic test path"
-                )
             out = {
                 "doc_id": list(pdf[id_col]),
                 "width": [width] * len(pdf),
                 "height": [height] * len(pdf),
-                "pixels": [
-                    (bytes(p) * (size // max(len(bytes(p)), 1) + 1))[:size]
-                    for p in pdf[payload_col]
-                ],
+                "pixels": [pix(bytes(p)) for p in pdf[payload_col]],
             }
             yield pd.DataFrame(out)
 

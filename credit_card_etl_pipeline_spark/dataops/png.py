@@ -1,0 +1,217 @@
+"""Vendored minimal PNG codec (stdlib only — ``zlib`` + ``struct``).
+
+The multimodal operators (multimodal.py) need a REAL image decode path
+in a runtime that ships no codec libraries.  PNG is a public format
+(RFC 2083 / W3C PNG spec) whose baseline profile — 8-bit depth,
+grayscale / RGB / RGBA / palette, the five scanline filters, no
+interlace — is small enough to vendor:
+
+* :func:`decode_png` → ``(width, height, channels, pixels)`` with all
+  five filter types (None/Sub/Up/Average/Paeth) reconstructed.
+* :func:`encode_png` writes valid PNGs and deliberately cycles the
+  scanline filter per row, so a decode of our own output exercises
+  every reconstruction branch — not just the trivial filter-0 path.
+* :func:`to_gray` / :func:`resize_nearest` — the luminance + resize
+  helpers the multimodal operators build on.
+
+Interlaced (Adam7) and 16-bit images raise ``NotImplementedError`` —
+outside the baseline profile this engine needs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: channels per color type (PNG spec 4.1.1)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    off = 8
+    while off + 8 <= len(data):
+        length = struct.unpack_from(">I", data, off)[0]
+        ctype = data[off + 4 : off + 8]
+        yield ctype, data[off + 8 : off + 8 + length]
+        off += 12 + length  # length + type + payload + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytearray:
+    """Reverse per-scanline filtering (PNG spec 6) into raw samples."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = y * stride
+        prev_base = base - stride
+        for x in range(stride):
+            a = out[base + x - bpp] if x >= bpp else 0
+            b = out[prev_base + x] if y > 0 else 0
+            c = (
+                out[prev_base + x - bpp] if (y > 0 and x >= bpp) else 0
+            )
+            v = line[x]
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = v + a
+            elif ftype == 2:
+                r = v + b
+            elif ftype == 3:
+                r = v + ((a + b) >> 1)
+            elif ftype == 4:
+                r = v + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            out[base + x] = r & 0xFF
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixels) — pixels are row-major
+    interleaved samples; palette images are expanded to RGB."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = 0
+    depth = color = interlace = 0
+    idat = bytearray()
+    palette = b""
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif ctype == b"PLTE":
+            palette = payload
+        elif ctype == b"IDAT":
+            idat += payload
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG")
+    if color not in _CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    bpp = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    expect = height * (width * bpp + 1)
+    if len(raw) != expect:
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {expect}"
+        )
+    samples = _unfilter(raw, width, height, bpp)
+    if color == 3:  # palette → RGB
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(samples):
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, bpp, bytes(samples)
+
+
+def to_gray(channels: int, pixels: bytes) -> bytes:
+    """Integer-arithmetic luminance (ITU-R BT.601 weights scaled /256):
+    deterministic across engines, no floating point."""
+    if channels == 1:
+        return pixels
+    if channels == 2:  # gray + alpha
+        return pixels[0::2]
+    out = bytearray(len(pixels) // channels)
+    for i in range(len(out)):
+        r = pixels[channels * i]
+        g = pixels[channels * i + 1]
+        b = pixels[channels * i + 2]
+        out[i] = (77 * r + 150 * g + 29 * b) >> 8
+    return bytes(out)
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resize of a single-channel pixel buffer."""
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = y * height // new_h
+        row = sy * width
+        base = y * new_w
+        for x in range(new_w):
+            out[base + x] = pixels[row + x * width // new_w]
+    return bytes(out)
+
+
+# ------------------------------------------------------------------
+# Encoder
+# ------------------------------------------------------------------
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload))
+    )
+
+
+def _filter_line(
+    ftype: int, line: bytes, prev: bytes, bpp: int
+) -> bytes:
+    out = bytearray(len(line))
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b = prev[x] if prev else 0
+        c = prev[x - bpp] if (prev and x >= bpp) else 0
+        v = line[x]
+        if ftype == 0:
+            out[x] = v
+        elif ftype == 1:
+            out[x] = (v - a) & 0xFF
+        elif ftype == 2:
+            out[x] = (v - b) & 0xFF
+        elif ftype == 3:
+            out[x] = (v - ((a + b) >> 1)) & 0xFF
+        else:
+            out[x] = (v - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Valid 8-bit PNG (gray, gray+alpha, RGB, or RGBA by channel
+    count).  The scanline filter cycles ``row % 5`` so decoding our own
+    output exercises every filter-reconstruction branch."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+    raw = bytearray()
+    prev = b""
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_line(ftype, line, prev, channels)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )

@@ -1440,8 +1440,9 @@ FROM p
 def multimodal_resize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing (dataops.multimodal.resize_images): every
     payload maps to a fixed 8x8 buffer via the deterministic
-    truncate/repeat fake (PIL absent) — fixed-dimension output contract
-    and Arrow batch shape on the hash, hex-compared."""
+    truncate/repeat fake — the SQL-expressible mode; the real decode
+    path is pinned by multimodal_png_roundtrip — fixed-dimension output
+    contract and Arrow batch shape on the hash, hex-compared."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", mm.pack_text_as_media(F.col("text")).alias("payload")
     )
@@ -1495,6 +1496,75 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("bin").cast("long").alias("bin"),
         F.col("n").cast("long").alias("n"),
+    )
+
+
+_PNG_ROUNDTRIP_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+px AS (
+    SELECT d.doc_id, (d.doc_id * 31 + u.i * 7) % 256 AS v
+    FROM d, UNNEST(generate_series(0, 255)) AS u(i)
+),
+counts AS (
+    SELECT doc_id, v // 16 AS bin, count(*) AS c
+    FROM px GROUP BY doc_id, bin
+),
+grid AS (
+    SELECT d.doc_id, u.bin FROM d, UNNEST(generate_series(0, 15)) AS u(bin)
+)
+SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c USING (doc_id, bin)
+"""
+
+
+@query("multimodal_png_roundtrip", _PNG_ROUNDTRIP_ORACLE)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: per document, a deterministic
+    16x16 grayscale image (pixel i = (doc_id*31 + i*7) % 256) is
+    encoded to an actual PNG (dataops/png.py, scanline filter cycling
+    through all five types) and decoded back through the real
+    multimodal path (decode_image_gray — Pillow if installed, else the
+    vendored codec), inside Arrow-batched mapInPandas.  The luminance
+    histogram of the DECODED pixels is compared against DuckDB
+    computing the same histogram analytically from the pixel formula —
+    so any filter-reconstruction, zlib, or layout bug in the codec
+    breaks the hash.  Real work stays JVM-free only in this Python
+    stage; the group/compare stays in SQL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import png as pngc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, ns = [], [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                pixels = bytes(
+                    (i64 * 31 + i * 7) % 256 for i in range(256)
+                )
+                encoded = pngc.encode_png(16, 16, 1, pixels)
+                w, h, gray = mm.decode_image_gray(encoded)
+                if (w, h) != (16, 16):
+                    raise ValueError(f"bad decode dims {w}x{h}")
+                hist = [0] * 16
+                for b in gray:
+                    hist[b >> 4] += 1
+                for bin_no, n in enumerate(hist):
+                    ids.append(i64)
+                    bins.append(bin_no)
+                    ns.append(n)
+            yield pd.DataFrame({"doc_id": ids, "bin": bins, "n": ns})
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        run, "doc_id long, bin long, n long"
     )
 
 
