@@ -106,40 +106,55 @@ SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who signed up, then clicked strictly after
     their first signup, then purchased strictly after that first
-    qualifying click.  Each stage filters by event type BEFORE joining
-    (the type predicate pushes into the scan), joins on user_id against
-    the previous stage's per-user frontier timestamp, and re-minimizes
-    — stage cardinality only ever shrinks, and every shuffle is on the
-    same user_id key."""
+    qualifying click.
+
+    ONE-PASS shape: the fact is scanned once (filtered to the three
+    funnel types, predicate pushed to the scan) and shuffled on
+    user_id exactly once; the three stage frontiers are stacked
+    whole-partition window aggregates over the SAME partitioning —
+    each stage's conditional min reads the previous stage's column —
+    so Catalyst plans a single Exchange for all three, followed by a
+    same-key per-user rollup (no further shuffle) and one scalar
+    aggregate.  The previous version joined three per-stage aggregates
+    and shuffled the fact three times."""
     ev = load(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_type", event_micros(ev).alias("us"))
-    s = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("s_us"))
-    )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .where(F.col("us") > F.col("s_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("c_us"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("us") > F.col("c_us"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    return (
-        s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
-        .crossJoin(
-            c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after"))
+    e = ev.select(
+        "user_id", "event_type", event_micros(ev).alias("us")
+    ).where(F.col("event_type").isin("signup", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        e.withColumn(
+            "s_us", F.min(F.when(typ == "signup", F.col("us"))).over(w)
         )
-        .crossJoin(
-            p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_funnel"))
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (typ == "click") & (F.col("us") > F.col("s_us")),
+                    F.col("us"),
+                )
+            ).over(w),
         )
+        .withColumn(
+            "p_hit",
+            F.max(
+                F.when(
+                    (typ == "purchase") & (F.col("us") > F.col("c_us")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("s_us").alias("s_us"),
+        F.min("c_us").alias("c_us"),
+        F.max("p_hit").alias("p_hit"),
+    )
+    return per_user.agg(
+        F.count(F.col("s_us")).cast("long").alias("n_signup"),
+        F.count(F.col("c_us")).cast("long").alias("n_click_after"),
+        F.sum("p_hit").cast("long").alias("n_purchase_funnel"),
     )
 
 
@@ -222,27 +237,45 @@ def events_attribution_first_touch(
 ) -> DataFrame:
     """First-touch attribution: for every converting user, the type of
     their earliest event strictly before their first purchase, counted
-    per channel.  The purchase frontier is a filtered pre-aggregation
-    (shuffles the purchase slice only); the join back is key-aligned on
-    user_id, and the per-user pick is a row_number window with the
-    (us, event_id) tiebreak both engines share."""
+    per channel.
+
+    ONE-PASS shape: a whole-partition window computes the per-user
+    purchase frontier, and a second window over the SAME user_id
+    partitioning takes the MIN of a (us, event_id, event_type) struct
+    over the pre-frontier rows — struct ordering gives the earliest
+    event with the (us, event_id) tiebreak both engines share, with NO
+    sort at all (both windows are unordered whole-partition
+    aggregates sharing one Exchange).  A same-key per-user rollup and
+    a tiny per-channel aggregate finish it.  The previous version
+    pre-aggregated the purchase slice and joined it back, scanning and
+    shuffling the fact twice."""
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         "user_id", "event_id", "event_type", event_micros(ev).alias("us")
     )
-    fp = (
-        e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("p_us"))
+    w = Window.partitionBy("user_id")
+    staged = e.withColumn(
+        "p_us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w),
+    ).withColumn(
+        "ft",
+        F.min(
+            F.when(
+                F.col("us") < F.col("p_us"),
+                F.struct("us", "event_id", "event_type"),
+            )
+        ).over(w),
     )
-    pre = e.join(fp, "user_id").where(F.col("us") < F.col("p_us"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    return (
-        pre.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy(F.col("event_type").alias("first_touch"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(F.min("ft").alias("ft"))
+        .where(F.col("ft").isNotNull())
     )
+    return per_user.groupBy(
+        F.col("ft.event_type").alias("first_touch")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
 
 
 # ------------------------------------------------------------------

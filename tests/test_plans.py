@@ -237,3 +237,50 @@ def test_point_in_time_join_single_shuffle(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # one shuffle for the window (plus AQE reads); no join exchanges
     assert plan.count("hashpartitioning(k") <= 2
+
+
+def test_tpch_q22_anti_join_broadcasts(spark):
+    # Q22 shape: the NOT-EXISTS anti join and the scalar-average
+    # threshold must both broadcast — a sort-merge anti join over the
+    # customer table would shuffle the whole relation at scale
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        customers_above_avg_no_urgent,
+    )
+
+    plan = _plan(customers_above_avg_no_urgent(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_fact_shuffle(spark):
+    # one-pass funnel: the events fact is shuffled on user_id exactly
+    # once; the three stage frontiers stack as window aggregates over
+    # that one Exchange (a regression to per-stage joins shows up as
+    # extra user_id exchanges and/or SortMergeJoin)
+    import re
+
+    from credit_card_etl_pipeline_spark.queries.events_queries import (
+        events_funnel_conversion,
+    )
+
+    plan = _plan(events_funnel_conversion(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+    # funnel-type filter reaches the scan
+    assert "PushedFilters" in plan
+
+
+def test_first_touch_single_fact_shuffle(spark):
+    # one-pass first-touch attribution: both whole-partition windows
+    # share a single user_id Exchange; no join back of a purchase
+    # frontier (that shape scans and shuffles the fact twice)
+    import re
+
+    from credit_card_etl_pipeline_spark.queries.events_queries import (
+        events_attribution_first_touch,
+    )
+
+    plan = _plan(events_attribution_first_touch(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
