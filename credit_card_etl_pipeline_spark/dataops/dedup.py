@@ -267,13 +267,24 @@ def connected_components(
     only the convergence counter.  Rounds needed = graph diameter —
     near-dup clusters are shallow (stars/cliques from shared LSH
     buckets), so this converges in a few rounds; ``max_iters`` bounds
-    pathological chains.  Labels are persisted per round and the loop
-    exits on a fixpoint (no label changed).
+    pathological chains.
+
+    Each round's labels are ``localCheckpoint``-ed, not merely
+    persisted: a round's plan references the previous round's plan
+    TWICE (the neighbor join and the update join), so without a
+    lineage break the logical plan doubles per round and a
+    deep-diameter graph (a 16-chain needs 15 rounds) OOMs the DRIVER
+    during analysis — caught by tools/soak_components.py's adversarial
+    chain soak.  The checkpoint truncates the plan to a constant-size
+    scan per round; superseded checkpoint blocks are released by the
+    ContextCleaner once unreferenced.  (On a multi-node cluster where
+    executor loss must be survivable, swap in reliable
+    ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
+    call sites.)  The loop exits on a fixpoint (no label changed).
     """
-    cached = vertices.select(
+    labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
-    ).persist()
-    labels = cached
+    ).localCheckpoint(eager=True)
     both = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -301,25 +312,20 @@ def connected_components(
                 .cast("long")
                 .alias("__chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = updated.agg(F.sum("__chg")).first()[0] or 0
-        cached.unpersist()
-        cached = updated
         labels = updated.select("v", "component")
         if changed == 0:
             break
     both.unpersist()
-    # Materialize the final projection off the cached labels, then drop
-    # the per-round cache: the returned frame must not silently keep the
-    # last iteration's labels pinned.  The result stays persisted (it IS
-    # the answer and its lineage replays the whole iteration) but is
-    # tracked for release at the next query boundary (functions.caching).
+    # The result projects off the last round's checkpoint (constant-
+    # size lineage); persist + track so downstream consumers share one
+    # materialization, released at the next query boundary.
     out = caching.track(
         labels.select(F.col("v").alias(id_col), "component").persist()
     )
     out.count()
-    cached.unpersist()
     return out
 
 
