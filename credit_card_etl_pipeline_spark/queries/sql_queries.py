@@ -1097,3 +1097,383 @@ def orders_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, so COALESCE labels margins identically."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CUBE_SQL)
+
+
+# ====================================================================
+# TPC-H Q7 (volume shipping between two nations)
+# ====================================================================
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS vol_cents
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_nation_volume", _Q7_SQL)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipped volume between two nations, both directions,
+    per ship year.  Both nation dims broadcast (25 rows each) and the
+    OR-of-direction predicate is applied after they do, so the only
+    large exchanges are the fact joins on suppkey/orderkey/custkey;
+    the two-year window prunes into the lineitem scan.  Money rides
+    integer cents; the year is extracted as BIGINT on both engines."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q7_SQL)
+
+
+# ====================================================================
+# TPC-H Q8 (national market share inside one region)
+# ====================================================================
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(vol_cents) AS BIGINT) AS total_cents
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           n2.n_name AS supp_nation,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS vol_cents
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND p_type = 'PROMO'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of PROMO-part revenue sold
+    into one region's market, per order year.  Eight-table join where
+    every dimension (part filtered to one type, both nations, region)
+    broadcasts; numerator and denominator are separate exact-integer
+    sums in ONE aggregate pass (the ratio is the consumer's float, so
+    the oracle never hashes a division)."""
+    for t in (
+        "part", "lineitem", "supplier", "orders",
+        "customer", "nation", "region",
+    ):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q8_SQL)
+
+
+# ====================================================================
+# TPC-H Q9 shape (product-line profit; retail price stands in for the
+# absent partsupp.ps_supplycost — the corpus has no partsupp table)
+# ====================================================================
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)
+           - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT) / 10 AS profit_cents
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9_product_profit", _Q9_SQL)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    part-name pattern ('%gear%') (the reference schema's ps_supplycost does not
+    exist in this corpus, so a tenth of retail price stands in as unit
+    cost — same join/aggregate topology).  The LIKE predicate prunes
+    part before its broadcast; profit arithmetic is exact integer
+    cents end-to-end (integral quantities, integer division by a
+    constant 10 — identical truncation on both engines)."""
+    for t in ("part", "lineitem", "supplier", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q9_SQL)
+
+
+# ====================================================================
+# TPC-H Q12 shape (late shipments per priority class; the corpus has
+# no l_shipmode/commitdate/receiptdate, so lateness = shipped more
+# than 90 days after the order date)
+# ====================================================================
+
+_Q12_SQL = """
+SELECT late,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+    SELECT o_orderpriority,
+           CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+) flagged
+GROUP BY late
+"""
+
+
+@query("tpch_q12_late_lines", _Q12_SQL)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by priority class, split by whether
+    the line shipped >= 90 days after its order date (the corpus
+    carries no shipmode/commit/receipt dates, so ship-lag is the
+    lateness signal — same join + dual conditional count topology).
+    The year predicate prunes the orders scan; one orderkey join, one
+    two-row aggregate; the timestamp+INTERVAL comparison is identical
+    syntax and semantics on both engines."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q12_SQL)
+
+
+# ====================================================================
+# TPC-H Q13 (customer order-count distribution, zero bucket included)
+# ====================================================================
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_order_distribution", _Q13_SQL)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of per-customer order counts with
+    never-ordered customers in the zero bucket — the LEFT join with
+    the filter in the JOIN condition (not WHERE, which would destroy
+    the outer semantics) is the whole point of the query.  count(col)
+    skips the NULLs unmatched customers produce; the second aggregate
+    is over at most a few hundred distinct counts."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q13_SQL)
+
+
+# ====================================================================
+# TPC-H Q15 (top supplier by quarterly revenue)
+# ====================================================================
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum revenue in one
+    quarter.  The revenue CTE aggregates the pruned quarter slice once
+    and is referenced twice (detail + scalar max) — Catalyst plans the
+    scalar subquery as a one-row broadcast against the re-used
+    aggregate, and the supplier dim broadcasts onto the handful of
+    surviving rows.  Exact integer revenue makes the max comparison —
+    and any ties — deterministic across engines."""
+    for t in ("supplier", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q15_SQL)
+
+
+# ====================================================================
+# TPC-H Q16 shape (supplier breadth per part attribute; distinct
+# shipping suppliers from lineitem stand in for the absent partsupp)
+# ====================================================================
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_breadth", _Q16_SQL)
+def tpch_q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) bucket, excluding one brand and one type (the
+    corpus has no partsupp, so observed shipments from lineitem stand
+    in for the catalog relation — same filtered-dim + count-distinct
+    topology).  The three part predicates prune the broadcast dim
+    BEFORE the join; count(DISTINCT) expands to the standard two-level
+    aggregate, partial per partition first."""
+    for t in ("part", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q16_SQL)
+
+
+# ====================================================================
+# TPC-H Q17 (small-quantity orders for one brand, exact avg compare)
+# ====================================================================
+
+_Q17_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS small_qty_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+    SELECT l_partkey AS agg_partkey,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_qty
+    FROM lineitem
+    GROUP BY l_partkey
+) part_agg ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(round(l_quantity) AS BIGINT) * 5 * n_qty < sum_qty
+"""
+
+
+@query("tpch_q17_small_quantity", _Q17_SQL)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue locked in lines whose quantity is below 20%
+    of their part's average order quantity, for one brand.  The
+    correlated AVG subquery is decorrelated by hand into a per-part
+    aggregate joined back on partkey, and the 0.2×avg comparison is
+    cross-multiplied (5·q·n < Σq) so it stays in EXACT integer
+    arithmetic — no float average ever exists on either engine.  The
+    brand predicate prunes the part dim before broadcast."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SQL)
+
+
+# ====================================================================
+# TPC-H Q19 (OR-of-bands discounted revenue)
+# ====================================================================
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_banded_revenue", _Q19_SQL)
+def tpch_q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR-ed (brand, size, quantity)
+    bands — the classic disjunctive-predicate join.  Catalyst extracts
+    the common join key, broadcasts part, and evaluates the residual
+    OR after the join; the quantity bounds partially push to the
+    lineitem scan as (1 <= q AND q <= 30).  One exact-integer
+    aggregate row out."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19_SQL)
+
+
+# ====================================================================
+# TPC-H Q21 shape (supplier who alone shipped last in multi-supplier
+# orders; ship-lag replaces the absent commit/receipt dates)
+# ====================================================================
+
+_Q21_SQL = """
+WITH os AS (
+    SELECT l_orderkey,
+           max(l_shipdate) AS max_ship,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem
+    GROUP BY l_orderkey
+),
+last_lines AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN os ON l.l_orderkey = os.l_orderkey
+    WHERE l.l_shipdate = os.max_ship AND os.n_supp >= 2
+),
+sole AS (
+    SELECT l_orderkey, min(l_suppkey) AS suppkey
+    FROM last_lines
+    GROUP BY l_orderkey
+    HAVING count(*) = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole
+JOIN supplier ON s_suppkey = suppkey
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21_sole_late_supplier", _Q21_SQL)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for every multi-supplier order, the supplier
+    who ALONE shipped the final line — the "everyone else was done,
+    this one held the order" signal (the corpus has no commit/receipt
+    dates, so latest ship date stands in).  The reference formulation's
+    correlated EXISTS/NOT-EXISTS pair is re-expressed as per-order
+    aggregates joined back on orderkey — every shuffle is on the same
+    key, AQE reuses the partitioning, and the HAVING count(*)=1
+    reproduces the NOT-EXISTS exclusion exactly."""
+    for t in ("lineitem", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
