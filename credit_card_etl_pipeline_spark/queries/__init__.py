@@ -85,6 +85,9 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SCAN_SPREAD_MEMO: dict[str, bool] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a corpus table, guarding scan parallelism.
 
@@ -97,7 +100,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+    # the rdd conversion that exposes the scan's partition count isn't
+    # free — memoize the per-table verdict (corpus files are immutable
+    # within a session; 130+ queries re-load the same ten tables)
+    key = f"{sf_dir}/{table}:{parallelism}"
+    needs_spread = _SCAN_SPREAD_MEMO.get(key)
+    if needs_spread is None:
+        needs_spread = df.rdd.getNumPartitions() < max(2, parallelism // 2)
+        _SCAN_SPREAD_MEMO[key] = needs_spread
+    if needs_spread:
         df = df.repartition(parallelism)
     return df
 
