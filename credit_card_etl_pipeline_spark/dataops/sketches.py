@@ -164,3 +164,87 @@ def hll_estimate(registers: DataFrame, *, m: int = HLL_M) -> DataFrame:
             / F.col("s_scaled")
         ).alias("hll_estimate"),
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic Bloom filter (cross-engine verifiable bit set)
+# --------------------------------------------------------------------
+# The membership sketch: k positions per key over an m-bit space; a
+# probe is CLAIMED present iff all k of its positions are set — no
+# false negatives, bounded false positives (~(1-e^(-kn/m))^k).  The
+# relational representation is the SET of set positions (≤ m rows,
+# KBs) — broadcastable for map-side probing and mergeable across
+# partitions/streams by plain union-distinct.  Positions come from the
+# same fixed universal-hash family as minhash/count-min, so the filter
+# CONTENTS are bit-identical in a DuckDB oracle.
+
+BLOOM_M = 1024  # bit positions
+BLOOM_K = 4     # hash functions
+
+
+def bloom_position(key: Column, j: int, m: int = BLOOM_M) -> Column:
+    """Bit position of ``key`` under hash ``j``."""
+    a, b = MINHASH_COEFFS[j]
+    x = md5_int60(key.cast("string")) % MERSENNE_P
+    return ((F.lit(a) * x + F.lit(b)) % MERSENNE_P) % m
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Build the filter: the DISTINCT set positions — one map-side
+    explode (k rows per key) + one dedup bounded by m."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        bloom_position(F.col(key_col), j, m)
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    depth: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """``probes`` + ``bloom_member`` (true iff every one of the key's
+    ``depth`` positions is set).  The filter broadcasts, the position
+    join is map-side, and the only shuffle is the per-key hit count."""
+    lookups = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    bloom_position(F.col(key_col), j, m)
+                    for j in range(depth)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        lookups.join(F.broadcast(bloom), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        probes.join(hits, key_col, "left")
+        .withColumn(
+            "bloom_member",
+            F.coalesce(F.col("__hits"), F.lit(0)) == depth,
+        )
+        .drop("__hits")
+    )

@@ -1142,6 +1142,88 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Bloom filter membership (deterministic bit set, per-segment FP audit)
+# ------------------------------------------------------------------
+
+def _bloom_pos_sql(j: int) -> str:
+    from ..dataops.sketches import BLOOM_M
+
+    a, b = MINHASH_COEFFS[j]
+    x = f"({md5_int60_sql('CAST(k AS VARCHAR)')} % {MERSENNE_P})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {BLOOM_M})"
+
+
+_BLOOM_ORACLE = f"""
+WITH members AS (
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bloom AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql(j)} AS pos FROM members"
+            for j in range(4))}
+    )
+),
+probes AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+lookups AS (
+    {" UNION ALL ".join(
+        f"SELECT k, seg, {_bloom_pos_sql(j)} AS pos FROM probes"
+        for j in range(4))}
+),
+claims AS (
+    SELECT l.k, l.seg,
+           CAST(count(b.pos) AS BIGINT) = 4 AS claimed
+    FROM lookups l LEFT JOIN bloom b ON b.pos = l.pos
+    GROUP BY l.k, l.seg
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_claimed,
+       CAST(sum(CASE WHEN claimed AND seg <> 'BUILDING' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive
+FROM claims
+GROUP BY seg
+"""
+
+
+@query("sketch_bloom_membership", _BLOOM_ORACLE)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter: the filter is built over one market
+    segment's customer keys (its distinct set bit positions — ≤1024
+    rows, broadcastable), then EVERY customer key is probed and the
+    claim rate audited per segment — the member segment must come back
+    100% claimed (no false negatives, a structural property), other
+    segments measure the false-positive rate.  The same fixed hash
+    family as minhash/count-min makes the filter contents themselves
+    hash-checkable in DuckDB, not just the verdict counts."""
+    from ..dataops import sketches as sk
+
+    customer = load(spark, sf_dir, "customer")
+    members = customer.where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    bloom = sk.bloom_build(members, "k")
+    probes = customer.select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    claimed = sk.bloom_probe(bloom, probes, "k")
+    return claimed.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_claimed"),
+        F.sum(
+            F.when(
+                F.col("bloom_member") & (F.col("seg") != "BUILDING"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+    )
+
+
+# ------------------------------------------------------------------
 # TF-IDF top terms (integer-exact scoring)
 # ------------------------------------------------------------------
 

@@ -259,3 +259,24 @@ def test_substring_containment_anchor_cap(spark):
     assert uncapped == {(1, 3), (2, 1), (2, 3)}
     capped = substring_containment(docs, max_anchor_bucket=2).collect()
     assert capped == []
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from credit_card_etl_pipeline_spark.dataops.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.range(0, 50).selectExpr("id AS k")
+    b = spark.range(50, 100).selectExpr("id AS k")
+    bloom_a = bloom_build(a, "k")
+    # every inserted key must be claimed (structural: no false negatives)
+    claimed = bloom_probe(bloom_a, a, "k")
+    assert claimed.where("NOT bloom_member").count() == 0
+    # merge by union-distinct == build over the union
+    merged = bloom_a.unionByName(bloom_build(b, "k")).distinct()
+    direct = bloom_build(a.unionByName(b), "k")
+    sym_diff = merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    assert sym_diff == 0
+    # the filter is bounded by its bit space
+    assert merged.count() <= 1024
