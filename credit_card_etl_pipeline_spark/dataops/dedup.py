@@ -164,6 +164,55 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_probe_pairs(
+    new_signatures: DataFrame,
+    corpus_signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 2,
+    rows: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """ASYMMETRIC LSH: candidate (new_id, corpus_id) pairs between an
+    incoming batch and an existing corpus — the incremental shape of a
+    continuous-crawl pipeline, where each day's documents are deduped
+    against everything already kept WITHOUT re-pairing the corpus
+    against itself.
+
+    Only new×corpus bucket collisions are generated (never corpus²),
+    so a batch of b docs against an n-doc corpus costs O(collisions)
+    bounded by b·bucket-size — at 100 TB the corpus side's banded view
+    is a stable precomputed table and each batch is one bucket join.
+    ``max_bucket_size`` caps the CORPUS side of each bucket (a hot
+    boilerplate bucket would otherwise multiply every new doc by m);
+    over-cap buckets route through exact dedup exactly like
+    :func:`lsh_overflow_docs`."""
+    if bands * rows > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the "
+            f"{len(MINHASH_COEFFS)} available minhash coefficients"
+        )
+    nb = _banded(new_signatures, id_col, bands, rows).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
+    )
+    cb = _banded(corpus_signatures, id_col, bands, rows).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    )
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        cb = cb.join(
+            sizes.where(F.col("__bn") <= max_bucket_size).drop("__bn"),
+            ["band", "band_key"],
+        )
+    return (
+        nb.join(cb, ["band", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def _banded(
     signatures: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:

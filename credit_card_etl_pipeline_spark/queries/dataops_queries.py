@@ -155,6 +155,57 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
 
 
+_PROBE_ORACLE = f"""
+WITH {_SIGNATURE_CTE},
+banded AS (
+    SELECT doc_id, 0 AS band,
+           CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+           CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS band_key
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1 AS band,
+           CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+           CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS band_key
+    FROM signatures
+),
+probe AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+)
+SELECT new_id,
+       CAST(count(*) AS BIGINT) AS n_corpus_candidates,
+       CAST(min(corpus_id) AS BIGINT) AS first_corpus_match
+FROM probe
+GROUP BY new_id
+"""
+
+
+@query("dedup_incremental_probe", _PROBE_ORACLE)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-crawl shape: an incoming
+    batch (the corpus's planted duplicates, id >= 1e6) is LSH-probed
+    against the existing corpus WITHOUT re-pairing the corpus with
+    itself (dataops.dedup.lsh_probe_pairs: new x corpus bucket
+    collisions only, never corpus^2).  Every planted duplicate must
+    surface its source document among the candidates — per new doc the
+    candidate count and the earliest matching corpus id go on the
+    hash.  At scale the corpus-side banded view is a precomputed
+    stable table and each day's batch is one bucket join against it."""
+    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    sigs = dd.minhash_signatures(sh)
+    new_sigs = sigs.where(F.col("doc_id") >= 1_000_000)
+    corpus_sigs = sigs.where(F.col("doc_id") < 1_000_000)
+    probe = dd.lsh_probe_pairs(
+        new_sigs, corpus_sigs, bands=2, rows=4, max_bucket_size=None
+    )
+    return probe.groupBy(F.col("new_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_candidates"),
+        F.min("corpus_id").cast("long").alias("first_corpus_match"),
+    )
+
+
 _LSH_CAP = 3
 
 _LSH_CAPPED_ORACLE = f"""

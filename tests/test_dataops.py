@@ -280,3 +280,34 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     assert sym_diff == 0
     # the filter is bounded by its bit space
     assert merged.count() <= 1024
+
+
+def test_lsh_probe_pairs_asymmetric_and_capped(spark):
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        exploded_shingles,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # dup of 1
+            (3, "one two three four five six"),
+            (101, "alpha beta gamma delta epsilon"), # new: dup of 1/2
+            (102, "totally different text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(exploded_shingles(docs))
+    new = sigs.where("doc_id >= 100")
+    old = sigs.where("doc_id < 100")
+    pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_probe_pairs(new, old, max_bucket_size=None).collect()
+    }
+    # asymmetric: only new x corpus, never corpus x corpus or new x new
+    assert pairs == {(101, 1), (101, 2)}
+    # corpus-side cap: bucket holding docs 1 and 2 overflows at cap 1
+    capped = lsh_probe_pairs(new, old, max_bucket_size=1).collect()
+    assert capped == []

@@ -284,3 +284,19 @@ def test_first_touch_single_fact_shuffle(spark):
     plan = _plan(events_attribution_first_touch(spark, SF))
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+
+
+def test_tpch_q7_q8_broadcast_dims(spark):
+    # the nation/region/part dims must broadcast; fact joins may
+    # shuffle but never sort-merge against a dim at this scale
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q7_nation_volume,
+        tpch_q8_market_share,
+    )
+
+    p7 = _plan(tpch_q7_nation_volume(spark, SF))
+    assert "BroadcastHashJoin" in p7
+    assert "CartesianProduct" not in p7
+    p8 = _plan(tpch_q8_market_share(spark, SF))
+    assert "BroadcastHashJoin" in p8
+    assert "CartesianProduct" not in p8
