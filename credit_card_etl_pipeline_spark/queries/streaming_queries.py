@@ -780,3 +780,129 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.read.parquet(f"{state_root}/v{_versions()[-1]}")
+
+
+# ====================================================================
+# Streaming Bloom-filter dedup against a historical corpus
+# ====================================================================
+
+def _stream_bloom_pos_sql(j: int) -> str:
+    from ..dataops.sketches import BLOOM_M
+    from ..functions.hashing import MERSENNE_P, MINHASH_COEFFS, md5_int60_sql
+
+    a, b = MINHASH_COEFFS[j]
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    x = f"({md5_int60_sql(norm)} % {MERSENNE_P})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {BLOOM_M})"
+
+
+def _stream_bloom_oracle() -> str:
+    positions = " UNION ALL ".join(
+        f"SELECT {_stream_bloom_pos_sql(j)} AS pos FROM history"
+        for j in range(4)
+    )
+    lookups = " UNION ALL ".join(
+        f"SELECT doc_id, lang, {_stream_bloom_pos_sql(j)} AS pos"
+        " FROM documents"
+        for j in range(4)
+    )
+    return f"""
+WITH history AS (
+    SELECT text FROM documents WHERE doc_id % 5 <> 4
+),
+bloom AS (SELECT DISTINCT pos FROM ({positions})),
+claims AS (
+    SELECT l.doc_id, l.lang,
+           CAST(count(b.pos) AS BIGINT) = 4 AS claimed
+    FROM ({lookups}) l LEFT JOIN bloom b ON b.pos = l.pos
+    GROUP BY l.doc_id, l.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_claimed_dup,
+       CAST(sum(CASE WHEN claimed THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_novel
+FROM claims
+GROUP BY lang
+"""
+
+
+@query("stream_bloom_corpus_filter", _stream_bloom_oracle())
+def stream_bloom_corpus_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup against HISTORY — the crawl-ingest shape where
+    each incoming document is checked against everything already kept
+    without joining the corpus into the stream.  The historical Bloom
+    filter (built batch-side over normalized text) collapses to a
+    16-long bitmask LITERAL, so the streaming side is pure map-side
+    expression work: four hash positions, four bit tests, zero
+    shuffles, zero stream state for the membership check — exactly how
+    a 100 TB corpus filter deploys (the filter, not the corpus, ships
+    to executors).  Claimed/novel counts per language aggregate in
+    complete mode; the oracle replays the identical bit math in
+    DuckDB, so no false negatives AND the exact false-positive set are
+    both on the hash."""
+    import tempfile
+
+    from ..dataops import sketches as sk
+    from ..dataops.text import normalize_text
+    from ..streaming.windows import documents_stream
+
+    name = f"stream_bloom_{next(_stateful_run_counter)}"
+    history = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 5 != 4)
+        .select(normalize_text(F.col("text")).alias("k"))
+    )
+    positions = [
+        r["pos"] for r in sk.bloom_build(history, "k").collect()
+    ]
+    mask = [0] * (sk.BLOOM_M // 64)
+    for pos in positions:
+        mask[pos // 64] |= 1 << (pos % 64)
+    # two's-complement into signed int64 (a JVM long literal); the
+    # (word >> n) & 1 bit test is unaffected by the sign bit
+    mask = [w - (1 << 64) if w >= (1 << 63) else w for w in mask]
+    mask_col = F.array(*[F.lit(w).cast("long") for w in mask])
+
+    stream = documents_stream(spark, sf_dir).select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("k")
+    )
+    stream = stream.withColumn("mask", mask_col)
+    for j in range(4):
+        stream = stream.withColumn(
+            f"pos{j}", sk.bloom_position(F.col("k"), j)
+        )
+    bit_tests = " AND ".join(
+        f"(shiftright(element_at(mask, CAST(pos{j} DIV 64 AS INT) + 1),"
+        f" CAST(pos{j} % 64 AS INT)) & 1) = 1"
+        for j in range(4)
+    )
+    agg = (
+        stream.withColumn("claimed", F.expr(bit_tests))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("claimed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_claimed_dup"),
+            F.sum(F.when(F.col("claimed"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sbloom_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
