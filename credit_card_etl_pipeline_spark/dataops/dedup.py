@@ -141,7 +141,16 @@ def lsh_candidate_pairs(
             f"bands*rows = {bands * rows} exceeds the "
             f"{len(MINHASH_COEFFS)} available minhash coefficients"
         )
-    banded = _banded(signatures, id_col, bands, rows)
+    # materialize the banded view ONCE: it is consumed by the bucket
+    # self-join's two sides (plus the size filter when capped), and the
+    # signature subplan underneath it is a full corpus scan + shingle
+    # explode + groupBy — without the checkpoint Spark re-executes that
+    # scan per consumer (measured: 32 parquet scans, zero
+    # ReusedExchange, in the capped query at sf0.1).  The banded view
+    # itself is small: (id, band, band_key) × bands rows per doc.
+    banded = _banded(signatures, id_col, bands, rows).localCheckpoint(
+        eager=True
+    )
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -199,6 +208,9 @@ def lsh_probe_pairs(
         F.col(id_col).alias("corpus_id"), "band", "band_key"
     )
     if max_bucket_size is not None:
+        # checkpoint: the corpus banded view feeds both the size filter
+        # and the probe join — same re-scan hazard as the symmetric path
+        cb = cb.localCheckpoint(eager=True)
         sizes = cb.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("__bn")
         )
