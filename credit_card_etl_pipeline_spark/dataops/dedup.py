@@ -399,7 +399,17 @@ def jaccard_for_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (doc_a, doc_b) pairs:
     intersection via shingle equi-join, union by inclusion-exclusion.
-    Cost is bounded by the candidate set — never all pairs."""
+    Cost is bounded by the candidate set — never all pairs.
+
+    Both inputs are materialized once up front: ``shingles`` feeds the
+    size aggregate and BOTH sides of the intersection join, ``pairs``
+    feeds the intersection and the final assembly — without the
+    checkpoints Spark re-executes the shingle explode (a full corpus
+    scan) and the upstream candidate generation per consumer.
+    Materializing the explode costs one spill-able write, the same
+    class as a shuffle — strictly cheaper than three recomputes."""
+    shingles = shingles.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -470,6 +480,10 @@ def substring_containment(
     )
     sh = exploded_shingles(df, text_col=text_col, id_col=id_col, n=n)
     if max_anchor_bucket is not None:
+        # materialize once: the exploded view feeds the frequency
+        # aggregate AND the anchor join (same re-scan hazard as the
+        # LSH banded view)
+        sh = sh.localCheckpoint(eager=True)
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__sn"))
         sh = sh.join(
             freq.where(F.col("__sn") <= max_anchor_bucket).drop("__sn"),
