@@ -436,11 +436,20 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         q_shingles.join(bench_shingles, "shingle").select("doc_id").distinct()
     )
-    clean = quality.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "lang", "n_tokens", "text"
+    # checkpoint the two fan-out points: everything above `clean` (the
+    # dedup + quality + shingle-anti-join chain) is re-derived by each
+    # downstream consumer otherwise, and `mixture` feeds both the
+    # packing pass and the id map (84 parquet scans in this one plan
+    # without the cuts)
+    clean = (
+        quality.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "text")
+        .localCheckpoint(eager=True)
     )
 
-    mixture = cu.weighted_mix(clean, {"en": 20000, "zh": 5000})
+    mixture = cu.weighted_mix(clean, {"en": 20000, "zh": 5000}).localCheckpoint(
+        eager=True
+    )
 
     packed = cu.pack_sequences(
         mixture.select(
