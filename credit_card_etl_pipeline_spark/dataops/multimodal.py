@@ -5,13 +5,16 @@ with a typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through
 driver memory.
 
-Image decode is REAL: Pillow when installed (JPEG/PNG/anything PIL
-reads), else the vendored stdlib PNG codec (dataops/png.py) for PNG
-payloads — so ``decode_media(..., fake=False)`` works on actual images
-in this runtime.  ``fake=True`` keeps the deterministic byte-histogram
-pseudo-decoder used by the SQL-expressible oracle queries.  Audio/video
-demuxing has no stdlib path and still raises ``NotImplementedError``
-at the exact call site a pyav/ffmpeg integration would fill.
+Image and audio decode are REAL: images via Pillow when installed
+(JPEG/PNG/anything PIL reads), else the vendored stdlib PNG codec
+(dataops/png.py); audio via the vendored RIFF/WAVE PCM codec
+(dataops/wav.py) — so ``decode_media(..., fake=False)`` and
+``decode_audio_stats`` work on actual media in this runtime.
+``fake=True`` keeps the deterministic byte-histogram pseudo-decoder
+used by the SQL-expressible oracle queries.  Video demuxing and
+compressed audio have no stdlib path and still raise
+``NotImplementedError`` at the exact call site a pyav/ffmpeg
+integration would fill.
 """
 
 from __future__ import annotations
@@ -222,3 +225,50 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM payloads through the vendored
+    stdlib codec (dataops/wav.py), Arrow-batched, emitting exact
+    integer signal statistics per item.  Compressed formats raise
+    inside the worker at the exact call site a torchaudio/ffmpeg
+    integration would fill."""
+    from . import wav as _wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, peaks, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, _, samples = _wav.decode_wav(bytes(payload))
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(len(samples))
+                peaks.append(max((abs(s) for s in samples), default=0))
+                sums.append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "peak_abs": peaks,
+                    "sum_abs": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, _AUDIO_SCHEMA)

@@ -1701,6 +1701,63 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_ROUNDTRIP_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+s AS (
+    SELECT d.doc_id,
+           ((d.doc_id * 13 + u.i * 7) % 2048) - 1024 AS v
+    FROM d, UNNEST(generate_series(0, 255)) AS u(i)
+)
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+FROM s
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_wav_roundtrip", _WAV_ROUNDTRIP_ORACLE)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: per document, 256 deterministic
+    16-bit PCM samples (s_i = (doc_id*13 + i*7) % 2048 - 1024) are
+    encoded to an actual RIFF/WAVE file (dataops/wav.py) and decoded
+    back through the production audio path (decode_audio_stats, Arrow-
+    batched mapInPandas); the exact integer signal stats of the
+    DECODED samples are compared against DuckDB computing the same
+    stats analytically from the sample formula — any header, layout,
+    or sign-handling bug in the codec breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import multimodal as mmod
+    from ..dataops import wav as wavc
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                samples = [
+                    ((i64 * 13 + i * 7) % 2048) - 1024 for i in range(256)
+                ]
+                ids.append(i64)
+                payloads.append(wavc.encode_wav(16000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 3)
+        .select("doc_id")
+    )
+    with_payload = docs.mapInPandas(
+        attach, "doc_id long, payload binary"
+    )
+    return mmod.decode_audio_stats(with_payload)
+
+
 # ====================================================================
 # Deterministic hash sampling (reproducible corpus subsetting)
 # ====================================================================
