@@ -198,28 +198,38 @@ def sample_frames(
     every: int = 4,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    (explode shape).  The fake decoder treats the payload as fixed-size
-    byte frames and keeps every ``every``-th — the real partitioning /
-    fan-out contract without a demuxer."""
+    """Video frame-sampling: one output row per sampled frame (explode
+    shape), keeping every ``every``-th frame.
+
+    Real path (``fake=False``): payloads are APNG animations decoded
+    by the vendored codec (png.decode_apng_frames) — each kept frame
+    is emitted as its luminance pixel buffer.  True video containers
+    (mp4/mkv) would slot in at the same call site via pyav/ffmpeg.
+    The fake path treats the payload as fixed-size byte frames — the
+    same fan-out contract, SQL-expressible for the oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires a demuxer (pyav/ffmpeg); "
-                    "pass fake=True for the deterministic test path"
-                )
             ids, nos, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
-                n = len(data) // frame_bytes
-                for fno in range(0, n, every):
-                    ids.append(doc_id)
-                    nos.append(fno)
-                    frames.append(
-                        data[fno * frame_bytes : (fno + 1) * frame_bytes]
-                    )
+                if fake:
+                    n = len(data) // frame_bytes
+                    for fno in range(0, n, every):
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        frames.append(
+                            data[
+                                fno * frame_bytes : (fno + 1) * frame_bytes
+                            ]
+                        )
+                else:
+                    decoded = _png.decode_apng_frames(data)
+                    for fno in range(0, len(decoded), every):
+                        _, _, channels, pixels = decoded[fno]
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        frames.append(_png.to_gray(channels, pixels))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": nos, "frame": frames}
             )

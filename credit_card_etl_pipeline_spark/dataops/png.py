@@ -215,3 +215,116 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------------------------------
+# APNG (animated PNG) — minimal frame codec
+# ------------------------------------------------------------------
+# The animation profile of the same public spec (W3C PNG 3rd ed. /
+# the original APNG extension): an acTL chunk declares the frame
+# count, each frame is an fcTL control chunk followed by IDAT (first
+# frame) or fdAT (sequence-numbered) data chunks.  This vendored
+# subset covers full-frame, no-blend, no-offset animations — enough
+# to make video-style frame EXTRACTION a real decode path; partial
+# frames and dispose/blend modes stay out of scope.
+
+
+def decode_apng_frames(data: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Decode every frame of an APNG → list of (width, height,
+    channels, pixels).  A plain (non-animated) PNG decodes as one
+    frame."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = depth = color = interlace = 0
+    frames_data: list[bytearray] = []
+    cur: bytearray | None = None
+    default_idat = bytearray()
+    has_actl = False
+    first_is_frame = False
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif ctype == b"acTL":
+            has_actl = True
+        elif ctype == b"fcTL":
+            fw, fh, fx, fy = struct.unpack_from(">IIII", payload, 4)
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise NotImplementedError(
+                    "APNG sub-frame regions (offset/partial frames)"
+                )
+            cur = bytearray()
+            frames_data.append(cur)
+            if not default_idat:
+                first_is_frame = True
+        elif ctype == b"IDAT":
+            if cur is not None and first_is_frame:
+                cur += payload
+            default_idat += payload
+        elif ctype == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT before any fcTL")
+            cur += payload[4:]  # strip the sequence number
+    if depth != 8 or interlace:
+        raise NotImplementedError("APNG frames must be 8-bit, no interlace")
+    if not has_actl or not frames_data:
+        w, h, ch, px = decode_png(data)
+        return [(w, h, ch, px)]
+    bpp = _CHANNELS[color]
+    out = []
+    for raw in frames_data:
+        samples = _unfilter(
+            zlib.decompress(bytes(raw)), width, height, bpp
+        )
+        out.append((width, height, bpp, bytes(samples)))
+    return out
+
+
+def encode_apng(
+    width: int, height: int, channels: int, frames: list[bytes]
+) -> bytes:
+    """Valid APNG from equal-size full frames (filter cycling per row,
+    like :func:`encode_png`)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def filtered(pixels: bytes) -> bytes:
+        raw = bytearray()
+        prev = b""
+        for y in range(height):
+            line = pixels[y * stride : (y + 1) * stride]
+            ftype = y % 5
+            raw.append(ftype)
+            raw += _filter_line(ftype, line, prev, channels)
+            prev = line
+        return zlib.compress(bytes(raw), 6)
+
+    def fctl(seq: int) -> bytes:
+        return _chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+            ),
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    )
+    seq = 0
+    out += fctl(seq)
+    seq += 1
+    out += _chunk(b"IDAT", filtered(frames[0]))
+    for frame in frames[1:]:
+        out += fctl(seq)
+        seq += 1
+        out += _chunk(
+            b"fdAT", struct.pack(">I", seq) + filtered(frame)
+        )
+        seq += 1
+    return out + _chunk(b"IEND", b"")

@@ -1701,6 +1701,77 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APNG_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 6),
+f AS (SELECT d.doc_id, u.fno FROM d, UNNEST([0, 4]) AS u(fno)),
+px AS (
+    SELECT f.doc_id, f.fno,
+           (f.doc_id * 17 + f.fno * 31 + u.i * 7) % 256 AS v
+    FROM f, UNNEST(generate_series(0, 63)) AS u(i)
+)
+SELECT doc_id, CAST(fno AS INTEGER) AS frame_no,
+       CAST(sum(v) AS BIGINT) AS frame_sum,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, fno
+"""
+
+
+@query("multimodal_apng_frame_sample", _APNG_FRAMES_ORACLE)
+def multimodal_apng_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video-style frame sampling end-to-end: per document a
+    6-frame 8x8 APNG animation (frame f pixel i = (doc_id*17 + f*31 +
+    i*7) % 256) is encoded by the vendored codec and every 4th frame
+    extracted through the production path (sample_frames fake=False →
+    png.decode_apng_frames); the decoded pixel sums are compared
+    against DuckDB computing them analytically from the pixel formula
+    — any fcTL/fdAT sequencing, zlib, or filter bug breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import multimodal as mmod
+    from ..dataops import png as pngc
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                frames = [
+                    bytes(
+                        (i64 * 17 + f * 31 + i * 7) % 256
+                        for i in range(64)
+                    )
+                    for f in range(6)
+                ]
+                ids.append(i64)
+                payloads.append(pngc.encode_apng(8, 8, 1, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 6)
+        .select("doc_id")
+    )
+    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
+    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
+    return sampled.select(
+        "doc_id",
+        "frame_no",
+        F.aggregate(
+            F.transform(
+                F.split(F.hex("frame"), "(?<=\\G..)"),
+                lambda h: F.coalesce(F.conv(h, 16, 10).cast("long"), F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("frame_sum"),
+        F.length("frame").cast("long").alias("n_px"),
+    )
+
+
 _WAV_ROUNDTRIP_ORACLE = """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
 s AS (

@@ -188,3 +188,39 @@ def test_fixtures_match_generator():
         assert decode_png(f.read())[3] == gray_pixels()
     with open(os.path.join(ROOT, "fixtures", "gradient_rgb.png"), "rb") as f:
         assert decode_png(f.read())[3] == rgb_pixels()
+
+
+def test_apng_roundtrip_and_plain_png_single_frame():
+    from credit_card_etl_pipeline_spark.dataops.png import (
+        decode_apng_frames,
+        encode_apng,
+    )
+
+    frames = [
+        bytes(((f * 31 + i * 7) % 256) for i in range(64))
+        for f in range(5)
+    ]
+    got = decode_apng_frames(encode_apng(8, 8, 1, frames))
+    assert [px for _, _, _, px in got] == frames
+    assert all((w, h, ch) == (8, 8, 1) for w, h, ch, _ in got)
+    one = decode_apng_frames(encode_png(4, 4, 1, bytes(range(16))))
+    assert len(one) == 1 and one[0][3] == bytes(range(16))
+
+
+def test_sample_frames_real_apng_path(spark):
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        sample_frames,
+    )
+    from credit_card_etl_pipeline_spark.dataops.png import encode_apng
+
+    frames = [bytes([f * 10] * 16) for f in range(9)]
+    df = spark.createDataFrame(
+        [(5, bytearray(encode_apng(4, 4, 1, frames)))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["frame_no"]: bytes(r["frame"])
+        for r in sample_frames(df, every=4, fake=False).collect()
+    }
+    assert set(got) == {0, 4, 8}
+    assert got[4] == bytes([40] * 16)
