@@ -230,6 +230,110 @@ def chunk_documents(
 
 
 # ------------------------------------------------------------------
+# Corpus-wide duplicate-chunk removal (the C4 line-dedup analogue:
+# this corpus has no newlines, so the dedup unit is the fixed-size
+# token chunk instead of the line)
+# ------------------------------------------------------------------
+
+def dedup_corpus_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Drop every repeated occurrence of a token chunk ACROSS the whole
+    corpus, keeping only the globally-first copy (ordered by
+    (doc_id, chunk_index)) — C4's duplicate-line removal re-expressed
+    at chunk granularity.
+
+    Non-overlapping chunks (stride == size) so every token belongs to
+    exactly one chunk and "kept tokens" is well-defined.  The global
+    first-occurrence test is ONE window over the chunk hash: chunks
+    shuffle by their 128-bit md5 (never by the text payload), ranks are
+    computed within each hash bucket, and no chunk-to-chunk join
+    exists — at 100 TB this is a single exchange keyed on a uniform
+    hash, immune to text-length skew.  Returns the kept chunks with
+    their provenance (doc_id, chunk_index, n_chunk_tokens, chunk_text).
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        overlap=0,
+    ).withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_index")
+    return (
+        chunks.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "chunk_hash")
+    )
+
+
+# ------------------------------------------------------------------
+# LM-typicality quality score (KenLM-filter stand-in): how surprising
+# is each document under a bigram model fit on the corpus itself?
+# ------------------------------------------------------------------
+
+def lm_typicality(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document typicality under a corpus-fit word-bigram model —
+    the perplexity-filter step of an LLM data pipeline (KenLM et al.)
+    re-expressed in EXACT integer arithmetic so the score is
+    bit-identical on any engine and any partial-aggregation order.
+
+    Each bigram occurrence contributes its integer surprisal
+    ``floor(log2 T) - floor(log2 c)`` (c = corpus count of the bigram,
+    T = total bigram occurrences) — within 1 bit of the real
+    ``-log2(c/T)``, monotone in it, and float-free in the comparison
+    that matters (both engines evaluate log2 of the SAME exact integer,
+    where IEEE log2 cannot straddle a floor boundary: it is exact at
+    powers of two and >0.5 ulp away elsewhere).
+
+    Two shuffles total at any scale: one groupBy(gram) to fit the
+    model, one groupBy(doc) to score; the model re-joins the exploded
+    grams on the gram key (uniform hash, no skew beyond true token
+    skew, which a salting pass upstream would absorb).  The scalar T
+    rides a 1-row broadcast cross join, never a driver collect.  Docs
+    with fewer than two tokens have no bigrams and are absent from the
+    output (they carry no evidence either way).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(bigrams(F.col(text_col))).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("t"))
+    scored = (
+        grams.join(counts, "gram")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                F.floor(F.log2("t")) - F.floor(F.log2("c"))
+            ).cast("long").alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        (
+            (F.sum("bits") * 1000).cast("long")
+            / F.count(F.lit(1)).cast("long")
+        ).cast("long").alias("avg_surprisal_milli"),
+    )
+
+
+# ------------------------------------------------------------------
 # Boilerplate line removal
 # ------------------------------------------------------------------
 

@@ -241,6 +241,102 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Corpus-wide duplicate-chunk removal (C4 line-dedup analogue)
+# ------------------------------------------------------------------
+
+_DCHUNK = 32
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+),
+chunks AS (
+    SELECT doc_id,
+           CAST((s - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, s,
+                least(s + {_DCHUNK} - 1, len(toks)))) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, s,
+                least(s + {_DCHUNK} - 1, len(toks))), ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1),
+                                      {_DCHUNK})) AS s
+        FROM w
+    )
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY md5(chunk_text)
+                              ORDER BY doc_id, chunk_index) AS rk
+    FROM chunks
+)
+SELECT doc_id, chunk_index, chunk_start, n_chunk_tokens, chunk_text
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("curate_chunk_dedup", _CHUNK_DEDUP_ORACLE)
+def curate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal at chunk granularity (the
+    corpus has no newlines, so fixed {_DCHUNK}-token chunks stand in
+    for lines): every repeated chunk across the WHOLE corpus is
+    dropped, keeping the globally-first copy by (doc_id, chunk_index).
+    One exchange keyed on the chunk md5 — never on the text payload,
+    never chunk-vs-chunk joins (see dataops.curate.dedup_corpus_chunks
+    for the 100 TB design notes)."""
+    return cu.dedup_corpus_chunks(
+        load(spark, sf_dir, "documents"), chunk_tokens=_DCHUNK
+    )
+
+
+# ------------------------------------------------------------------
+# LM-typicality quality score (perplexity-filter stand-in)
+# ------------------------------------------------------------------
+
+_LM_TYP_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
+         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+counts AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(log2(t)) - floor(log2(c)) AS BIGINT) AS bits
+    FROM grams JOIN counts USING (gram) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+       CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+           AS avg_surprisal_milli
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("curate_lm_typicality", _LM_TYP_ORACLE)
+def curate_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: per-document integer surprisal
+    under a word-bigram model fit on the corpus itself (the KenLM
+    filtering step of an LLM pipeline, float-free).  Score =
+    ``Σ floor(log2 T) - floor(log2 c)`` over bigram occurrences —
+    monotone in true -log2 likelihood, bit-identical across engines.
+    Two shuffles at any scale (fit groupBy(gram), score groupBy(doc));
+    the scalar T is a 1-row broadcast (see
+    dataops.curate.lm_typicality)."""
+    return cu.lm_typicality(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------
 # Training-mix weighted sampling
 # ------------------------------------------------------------------
 

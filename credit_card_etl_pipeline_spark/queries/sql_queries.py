@@ -1477,3 +1477,156 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21_SQL)
+
+
+# ====================================================================
+# Derived PARTSUPP (the corpus has no partsupp table; both engines
+# derive the same one from lineitem in exact integer arithmetic)
+# ====================================================================
+
+_PARTSUPP_CTE = """
+partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS ps_availqty,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS ps_supplycost_cents
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+# ====================================================================
+# TPC-H Q2 shape (minimum-cost supplier per part in a region)
+# ====================================================================
+
+_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE},
+eligible AS (
+    SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+           min(ps_supplycost_cents)
+               OVER (PARTITION BY ps_partkey) AS min_cost
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ps_supplycost_cents
+FROM eligible
+JOIN part ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE ps_supplycost_cents = min_cost
+  AND p_size = 15 AND p_type = 'SMALL'
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_SQL)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest in-region supplier for every part
+    of one size/type.  The corpus carries no partsupp table, so both
+    engines derive the identical one from lineitem (availqty = total
+    shipped quantity, supplycost = minimum observed price-in-cents —
+    exact integer aggregates, so the derivation is bit-identical).
+    The correlated MIN subquery of the official text is re-expressed
+    as ``min() OVER (PARTITION BY ps_partkey)`` — a window that rides
+    the partkey exchange instead of a self-join, so the plan has NO
+    sort-merge join: one shuffle for the partsupp groupBy, one for the
+    window, broadcast joins for every dim.  The (size, type) predicate
+    prunes the part dim before its broadcast."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_SQL)
+
+
+# ====================================================================
+# TPC-H Q11 shape (important stock: parts above a share-of-region
+# inventory-value threshold)
+# ====================================================================
+
+_Q11_SQL = f"""
+WITH {_PARTSUPP_CTE},
+nat AS (
+    SELECT ps_partkey,
+           CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY ps_partkey
+),
+tot AS (
+    SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM nat
+)
+SELECT ps_partkey, value_cents
+FROM nat CROSS JOIN tot
+WHERE value_cents * n_parts * 2 > total_cents * 3
+"""
+
+
+@query("tpch_q11_important_stock", _Q11_SQL)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value within one region
+    exceeds 1.5x the regional per-part mean.  The official query's
+    fixed 0.0001/SF fraction bakes the scale factor into the predicate;
+    the mean-relative threshold here is scale-free (selective at every
+    sf) and stays EXACT: ``value * n * 2 > total * 3`` is the float
+    comparison cross-multiplied into pure BIGINT terms.  The scalar
+    (total, count) row rides a 1-row CROSS JOIN — broadcast, not a
+    driver collect — and the supplier->nation->region chain folds into
+    one broadcast dim before the partsupp shuffle."""
+    for t in ("lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q11_SQL)
+
+
+# ====================================================================
+# TPC-H Q20 shape (suppliers whose shipments of one part family
+# concentrate in the probe year)
+# ====================================================================
+
+_Q20_SQL = """
+WITH red AS (
+    SELECT l_suppkey,
+           CAST(sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                          AND l_shipdate < DATE '1998-01-01'
+                         THEN CAST(round(l_quantity) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS qty_1997,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty_all
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal, qty_1997, qty_all
+FROM red
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty_1997 * 5 > qty_all
+"""
+
+
+@query("tpch_q20_part_promotion", _Q20_SQL)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 'red*' part shipments
+    concentrate in the probe year (>20% of their all-time volume —
+    the corpus spans 7 years, so a uniform supplier sits near 14%).
+    The official nested IN(IN(...)) pair is collapsed into ONE
+    conditional aggregate over the name-filtered join: both the
+    window-year quantity and the all-time quantity come out of a
+    single groupBy(l_suppkey) pass, so the query does one broadcast
+    (pruned part dim), one shuffle (suppkey), and the threshold is the
+    float fraction cross-multiplied into BIGINTs (``5*q_win >
+    q_all``).  At 100 TB the name predicate prunes the broadcast dim
+    to ~1/8 of parts and everything else is map-side."""
+    for t in ("lineitem", "part", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q20_SQL)

@@ -204,3 +204,64 @@ def test_remove_boilerplate_lines(spark):
     assert out[3] == (2, 1, "unique delta")
     assert out[4] == (1, 0, "")
     assert out[5] == (1, 1, "no footer here")
+
+
+def test_dedup_corpus_chunks_keeps_first_copy(spark):
+    # doc 1 and doc 2 share an identical 4-token chunk; doc 1's copy
+    # (lower doc_id) must survive, doc 2's must not
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),
+            (2, "a b c d p q r s"),
+            (3, "p q r s a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = cu.dedup_corpus_chunks(df, chunk_tokens=4)
+    rows = {(r.doc_id, r.chunk_index): r.chunk_text for r in kept.collect()}
+    assert rows[(1, 0)] == "a b c d"
+    assert rows[(1, 1)] == "x y z w"
+    # doc 2 keeps only its second chunk ("p q r s" — first occurrence)
+    assert (2, 0) not in rows
+    assert rows[(2, 1)] == "p q r s"
+    # doc 3 keeps nothing: both its chunks already seen earlier
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_dedup_corpus_chunks_tokens_partition_exactly(spark):
+    # non-overlapping chunks: token counts of a doc's own chunks sum
+    # to its token count when nothing is deduped
+    df = spark.createDataFrame(
+        [(7, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    kept = cu.dedup_corpus_chunks(df, chunk_tokens=3)
+    sizes = sorted(r.n_chunk_tokens for r in kept.collect())
+    assert sizes == [1, 3, 3]
+
+
+def test_lm_typicality_rare_bigram_scores_higher(spark):
+    # "a a" appears 8x, "a z" once: the doc carrying the rare bigram
+    # must come out more surprising per-bigram
+    common = " ".join(["a"] * 9)          # 8 occurrences of "a a"
+    df = spark.createDataFrame(
+        [(1, common), (2, "a z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in cu.lm_typicality(df).collect()}
+    assert out[1].n_bigrams == 8
+    assert out[2].n_bigrams == 1
+    assert (
+        out[2].avg_surprisal_milli > out[1].avg_surprisal_milli
+    )
+    # exact check: T=9, c("a a")=8, c("a z")=1
+    # bits("a a") = floor(log2 9) - floor(log2 8) = 3 - 3 = 0
+    # bits("a z") = 3 - 0 = 3
+    assert out[1].surprisal_bits == 0
+    assert out[2].surprisal_bits == 3
+
+
+def test_lm_typicality_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "x y")], "doc_id long, text string"
+    )
+    ids = {r.doc_id for r in cu.lm_typicality(df).collect()}
+    assert ids == {3}

@@ -300,3 +300,28 @@ def test_tpch_q7_q8_broadcast_dims(spark):
     p8 = _plan(tpch_q8_market_share(spark, SF))
     assert "BroadcastHashJoin" in p8
     assert "CartesianProduct" not in p8
+
+
+def test_tpch_q2_q11_q20_dims_broadcast(spark):
+    # the derived-partsupp trio must keep every dimension join
+    # broadcast: the only shuffle allowed is the lineitem groupBy
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q2_min_cost_supplier,
+        tpch_q11_important_stock,
+        tpch_q20_part_promotion,
+    )
+
+    p2 = _plan(tpch_q2_min_cost_supplier(spark, SF))
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
+
+    p11 = _plan(tpch_q11_important_stock(spark, SF))
+    assert "SortMergeJoin" not in p11
+    # the scalar (total, n) row must not trigger a nested loop over
+    # anything bigger than itself
+    assert "CartesianProduct" not in p11
+
+    p20 = _plan(tpch_q20_part_promotion(spark, SF))
+    assert "BroadcastHashJoin" in p20
+    assert "SortMergeJoin" not in p20
+    assert "PushedFilters" in p20  # p_name LIKE 'red%' reaches the scan
