@@ -675,6 +675,153 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(vecs, queries, centroids, k=5, nprobe=2)
 
 
+# ------------------------------------------------------------------
+# Product quantization (asymmetric-distance top-k over PQ codes)
+# ------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_ITERS = 2
+_PQ_SUB = _IVF_DIM // _PQ_M
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, int, int, int], list] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    key = (sf_dir, _PQ_M, _PQ_K, _PQ_ITERS)
+    if key not in _PQ_CODEBOOK_CACHE:
+        vecs = _quantized(spark, sf_dir).persist()
+        try:
+            _PQ_CODEBOOK_CACHE[key] = sim.pq_fit(
+                vecs, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_IVF_DIM
+            )
+        finally:
+            vecs.unpersist(False)
+    return _PQ_CODEBOOK_CACHE[key]
+
+
+def _pq_iter_sql(s: int, i: int) -> str:
+    """One unrolled subspace k-means iteration (same arithmetic as
+    the IVF oracle: strict-max dot assignment, exact integer sums
+    re-gridded by truncating division)."""
+    return f"""
+passign{s}_{i} AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT n.vec_id, n.v, c.cell,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v,
+                       list_transform(c.g, gx -> gx / {_GRID}.0)) DESC,
+                   c.cell ASC) AS rn
+        FROM pv{s} n CROSS JOIN pcent{s}_{i - 1} c
+    ) WHERE rn = 1
+),
+pupd{s}_{i} AS (
+    SELECT cell,
+           list(CAST((CAST(sm AS HUGEINT) * {_GRID}) // n AS BIGINT)
+                ORDER BY d) AS g
+    FROM (
+        SELECT cell, pdims.d AS d, sum(v[pdims.d]) AS sm, count(*) AS n
+        FROM passign{s}_{i} CROSS JOIN pdims
+        GROUP BY cell, pdims.d
+    ) GROUP BY cell
+),
+pcent{s}_{i} AS (
+    SELECT p.cell, COALESCE(u.g, p.g) AS g
+    FROM pcent{s}_{i - 1} p LEFT JOIN pupd{s}_{i} u ON p.cell = u.cell
+)"""
+
+
+def _pq_subspace_sql(s: int) -> str:
+    lo = s * _PQ_SUB + 1
+    hi = (s + 1) * _PQ_SUB
+    iters = ",".join(_pq_iter_sql(s, i) for i in range(1, _PQ_ITERS + 1))
+    return f"""
+pv{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM vecs),
+pcent{s}_0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(v, x -> x * {_GRID}) AS g
+    FROM (SELECT vec_id, v FROM pv{s} ORDER BY vec_id LIMIT {_PQ_K})
+),{iters},
+pcentf{s} AS (
+    SELECT cell, list_transform(g, gx -> gx / {_GRID}.0) AS c
+    FROM pcent{s}_{_PQ_ITERS}
+),
+pcode{s} AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_dot_product(n.v, c.c) DESC,
+                                           c.cell ASC) AS rn
+        FROM pv{s} n CROSS JOIN pcentf{s} c
+    ) WHERE rn = 1
+)"""
+
+
+_PQ_ADC = " + ".join(
+    f"list_dot_product(list_slice(q.qv, {s * _PQ_SUB + 1},"
+    f" {(s + 1) * _PQ_SUB}), f{s}.c)"
+    for s in range(_PQ_M)
+)
+_PQ_RNORM = " + ".join(
+    f"list_dot_product(f{s}.c, f{s}.c)" for s in range(_PQ_M)
+)
+_PQ_JOINS = "\n    ".join(
+    f"JOIN pcode{s} k{s} ON k{s}.vec_id = c.vec_id"
+    f" JOIN pcentf{s} f{s} ON f{s}.cell = k{s}.cell"
+    for s in range(_PQ_M)
+)
+
+_PQ_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM vecs
+),
+pdims AS (SELECT unnest(generate_series(1, {_PQ_SUB})) AS d),
+{",".join(_pq_subspace_sql(s) for s in range(_PQ_M))},
+queries AS (
+    SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+    FROM normed WHERE vec_id % 100 = 0
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           ({_PQ_ADC})
+               / sqrt(CAST(q.qn2 AS DOUBLE) * ({_PQ_RNORM}))
+               AS adc_cosine
+    FROM queries q
+    CROSS JOIN vecs c
+    {_PQ_JOINS}
+    WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, adc_cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_pq_topk", _PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5: {_PQ_M} subspaces of
+    {_PQ_SUB} dims, each with a deterministic k={_PQ_K} grid k-means
+    codebook; candidates are stored ONLY as {_PQ_M} codes (the ~256x
+    memory compression that lets a 100 TB embedding corpus live in
+    RAM), and scoring is asymmetric-distance: the query's exact dot
+    with each centroid forms a literal lookup table indexed by the
+    candidate's code.  Every product stays on the 2^-20 binary grid
+    (exact in doubles), so the whole pipeline — including {_PQ_M}
+    independent 2-iteration k-means fits — unrolls into a
+    hash-checked DuckDB oracle."""
+    books = _pq_codebooks(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.ann_pq_topk(vecs, queries, books, k=5, dim=_IVF_DIM)
+
+
 _MH_EQ_SUM = " + ".join(
     f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
     for j in range(len(MINHASH_COEFFS))

@@ -311,3 +311,54 @@ def test_lsh_probe_pairs_asymmetric_and_capped(spark):
     # corpus-side cap: bucket holding docs 1 and 2 overflows at cap 1
     capped = lsh_probe_pairs(new, old, max_bucket_size=1).collect()
     assert capped == []
+
+
+def test_pq_codes_and_adc_ranking(spark):
+    import numpy as np
+
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        ann_pq_topk,
+        pq_fit,
+        pq_codes,
+    )
+
+    rng = np.random.RandomState(13)
+    # two tight clusters far apart in 8-dim space: ADC must rank
+    # same-cluster candidates above cross-cluster ones even through
+    # the code compression
+    base_a = rng.randn(8) * 0.1 + 5.0
+    base_b = rng.randn(8) * 0.1 - 5.0
+    vecs = [(i, [float(x) for x in base_a + rng.randn(8) * 0.05]) for i in range(20)]
+    vecs += [(i, [float(x) for x in base_b + rng.randn(8) * 0.05]) for i in range(20, 40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select("vec_id", quantize(F.col("embedding")).alias("qvec"))
+
+    books = pq_fit(q, m=2, k=4, iters=2, dim=8)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    # deterministic refit
+    assert pq_fit(q, m=2, k=4, iters=2, dim=8) == books
+
+    codes = q.select(
+        "vec_id", *[c.alias(f"c{s}") for s, c in enumerate(pq_codes(F.col("qvec"), books, dim=8))]
+    ).collect()
+    for r in codes:
+        assert 0 <= r["c0"] < 4 and 0 <= r["c1"] < 4
+
+    queries = q.where(F.col("vec_id").isin([0, 25]))
+    top = ann_pq_topk(q, queries, books, k=5, dim=8).collect()
+    assert top
+    for r in top:
+        same_cluster = (r["query_id"] < 20) == (r["cand_id"] < 20)
+        assert same_cluster, (r["query_id"], r["cand_id"])
+
+
+def test_pq_fit_rejects_ragged_split(spark):
+    import pytest as _pytest
+
+    from credit_card_etl_pipeline_spark.dataops.similarity import pq_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 6)], "vec_id long, qvec array<double>"
+    )
+    with _pytest.raises(ValueError):
+        pq_fit(df, m=4, dim=6)
