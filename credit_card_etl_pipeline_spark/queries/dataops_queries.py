@@ -2179,3 +2179,87 @@ def documents_stratified_fixed_sample(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 5)
     )
+
+
+# ====================================================================
+# PageRank over the user hand-off graph (iterative algorithm, exact
+# integer arithmetic, unrolled oracle)
+# ====================================================================
+
+_PR_ITERS = 3
+_PR_BASE = 10**12
+_PR_TELEPORT = (3 * _PR_BASE) // 20
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+c{i} AS (
+    SELECT e.dst AS node,
+           CAST(sum((r.rank * e.w) // e.outw) AS BIGINT) AS s
+    FROM e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT n.node,
+           CAST({_PR_TELEPORT} + (17 * COALESCE(c.s, 0)) // 20
+                AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type, user_id,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+edges AS (
+    SELECT user_id AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM seq
+    WHERE nxt IS NOT NULL AND nxt <> user_id
+    GROUP BY user_id, nxt
+),
+nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outw AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src
+),
+e AS (SELECT src, dst, w, outw FROM edges JOIN outw USING (src)),
+r0 AS (
+    SELECT node, CAST({_PR_BASE} AS BIGINT) AS rank FROM nodes
+),{",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+SELECT node AS user_id, rank FROM r{_PR_ITERS}
+"""
+
+
+@query("events_user_pagerank", _PAGERANK_ORACLE)
+def events_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the user hand-off graph (edge u→v when
+    v's event directly follows u's within an event_type stream, weight
+    = hand-off count), {_PR_ITERS} rounds in EXACT integer micro-units
+    — see dataops.graph.pagerank for why float PageRank can't be
+    value-checked and this one can.  Each round is one src-keyed join
+    + one dst-keyed aggregate, driver state zero; the edge derivation
+    is a lead() window (sequence extraction), then the iteration cost
+    depends only on the AGGREGATED graph, not the fact volume."""
+    from pyspark.sql import Window
+
+    from ..dataops.graph import pagerank
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", F.lead("user_id").over(w).alias("nxt")
+    )
+    edges = (
+        seq.where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        .groupBy(
+            F.col("user_id").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank(edges, iters=_PR_ITERS).select(
+        F.col("node").alias("user_id"), "rank"
+    )

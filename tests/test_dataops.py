@@ -362,3 +362,28 @@ def test_pq_fit_rejects_ragged_split(spark):
     )
     with _pytest.raises(ValueError):
         pq_fit(df, m=4, dim=6)
+
+
+def test_pagerank_integer_exact_and_hub_ranks_highest(spark):
+    from credit_card_etl_pipeline_spark.dataops.graph import (
+        RANK_BASE,
+        pagerank,
+    )
+
+    # star graph: everyone points at node 0
+    edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 6)], "src long, dst long, w long"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(out) == set(range(6))
+    assert out[0] == max(out.values())
+    # spokes get pure teleport after round 1 (no in-edges)
+    teleport = (3 * RANK_BASE) // 20
+    for i in range(1, 6):
+        assert out[i] == teleport
+    # deterministic under repartitioning (integer arithmetic only)
+    out2 = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), iters=3).collect()
+    }
+    assert out2 == out

@@ -79,3 +79,36 @@ def test_count_check_raises(spark, refined_df, tmp_path):
     path = str(tmp_path / "bad")
     with pytest.raises(ValueError, match="post-load validation"):
         write_warehouse(to_warehouse(refined_df), path, expected_rows=99)
+
+
+def test_morton_key_interleaves_and_orders_quadrants(spark):
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.functions.zorder import (
+        morton_key,
+        range_bucket,
+    )
+
+    # 2-bit toy domain: keys (x, y) in [0,4) x [0,4); morton of the
+    # four quadrant corners must be strictly quadrant-ordered
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    z = morton_key([F.col("x"), F.col("y")], bits=2)
+    rows = {(r.x, r.y): r.z for r in df.withColumn("z", z).collect()}
+    # interleave: x bit b at position 2b, y bit b at 2b+1
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1
+    assert rows[(0, 1)] == 2
+    assert rows[(3, 3)] == 15
+    # same-quadrant keys are contiguous: quadrant (x>=2, y>=2) spans
+    # exactly [12, 15]
+    q = sorted(v for (x, y), v in rows.items() if x >= 2 and y >= 2)
+    assert q == [12, 13, 14, 15]
+
+    # range_bucket maps min..max onto [0, 256) monotonically
+    b = df.select(
+        range_bucket(F.col("x"), F.lit(0), F.lit(3)).alias("b")
+    ).distinct()
+    got = sorted(r.b for r in b.collect())
+    assert got == [0, 64, 128, 192]
