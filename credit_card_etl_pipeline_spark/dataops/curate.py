@@ -305,9 +305,16 @@ def lm_typicality(
     with fewer than two tokens have no bigrams and are absent from the
     output (they carry no evidence either way).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(bigrams(F.col(text_col))).alias("gram"),
+    from ..functions import caching
+
+    # the exploded grams feed THREE consumers (model counts, the
+    # scalar total, and the scoring join) — persist once so the
+    # normalize+explode pipeline doesn't run per branch
+    grams = caching.track(
+        df.select(
+            F.col(id_col),
+            F.explode(bigrams(F.col(text_col))).alias("gram"),
+        ).persist()
     )
     counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("c")

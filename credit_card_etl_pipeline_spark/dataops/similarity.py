@@ -185,16 +185,23 @@ def ivf_fit(
 
 
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id by maximum dot product (codebook is tiny —
-    one literal expression per centroid, evaluated JVM-side)."""
-    best_idx: Column = F.lit(0)
-    best_dot: Column = _dot_lit(vec, centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _dot_lit(vec, c)
-        better = d > best_dot
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_dot = F.when(better, d).otherwise(best_dot)
-    return best_idx.cast("long")
+    """Nearest-centroid id by maximum dot product, lowest cell on ties
+    (codebook is tiny — one literal expression per centroid, evaluated
+    JVM-side).  Built as ``array_sort`` over (negdot, cell) structs so
+    each centroid dot appears ONCE in the expression tree: the
+    when/otherwise fold this replaces re-nested every previous dot
+    into each comparison, giving O(k²)-size codegen (multi-MiB task
+    binaries whose compile time dominated small scans)."""
+    entries = F.array(
+        *[
+            F.struct(
+                (-_dot_lit(vec, c)).alias("negdot"),
+                F.lit(i).cast("long").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.element_at(F.array_sort(entries), 1)["cell"]
 
 
 def ivf_topk(
@@ -405,22 +412,36 @@ def ann_pq_topk(
             for s, code in enumerate(pq_codes(F.col(vec_col), books, dim=dim))
         ],
     )
+    # the ADC lookup tables depend ONLY on the query: materialize the
+    # k exact per-centroid dots per subspace on the tiny query side
+    # BEFORE the join, so the per-pair work is 2m element_at's + adds
+    # (building the tables inside the join would redo m·k sub-vector
+    # dots for every (query, candidate) pair — the difference between
+    # O(Q·N·m) and O(Q·N·m·k·sub) at scan time)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
         _norm2(F.col(vec_col)).alias("qnorm"),
+        *[
+            F.array(
+                *[
+                    _dot_lit(
+                        F.slice(F.col(vec_col), s * sub + 1, sub), c
+                    )
+                    for c in book
+                ]
+            ).alias(f"tab{s}")
+            for s, book in enumerate(books)
+        ],
     )
     scored = cand.join(
         F.broadcast(q), F.col("cand_id") != F.col("query_id")
     )
-    # per-subspace ADC terms: dot(q_s, centroid) lookup + centroid
-    # self-norms for the reconstructed candidate norm
     adc: Column = F.lit(0.0)
     rnorm: Column = F.lit(0.0)
     for s, book in enumerate(books):
-        qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        table = F.array(*[_dot_lit(qs, c) for c in book])
-        adc = adc + F.element_at(table, F.col(f"code{s}").cast("int") + 1)
+        adc = adc + F.element_at(
+            F.col(f"tab{s}"), F.col(f"code{s}").cast("int") + 1
+        )
         norms = F.array(
             *[F.lit(float(sum(x * x for x in c))) for c in book]
         )
