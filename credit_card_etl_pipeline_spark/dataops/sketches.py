@@ -137,6 +137,38 @@ def hll_registers(
     )
 
 
+def hll_registers_by(
+    df: DataFrame, col: str, seg_col: str, *, m: int = HLL_M
+) -> DataFrame:
+    """Per-segment HLL registers: (segment, bucket, max_rho) — the
+    mergeable form.  Each segment's sketch is m tiny rows; sketches
+    union across segments/partitions/days by ``max`` over bucket (see
+    :func:`hll_merge`), which is how a 100 TB corpus gets a distinct
+    count per day AND overall from ONE pass: keep the per-day
+    registers, merge downstream."""
+    h = md5_int60(F.col(col).cast("string"))
+    prepped = df.select(F.col(seg_col).alias("seg"), h.alias("h")).select(
+        "seg",
+        F.expr(f"CAST(h % {m} AS INT)").alias("bucket"),
+        F.expr(f"h div {m}").alias("rest"),
+    )
+    rho = hll_rho(F.col("rest"))
+    return (
+        prepped.select("seg", "bucket", rho.alias("rho"))
+        .groupBy("seg", "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_merge(registers_by: DataFrame) -> DataFrame:
+    """Union per-segment sketches into one: max per bucket — the HLL
+    merge operation (lossless: merged registers equal the registers of
+    the concatenated streams)."""
+    return registers_by.groupBy("bucket").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+
+
 def hll_estimate(registers: DataFrame, *, m: int = HLL_M) -> DataFrame:
     """Raw HLL estimate from the registers: alpha_m * m^2 / Z, with
     Z = sum(2^-M_j) over ALL m registers (absent buckets count 2^0).

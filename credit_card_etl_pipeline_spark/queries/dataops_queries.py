@@ -2263,3 +2263,104 @@ def events_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=_PR_ITERS).select(
         F.col("node").alias("user_id"), "rank"
     )
+
+
+# ====================================================================
+# HLL sketch merge (per-segment sketches → union — the sketch algebra
+# that makes one pass serve every rollup grain)
+# ====================================================================
+
+_HLL_MERGE_ORACLE = f"""
+WITH hashed AS (
+    SELECT o_orderpriority AS seg,
+           {_HLL_H_SQL} % 64 AS bucket,
+           {_HLL_H_SQL} // 64 AS rest
+    FROM orders
+),
+rho AS (
+    SELECT seg, CAST(bucket AS INT) AS bucket,
+           CASE WHEN rest = 0 THEN 55
+                ELSE CAST(log2(rest & -rest) AS INT) + 1 END AS r
+    FROM hashed
+),
+segregs AS (
+    SELECT seg, bucket, CAST(max(r) AS INT) AS max_rho
+    FROM rho GROUP BY seg, bucket
+),
+merged AS (
+    SELECT bucket, CAST(max(max_rho) AS INT) AS max_rho
+    FROM segregs GROUP BY bucket
+),
+globalregs AS (
+    SELECT bucket, CAST(max(r) AS INT) AS max_rho
+    FROM rho GROUP BY bucket
+),
+agg AS (
+    SELECT CAST(sum(1::BIGINT << (56 - max_rho))
+                + (64 - count(*)) * (1::BIGINT << 56) AS BIGINT)
+               AS s_scaled,
+           CAST(count(*) AS BIGINT) AS n_buckets_hit
+    FROM merged
+),
+diff AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_mismatch
+    FROM merged m FULL JOIN globalregs g USING (bucket)
+    WHERE m.max_rho IS DISTINCT FROM g.max_rho
+)
+SELECT (SELECT CAST(count(DISTINCT seg) AS BIGINT) FROM segregs)
+           AS n_segments,
+       n_buckets_hit, s_scaled,
+       (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+           * CAST(1::BIGINT << 56 AS DOUBLE) / s_scaled AS hll_estimate,
+       (SELECT n_mismatch FROM diff) = 0 AS merge_lossless
+FROM agg
+"""
+
+
+@query("sketch_hll_merge", _HLL_MERGE_ORACLE)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge: per-priority segment sketches (5 sketches x 64
+    registers) unioned by per-bucket max, with the merged estimate AND
+    an in-engine losslessness check (merged registers == registers of
+    the concatenated stream, via full-outer anti-compare).  This is
+    the sketch property that matters at 100 TB: distinct-count any
+    rollup grain from ONE pass of per-partition sketches, no second
+    scan, no giant distinct shuffle."""
+    from ..dataops.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    by_seg = hll_registers_by(orders, "o_custkey", "o_orderpriority")
+    merged = hll_merge(by_seg)
+    est = hll_estimate(merged)
+    glob = hll_registers(orders, "o_custkey")
+    n_mismatch = (
+        merged.withColumnRenamed("max_rho", "m_rho")
+        .join(
+            glob.withColumnRenamed("max_rho", "g_rho"),
+            "bucket",
+            "full",
+        )
+        .where(
+            ~(F.col("m_rho").eqNullSafe(F.col("g_rho")))
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_segments = by_seg.agg(
+        F.countDistinct("seg").cast("long").alias("n_segments")
+    )
+    return (
+        n_segments.crossJoin(est)
+        .crossJoin(n_mismatch.select((F.col("n") == 0).alias("merge_lossless")))
+        .select(
+            "n_segments",
+            "n_buckets_hit",
+            "s_scaled",
+            "hll_estimate",
+            "merge_lossless",
+        )
+    )

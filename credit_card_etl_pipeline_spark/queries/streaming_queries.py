@@ -906,3 +906,52 @@ def stream_bloom_corpus_filter(
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+# ====================================================================
+# Streaming dedup with BOUNDED state (dropDuplicatesWithinWatermark)
+# ====================================================================
+
+@query("stream_dedup_within_watermark", _STREAM_DEDUP_ORACLE)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale-correct streaming dedup: ``dropDuplicatesWithinWatermark``
+    holds a key only until the 1-hour watermark passes its event time,
+    so dedup state is bounded by the redelivery window instead of
+    growing with every key ever seen (what plain ``dropDuplicates`` in
+    `stream_dedup_ingest` does — correct, but state-unbounded at
+    100 TB/day).  Same at-least-once doubled source, same oracle: the
+    single-copy batch aggregate — every redelivery lands within the
+    watermark, so suppression must be complete."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import dedup_stream_within_watermark
+
+    name = f"dedup_wm_oracle_{next(_stateful_run_counter)}"
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    q = (
+        dedup_stream_within_watermark(doubled)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dedup_wm_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("value_cents"),
+        )
+    )

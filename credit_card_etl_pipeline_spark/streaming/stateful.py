@@ -108,3 +108,25 @@ def dedup_stream(events: DataFrame) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     ).dropDuplicates(["event_id"])
+
+
+def dedup_stream_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state: like
+    :func:`dedup_stream` but via ``dropDuplicatesWithinWatermark``, so
+    a key is only held until the watermark passes its event time —
+    the scale-correct variant (plain ``dropDuplicates`` state grows
+    with every key ever seen; at 100 TB/day that state never fits).
+    Correct whenever redeliveries arrive within the watermark delay,
+    which is exactly the at-least-once-source contract."""
+    from .windows import event_time
+
+    return (
+        event_time(events)
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    )
