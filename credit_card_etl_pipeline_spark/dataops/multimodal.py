@@ -6,10 +6,11 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through
 driver memory.
 
 Image and audio decode are REAL: images via Pillow when installed
-(JPEG/PNG/anything PIL reads), else the vendored stdlib PNG codec
-(dataops/png.py); audio via the vendored RIFF/WAVE PCM codec
-(dataops/wav.py) — so ``decode_media(..., fake=False)`` and
-``decode_audio_stats`` work on actual media in this runtime.
+(anything PIL reads), else the vendored codecs — stdlib PNG
+(dataops/png.py) and baseline grayscale JPEG (dataops/jpeg.py); audio
+via the vendored RIFF/WAVE PCM codec (dataops/wav.py) — so
+``decode_media(..., fake=False)`` and ``decode_audio_stats`` work on
+actual media in this runtime.
 ``fake=True`` keeps the deterministic byte-histogram pseudo-decoder
 used by the SQL-expressible oracle queries.  Video demuxing and
 compressed audio have no stdlib path and still raise
@@ -48,9 +49,14 @@ def decode_image_gray(data: bytes) -> tuple[int, int, bytes]:
     if data[:8] == _png.PNG_MAGIC:
         w, h, channels, pixels = _png.decode_png(data)
         return w, h, _png.to_gray(channels, pixels)
+    if data[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg_gray(data)
     raise NotImplementedError(
-        "non-PNG image decode requires Pillow; this runtime ships only "
-        "the vendored PNG codec (dataops/png.py)"
+        "image decode without Pillow covers PNG (dataops/png.py) and "
+        "baseline grayscale JPEG (dataops/jpeg.py); other formats "
+        "require Pillow"
     )
 
 #: Metadata carried alongside every media payload.

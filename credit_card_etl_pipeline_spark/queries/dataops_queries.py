@@ -2364,3 +2364,77 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_lossless",
         )
     )
+
+
+# ====================================================================
+# REAL JPEG roundtrip (vendored baseline codec; lossy, so the oracle
+# pins the round-trip PROPERTY — dims + error bound — not the pixels)
+# ====================================================================
+
+_JPEG_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       TRUE AS err_bounded
+FROM documents WHERE doc_id % 10 = 3
+"""
+
+
+@query("multimodal_jpeg_roundtrip", _JPEG_ROUNDTRIP_ORACLE)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG codec end-to-end: per document a deterministic smooth
+    24x16 gradient (pixel(r,c) = clamp((doc_id%7)*8 + r*3 + c*2)) is
+    encoded to an actual baseline JFIF stream (dataops/jpeg.py — Annex
+    K tables, byte stuffing, canonical Huffman) and decoded back
+    through the production path (decode_image_gray's JPEG branch)
+    inside Arrow-batched mapInPandas.  JPEG is lossy, so the hash pins
+    the round-trip PROPERTY instead of pixel values: exact dimensions
+    plus max |decoded - original| <= 8 per pixel (a smooth gradient
+    quantizes within half a DC step).  Any zigzag, Huffman, DCT, or
+    byte-stuffing bug blows the bound or the dims."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import jpeg as jpegc
+    from ..dataops import multimodal as mmod
+
+    W, H, BOUND = 24, 16, 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                base = (i64 % 7) * 8
+                pixels = bytes(
+                    min(255, base + r * 3 + c * 2)
+                    for r in range(H)
+                    for c in range(W)
+                )
+                encoded = jpegc.encode_jpeg_gray(W, H, pixels)
+                w, h, gray = mmod.decode_image_gray(encoded)
+                err = max(
+                    abs(a - b) for a, b in zip(gray, pixels)
+                )
+                ids.append(i64)
+                ws.append(w)
+                hs.append(h)
+                oks.append(bool(w == W and h == H and err <= BOUND))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "err_bounded": oks,
+                }
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 3)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        run, "doc_id long, width long, height long, err_bounded boolean"
+    )

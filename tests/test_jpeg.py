@@ -1,0 +1,97 @@
+"""Unit tests for the vendored baseline JPEG codec (dataops/jpeg.py):
+zigzag order, roundtrip error bounds, odd dimensions, honest failure
+on unsupported streams, and the multimodal decode-branch routing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from credit_card_etl_pipeline_spark.dataops.jpeg import (
+    ZIGZAG,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def test_zigzag_is_the_standard_sequence():
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert len(set(ZIGZAG)) == 64
+
+
+def test_roundtrip_smooth_image_tight_bound():
+    h, w = 40, 56
+    img = np.clip(
+        np.linspace(0, 255, w)[None, :] * 0.7
+        + np.linspace(0, 60, h)[:, None],
+        0,
+        255,
+    ).astype(np.uint8)
+    data = encode_jpeg_gray(w, h, img.tobytes())
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w2, h2, px = decode_jpeg_gray(data)
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_roundtrip_odd_dimensions_pad_cropped():
+    # 13x9: neither dimension a multiple of 8 — padding must not leak
+    rng = np.random.RandomState(3)
+    img = (rng.rand(9, 13) * 40 + 100).astype(np.uint8)  # low contrast
+    data = encode_jpeg_gray(13, 9, img.tobytes())
+    w, h, px = decode_jpeg_gray(data)
+    assert (w, h) == (13, 9)
+    assert len(px) == 13 * 9
+
+
+def test_roundtrip_noise_bounded_by_quant_tables():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    data = encode_jpeg_gray(16, 16, img.tobytes())
+    _, _, px = decode_jpeg_gray(data)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+    # worst-case error for white noise stays far from catastrophic
+    assert np.abs(dec.astype(int) - img.astype(int)).max() < 128
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 40
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+
+
+def test_color_jpeg_raises_not_implemented():
+    # take a real grayscale stream and patch SOF0 to claim 3 components
+    data = bytearray(encode_jpeg_gray(8, 8, bytes(range(64))))
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1)
+    data[i + 9] = 3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_truncated_stream_decodes_prefix_blocks():
+    img = np.full((16, 16), 90, dtype=np.uint8)
+    data = encode_jpeg_gray(16, 16, img.tobytes())
+    # chop the tail (drop EOI and some entropy bytes)
+    w, h, px = decode_jpeg_gray(data[:-6])
+    assert (w, h) == (16, 16)
+    assert len(px) == 256
+
+
+def test_multimodal_routes_jpeg_magic():
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        decode_image_gray,
+    )
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    data = encode_jpeg_gray(8, 8, img.tobytes())
+    w, h, gray = decode_image_gray(data)
+    assert (w, h) == (8, 8)
+    assert abs(gray[0] - 200) <= 4
