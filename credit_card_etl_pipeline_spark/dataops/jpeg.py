@@ -308,15 +308,151 @@ def encode_jpeg_gray(
 
 
 # ------------------------------------------------------------------
-# Decoder
+# Color encoder (4:4:4 or 4:2:0, JFIF YCbCr; for tests/fixtures)
+# ------------------------------------------------------------------
+
+def _encode_block(
+    block: np.ndarray,
+    q: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+    bw: _BitWriter,
+) -> int:
+    """DCT + quantize + entropy-code one 8x8 block; returns its DC."""
+    coef = _C @ block @ _C.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = [int(quant[r, c]) for r, c in ZIGZAG]
+    diff = zz[0] - prev_dc
+    t = _category(diff)
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for kk in range(1, 64):
+        v = zz[kk]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = ac_codes[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg_color(
+    width: int, height: int, rgb: bytes, *, subsample: int = 2
+) -> bytes:
+    """Baseline color JPEG from row-major interleaved RGB bytes.
+
+    ``subsample=1`` → 4:4:4, ``subsample=2`` → 4:2:0 (chroma box-
+    averaged 2x2).  JFIF full-range BT.601 YCbCr; all three components
+    share the Annex K luminance tables (spec-legal, keeps the vendored
+    surface small)."""
+    if subsample not in (1, 2):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    s = subsample
+    mcu_h, mcu_w = 8 * s, 8 * s
+    ph = (height + mcu_h - 1) // mcu_h * mcu_h
+    pw = (width + mcu_w - 1) // mcu_w * mcu_w
+
+    def pad(plane: np.ndarray) -> np.ndarray:
+        return np.pad(
+            plane,
+            ((0, ph - height), (0, pw - width)),
+            mode="edge",
+        )
+
+    yp = pad(y) - 128.0
+    if s == 2:
+        # box-average 2x2 on the padded plane
+        cbp = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        crp = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+    else:
+        cbp = pad(cb) - 128.0
+        crp = pad(cr) - 128.0
+
+    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    q = QUANT_LUM.astype(np.float64)
+    prev = [0, 0, 0]
+    for my in range(0, ph, mcu_h):
+        for mx in range(0, pw, mcu_w):
+            # Y blocks: s*s per MCU, raster order
+            for vy in range(s):
+                for vx in range(s):
+                    blk = yp[
+                        my + vy * 8 : my + vy * 8 + 8,
+                        mx + vx * 8 : mx + vx * 8 + 8,
+                    ]
+                    prev[0] = _encode_block(
+                        blk, q, prev[0], dc_codes, ac_codes, bw
+                    )
+            cy, cx = my // s, mx // s
+            for ci, plane in ((1, cbp), (2, crp)):
+                blk = plane[cy : cy + 8, cx : cx + 8]
+                prev[ci] = _encode_block(
+                    blk, q, prev[ci], dc_codes, ac_codes, bw
+                )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    sf = (s << 4) | s
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    qt_zz = bytes(int(QUANT_LUM[r_, c_]) for r_, c_ in ZIGZAG)
+    out += seg(0xDB, b"\x00" + qt_zz)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, sf, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------------
+# Decoder (baseline sequential, 1-3 components, luma output)
 # ------------------------------------------------------------------
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, luminance bytes) of a baseline grayscale JPEG.
+    """(width, height, luminance bytes) of a baseline sequential JPEG.
 
-    Accepts single-component baseline sequential images (8-bit, any
-    JFIF/EXIF headers, optional restart intervals); multi-component
-    (color) or progressive streams raise ``NotImplementedError``."""
+    Accepts grayscale AND interleaved color streams (1-3 components,
+    sampling factors up to 2x2 — covers 4:4:4, 4:2:2, 4:2:0), 8-bit,
+    any JFIF/EXIF headers, optional restart intervals.  Output is the
+    LUMINANCE plane (the Y component IS gray for JFIF YCbCr; chroma
+    blocks are entropy-decoded to keep the bit stream in sync, then
+    discarded without the IDCT).  Progressive / arithmetic / 12-bit
+    streams raise ``NotImplementedError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -324,7 +460,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     dc_decode: dict[int, dict] = {}
     ac_decode: dict[int, dict] = {}
     width = height = 0
-    comp_q = comp_dc = comp_ac = 0
+    components: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     restart_interval = 0
 
     while pos < len(data):
@@ -332,13 +468,13 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI
+        if marker == 0xD9:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
-            continue  # parameterless
+            continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
@@ -351,7 +487,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                     tab[r, c] = body[p + k]
                 p += 64
                 qtables[tq] = tab
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:
             p = 0
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 0x0F
@@ -363,39 +499,53 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                     dc_decode[th] = _build_decode(bits, vals)
                 else:
                     ac_decode[th] = _build_decode(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             precision = body[0]
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if precision != 8:
                 raise NotImplementedError("non-8-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "color JPEG decode not vendored (grayscale only)"
-                )
-            sampling = body[7]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled single component")
-            comp_q = body[8]
+            if ncomp > 3:
+                raise NotImplementedError("more than 3 components")
+            components = []
+            for ci in range(ncomp):
+                cid = body[6 + ci * 3]
+                hv = body[7 + ci * 3]
+                tq = body[8 + ci * 3]
+                h_, v_ = hv >> 4, hv & 0x0F
+                if not (1 <= h_ <= 2 and 1 <= v_ <= 2):
+                    raise NotImplementedError(
+                        f"sampling factor {h_}x{v_} out of vendored range"
+                    )
+                components.append((cid, h_, v_, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("non-baseline JPEG (progressive?)")
-        elif marker == 0xDD:  # DRI
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic)"
+            )
+        elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
+            if ns != len(components):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan stream"
+                )
+            scan_tabs = {}
+            for si in range(ns):
+                cs = body[1 + si * 2]
+                tsel = body[2 + si * 2]
+                scan_tabs[cs] = (tsel >> 4, tsel & 0x0F)
             pos += seglen
-            return _decode_scan(
+            return _decode_scan_interleaved(
                 data,
                 pos,
                 width,
                 height,
-                qtables[comp_q],
-                dc_decode[comp_dc],
-                ac_decode[comp_ac],
+                components,
+                qtables,
+                dc_decode,
+                ac_decode,
+                scan_tabs,
                 restart_interval,
             )
         pos += seglen
@@ -412,57 +562,104 @@ def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_scan(
+def _entropy_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, prev_dc: int
+) -> tuple[list[int], int]:
+    """Entropy-decode one block's 64 zigzag coefficients."""
+    zz = [0] * 64
+    t = _huff_read(br, dc_tab)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_read(br, ac_tab)
+        r, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.read_bits(s_), s_)
+        k += 1
+    return zz, dc
+
+
+def _decode_scan_interleaved(
     data: bytes,
     pos: int,
     width: int,
     height: int,
-    qtab: np.ndarray,
-    dc_tab: dict,
-    ac_tab: dict,
+    components: list[tuple[int, int, int, int]],
+    qtables: dict[int, np.ndarray],
+    dc_decode: dict[int, dict],
+    ac_decode: dict[int, dict],
+    scan_tabs: dict[int, tuple[int, int]],
     restart_interval: int,
 ) -> tuple[int, int, bytes]:
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    hmax = max(h for _, h, _, _ in components)
+    vmax = max(v for _, _, v, _ in components)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    # luma = first component; allocate only its plane
+    cid0, h0, v0, tq0 = components[0]
+    yplane = np.zeros((mcus_y * v0 * 8, mcus_x * h0 * 8), dtype=np.float64)
+    q0 = qtables[tq0].astype(np.float64)
+
     br = _BitReader(data, pos)
-    prev_dc = 0
-    qf = qtab.astype(np.float64)
+    prev_dc = {cid: 0 for cid, _, _, _ in components}
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    done = False
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if done:
+                break
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.byte_align()
                 br.consume_rst()
-                prev_dc = 0
+                for cid in prev_dc:
+                    prev_dc[cid] = 0
             mcu += 1
-            zz = [0] * 64
-            try:
-                t = _huff_read(br, dc_tab)
-                diff = _extend(br.read_bits(t), t) if t else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, ac_tab)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run overflow")
-                    zz[k] = _extend(br.read_bits(s), s)
-                    k += 1
-            except _MarkerHit:
-                pass  # truncated stream: remaining blocks stay zero
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for k in range(64):
-                r, c = ZIGZAG[k]
-                coef[r, c] = zz[k]
-            block = _C.T @ (coef * qf) @ _C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    pixels = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-    return width, height, pixels[:height, :width].tobytes()
+            for idx, (cid, h_, v_, _tq) in enumerate(components):
+                dct, act = scan_tabs[cid]
+                dc_tab = dc_decode[dct]
+                ac_tab = ac_decode[act]
+                for vy in range(v_):
+                    for vx in range(h_):
+                        try:
+                            zz, dc = _entropy_block(
+                                br, dc_tab, ac_tab, prev_dc[cid]
+                            )
+                            prev_dc[cid] = dc
+                        except _MarkerHit:
+                            done = True
+                            zz = None
+                        if idx == 0 and zz is not None:
+                            coef = np.zeros((8, 8), dtype=np.float64)
+                            for k in range(64):
+                                r, c = ZIGZAG[k]
+                                coef[r, c] = zz[k]
+                            block = _C.T @ (coef * q0) @ _C
+                            by = (my * v0 + vy) * 8
+                            bx = (mx * h0 + vx) * 8
+                            yplane[by : by + 8, bx : bx + 8] = block
+                        if done:
+                            break
+                    if done:
+                        break
+                if done:
+                    break
+
+    pixels = np.clip(np.round(yplane + 128.0), 0, 255).astype(np.uint8)
+    if h0 == hmax and v0 == vmax:
+        full = pixels
+    else:  # luma subsampled (unusual): nearest-neighbour upsample
+        full = np.repeat(
+            np.repeat(pixels, vmax // v0, axis=0), hmax // h0, axis=1
+        )
+    return width, height, full[:height, :width].tobytes()

@@ -2375,7 +2375,8 @@ _JPEG_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
        CAST(24 AS BIGINT) AS width,
        CAST(16 AS BIGINT) AS height,
-       TRUE AS err_bounded
+       TRUE AS err_bounded,
+       TRUE AS color_err_bounded
 FROM documents WHERE doc_id % 10 = 3
 """
 
@@ -2403,7 +2404,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs, oks = [], [], [], []
+            ids, ws, hs, oks, coks = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
                 base = (i64 % 7) * 8
@@ -2417,16 +2418,43 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 err = max(
                     abs(a - b) for a, b in zip(gray, pixels)
                 )
+                # color path: 16x16 RGB gradient through 4:2:0 chroma
+                # interleave; decoded luma must track BT.601 Y
+                rgb = bytes(
+                    v
+                    for r in range(16)
+                    for c in range(16)
+                    for v in (
+                        min(255, base + r * 6),
+                        min(255, base + c * 6),
+                        96,
+                    )
+                )
+                cenc = jpegc.encode_jpeg_color(16, 16, rgb, subsample=2)
+                cw, ch, cgray = mmod.decode_image_gray(cenc)
+                cerr = 0.0
+                for r in range(16):
+                    for c in range(16):
+                        y = (
+                            0.299 * min(255, base + r * 6)
+                            + 0.587 * min(255, base + c * 6)
+                            + 0.114 * 96
+                        )
+                        cerr = max(cerr, abs(cgray[r * 16 + c] - y))
                 ids.append(i64)
                 ws.append(w)
                 hs.append(h)
                 oks.append(bool(w == W and h == H and err <= BOUND))
+                coks.append(
+                    bool(cw == 16 and ch == 16 and cerr <= BOUND)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "width": ws,
                     "height": hs,
                     "err_bounded": oks,
+                    "color_err_bounded": coks,
                 }
             )
 
@@ -2436,5 +2464,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return docs.mapInPandas(
-        run, "doc_id long, width long, height long, err_bounded boolean"
+        run,
+        "doc_id long, width long, height long, err_bounded boolean,"
+        " color_err_bounded boolean",
     )

@@ -65,15 +65,50 @@ def test_not_a_jpeg_raises():
         decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
 
 
-def test_color_jpeg_raises_not_implemented():
-    # take a real grayscale stream and patch SOF0 to claim 3 components
-    data = bytearray(encode_jpeg_gray(8, 8, bytes(range(64))))
-    i = data.find(b"\xff\xc0")
-    assert i > 0
-    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1)
-    data[i + 9] = 3
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_gray(bytes(data))
+def _rgb_gradient(h, w):
+    r = np.clip(np.linspace(20, 235, w)[None, :] * np.ones((h, 1)), 0, 255)
+    g = np.clip(np.linspace(30, 200, h)[:, None] * np.ones((1, w)), 0, 255)
+    b = np.full((h, w), 96.0)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _luma(rgb):
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+def test_color_roundtrip_extracts_luma(subsample):
+    from credit_card_etl_pipeline_spark.dataops.jpeg import (
+        encode_jpeg_color,
+    )
+
+    h, w = 24, 40
+    rgb = _rgb_gradient(h, w)
+    data = encode_jpeg_color(w, h, rgb.tobytes(), subsample=subsample)
+    w2, h2, px = decode_jpeg_gray(data)
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    err = np.abs(dec.astype(float) - _luma(rgb))
+    # smooth gradient: decoded Y must track BT.601 luma closely even
+    # through 4:2:0 chroma interleaving (which only has to keep the
+    # bit stream in sync)
+    assert err.max() <= 8, err.max()
+
+
+def test_color_420_odd_dims():
+    from credit_card_etl_pipeline_spark.dataops.jpeg import (
+        encode_jpeg_color,
+    )
+
+    h, w = 19, 21  # not multiples of the 16x16 MCU
+    rgb = _rgb_gradient(h, w)
+    data = encode_jpeg_color(w, h, rgb.tobytes(), subsample=2)
+    w2, h2, px = decode_jpeg_gray(data)
+    assert (w2, h2) == (w, h)
+    assert len(px) == w * h
 
 
 def test_truncated_stream_decodes_prefix_blocks():
