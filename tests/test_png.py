@@ -172,7 +172,14 @@ def test_non_png_without_pillow_raises_or_pillow_decodes():
     except ImportError:
         has_pil = False
     if not has_pil:
+        # JPEG magic now routes to the vendored codec (dataops/jpeg.py),
+        # so the honest NotImplementedError is reserved for formats with
+        # no vendored path (e.g. GIF)
         with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image_gray(b"GIF89a fake gif bytes")
+        with pytest.raises(ValueError):
+            # malformed JPEG reaches the vendored decoder and fails
+            # with a parse error, not a capability error
             decode_image_gray(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
