@@ -280,3 +280,30 @@ def bloom_probe(
         )
         .drop("__hits")
     )
+
+
+def bloom_prefilter(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Map-side Bloom membership filter: ``depth`` broadcast LEFT SEMI
+    joins, one per hash position — the fact never shuffles and never
+    aggregates (``bloom_probe``'s per-key groupBy is for verdict
+    AUDITING; this is the pushdown path).  Rows whose key might be in
+    the member set survive; false positives are expected and removed
+    by whatever exact join follows.  This is the manual form of
+    Spark's runtime row-level filtering: at 100 TB it turns a
+    join-everything shuffle into a shuffle of the ~matching fraction
+    for the cost of broadcasting <= m positions."""
+    out = df
+    for j in range(depth):
+        out = out.join(
+            F.broadcast(bloom),
+            bloom_position(F.col(key_col), j, m) == bloom["pos"],
+            "left_semi",
+        )
+    return out

@@ -11,6 +11,7 @@ dedup queries vacuous.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2467,4 +2468,167 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width long, height long, err_bounded boolean,"
         " color_err_bounded boolean",
+    )
+
+
+# ====================================================================
+# Bloom semi-join pushdown (pre-shuffle fact reduction)
+# ====================================================================
+
+def _bloom_key_pos_sql(j: int, key_expr: str) -> str:
+    a, b = MINHASH_COEFFS[j]
+    from ..dataops.sketches import BLOOM_M
+
+    x = f"({md5_int60_sql(f'CAST({key_expr} AS VARCHAR)')} % {MERSENNE_P})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {BLOOM_M})"
+
+
+_BLOOM_PUSHDOWN_ORACLE = f"""
+WITH dim AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS ordprice_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND year(CAST(o_orderdate AS DATE)) = 1996
+),
+bloom AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql(j)} AS pos FROM dim"
+            for j in range(4))}
+    )
+),
+passed AS (
+    SELECT l_orderkey, l_extendedprice FROM lineitem l
+    WHERE {" AND ".join(
+        f"EXISTS (SELECT 1 FROM bloom b WHERE b.pos = "
+        f"{_bloom_key_pos_sql(j, 'l.l_orderkey')})"
+        for j in range(4))}
+),
+joined AS (
+    SELECT p.l_orderkey, p.l_extendedprice
+    FROM passed p JOIN dim d ON d.k = p.l_orderkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact,
+       (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_bloom_pass,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM joined
+"""
+
+
+@query("bloom_semi_join_pushdown", _BLOOM_PUSHDOWN_ORACLE)
+def bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pushdown: the urgent-1996 order keys build a
+    <=1024-position Bloom filter, the lineitem fact is pre-filtered
+    MAP-SIDE by chained broadcast semi-joins (dataops.sketches.
+    bloom_prefilter — the manual form of Spark's runtime row-level
+    filtering), and only the surviving sliver reaches the exact join
+    that removes the false positives.  Because the filter is the
+    deterministic hash-family sketch, the oracle recomputes the EXACT
+    pushdown pass-count — the reduction itself is on the value hash,
+    not just the final join result.  At 100 TB: broadcast KBs, shuffle
+    the matching fraction instead of everything."""
+    from ..dataops import sketches as sk
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year(F.to_date("o_orderdate")) == 1996)
+    ).select(F.col("o_orderkey").alias("k"))
+    bloom = sk.bloom_build(dim, "k")
+    passed = sk.bloom_prefilter(
+        bloom, lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"
+    )
+    n_fact = lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
+    n_pass = passed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_pass")
+    )
+    joined = passed.join(
+        F.broadcast(dim), passed["l_orderkey"] == dim["k"]
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return n_fact.crossJoin(n_pass).crossJoin(joined)
+
+
+# ====================================================================
+# Vectorized Pandas UDF (Arrow scalar path) — Damerau-Levenshtein
+# ====================================================================
+
+#: Reference string for the distance probe (ASCII, 40 chars).
+_DL_REF = "the quick brown fox jumps over the lazy "
+
+
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """Full (unrestricted) Damerau-Levenshtein — the variant DuckDB's
+    ``damerau_levenshtein`` implements (transposed chars may be edited
+    again later), verified against it on randomized pairs in
+    tests/test_dataops.py."""
+    da: dict[str, int] = {}
+    maxd = len(a) + len(b)
+    d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l_ = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1),
+            )
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+_DL_UDF_ORACLE = f"""
+SELECT doc_id,
+       CAST(damerau_levenshtein(
+           substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                     1, 40),
+           '{_DL_REF}') AS BIGINT) AS edit_distance
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+@query("udf_vectorized_edit_distance", _DL_UDF_ORACLE)
+def udf_vectorized_edit_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF: full Damerau-Levenshtein
+    between each document's normalized 40-char prefix and a fixed
+    reference — a function the JVM expression library does NOT have
+    (F.levenshtein exists; transposition-aware DL does not), which is
+    exactly when the Pandas-UDF slow path earns its place.  The UDF
+    receives whole Arrow batches (one Python call per ~10k rows, not
+    per row); DuckDB's built-in damerau_levenshtein is the oracle, so
+    the algorithm variant itself is hash-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def dl_udf(prefixes: pd.Series) -> pd.Series:
+        return prefixes.map(
+            lambda s: _damerau_levenshtein(s, _DL_REF)
+        ).astype("int64")
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    prefix = F.substring(tx.normalize_text(F.col("text")), 1, 40)
+    return docs.select(
+        "doc_id", dl_udf(prefix).alias("edit_distance")
     )

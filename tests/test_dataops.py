@@ -387,3 +387,24 @@ def test_pagerank_integer_exact_and_hub_ranks_highest(spark):
         for r in pagerank(edges.repartition(7), iters=3).collect()
     }
     assert out2 == out
+
+
+def test_damerau_levenshtein_matches_duckdb_variant():
+    import random
+
+    import duckdb
+
+    from credit_card_etl_pipeline_spark.queries.dataops_queries import (
+        _damerau_levenshtein,
+    )
+
+    rng = random.Random(5)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 14)))
+        want = duckdb.sql(
+            f"select damerau_levenshtein('{a}','{b}')"
+        ).fetchone()[0]
+        assert _damerau_levenshtein(a, b) == want, (a, b)
+    # the transposition-then-edit case that separates full DL from OSA
+    assert _damerau_levenshtein("ca", "abc") == 2
