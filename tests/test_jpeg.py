@@ -130,3 +130,45 @@ def test_multimodal_routes_jpeg_magic():
     w, h, gray = decode_image_gray(data)
     assert (w, h) == (8, 8)
     assert abs(gray[0] - 200) <= 4
+
+
+# ------------------------------------------------------------------
+# Property-based coverage (hypothesis)
+# ------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_any_size_gray_roundtrips_with_bounded_error(w, h, seed):
+    rng = np.random.RandomState(seed)
+    # low-contrast random field: quantization error stays modest
+    img = (rng.rand(h, w) * 60 + 90).astype(np.uint8)
+    data = encode_jpeg_gray(w, h, img.tobytes())
+    w2, h2, px = decode_jpeg_gray(data)
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    # worst-case quant step in the Annex K table is 121 -> error
+    # can reach ~60 on adversarial high-frequency content
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 70
+
+
+@settings(max_examples=30, deadline=None)
+@given(cut=st.integers(1, 60), seed=st.integers(0, 1000))
+def test_truncation_never_crashes_or_misreports_dims(cut, seed):
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(16, 16) * 255).astype(np.uint8)
+    data = encode_jpeg_gray(16, 16, img.tobytes())
+    chopped = data[: max(2, len(data) - cut)]
+    try:
+        w, h, px = decode_jpeg_gray(chopped)
+    except (ValueError, NotImplementedError):
+        return  # honest parse failure is fine; hangs/crashes are not
+    assert (w, h) == (16, 16)
+    assert len(px) == 256
