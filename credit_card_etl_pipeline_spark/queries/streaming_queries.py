@@ -955,3 +955,16 @@ def stream_dedup_within_watermark(
             F.sum("vc").cast("long").alias("value_cents"),
         )
     )
+
+
+# ====================================================================
+# transformWithStateInPandas (Spark 4 typed-state API)
+# ====================================================================
+# NOT registered as a query: the API's Python worker requires the
+# protobuf package, absent from this runtime (and installs are off the
+# table), so a registered query would crash the driver's sweep.  The
+# operator itself ships gated in streaming.stateful.running_user_stats_tws
+# with an actionable RuntimeError, and tests/test_streaming.py carries a
+# skipif-protobuf end-state parity test that activates the moment the
+# dependency appears.  applyInPandasWithState (stream_stateful_user_stats)
+# remains the exercised custom-stateful path.

@@ -130,3 +130,76 @@ def dedup_stream_within_watermark(events: DataFrame) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("vc"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 successor of
+# applyInPandasWithState): typed per-key state handles
+# ------------------------------------------------------------------
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Same per-user cumulative count/value state as
+    :func:`running_user_stats`, expressed in the Spark 4
+    ``transformWithStateInPandas`` API: state lives in TYPED handles
+    (``getValueState`` with a schema) managed by the state store
+    rather than one opaque tuple, the processor is an object with
+    lifecycle (init/close), and timers/TTL are first-class when
+    needed.  Functionally the end state is identical — which is what
+    the oracle checks — making this the migration template from the
+    older API.
+
+    Runtime gate: the transformWithState Python worker speaks protobuf
+    to the JVM state server; without the ``protobuf`` package the
+    streaming runner crashes at init with an opaque XXKST, so fail
+    here with the actionable message instead."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(the Python worker speaks protobuf to the JVM state "
+            "server); this runtime does not ship it — use "
+            "running_user_stats (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events LONG, value_cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prev = self._state.get() if self._state.exists() else (0, 0)
+            batch_n = 0
+            batch_cents = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_cents += int(pdf["vc"].sum())
+            new_n = prev[0] + batch_n
+            new_cents = prev[1] + batch_cents
+            self._state.update((new_n, new_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [new_n],
+                    "value_cents": [new_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id LONG, n_events LONG, value_cents LONG",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -72,3 +72,62 @@ def test_stream_equals_batch_tumbling(spark, tmp_path):
 
     assert _as_set(stream_rows) == _as_set(batch)
     assert len(stream_rows) > 0
+
+
+def test_transform_with_state_gated_or_parity(spark):
+    """transformWithStateInPandas needs protobuf: without it the
+    operator must fail fast with the actionable message; with it, the
+    end state must match the batch aggregation (activates the moment
+    the dependency appears in the runtime)."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.streaming.stateful import (
+        running_user_stats_batch,
+        running_user_stats_tws,
+    )
+    from credit_card_etl_pipeline_spark.streaming.windows import (
+        event_time,
+        events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            running_user_stats_tws(
+                event_time(events_stream(spark, sf))
+            )
+        return
+
+    q = (
+        running_user_stats_tws(event_time(events_stream(spark, sf)))
+        .writeStream.format("memory")
+        .queryName("tws_parity")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_t_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in spark.table("tws_parity")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in running_user_stats_batch(
+            spark.read.parquet(f"{sf}/events.parquet")
+        ).collect()
+    }
+    assert got == want
