@@ -936,3 +936,132 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= 10)
         ).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------
+# Curation pipeline v3: the round-5 operators composed
+# (chunk-novelty gate x LM-typicality band)
+# ------------------------------------------------------------------
+
+#: Keep a doc iff >= half its tokens survive corpus chunk-dedup AND
+#: its avg bit-surprisal sits inside [lo, hi] (too low = boilerplate,
+#: too high = alien/garbled — the two-sided perplexity filter).
+_V3_SURPRISAL_LO = 500
+_V3_SURPRISAL_HI = 9000
+
+_V3_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST((s - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
+           CAST(len(list_slice(toks, s,
+                least(s + {_DCHUNK} - 1, len(toks)))) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, s,
+                least(s + {_DCHUNK} - 1, len(toks))), ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1),
+                                      {_DCHUNK})) AS s
+        FROM w
+    )
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY md5(chunk_text)
+                              ORDER BY doc_id, chunk_index) AS rk
+    FROM chunks
+),
+novelty AS (
+    SELECT doc_id,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rk = 1 THEN n_chunk_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM ranked GROUP BY doc_id
+),
+grams AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
+         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+counts AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(log2(t)) - floor(log2(c)) AS BIGINT) AS bits
+    FROM grams JOIN counts USING (gram) CROSS JOIN tot
+),
+typicality AS (
+    SELECT doc_id,
+           CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+               AS avg_surprisal_milli
+    FROM scored GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens, n.kept_tokens,
+       COALESCE(t.avg_surprisal_milli, 0) AS avg_surprisal_milli,
+       (n.kept_tokens * 2 >= n.n_tokens) AS novel_enough,
+       (COALESCE(t.avg_surprisal_milli, 0) BETWEEN {_V3_SURPRISAL_LO}
+            AND {_V3_SURPRISAL_HI}) AS typicality_ok,
+       ((n.kept_tokens * 2 >= n.n_tokens)
+        AND COALESCE(t.avg_surprisal_milli, 0)
+            BETWEEN {_V3_SURPRISAL_LO} AND {_V3_SURPRISAL_HI}) AS keep
+FROM novelty n LEFT JOIN typicality t ON t.doc_id = n.doc_id
+"""
+
+
+@query("curation_pipeline_v3", _V3_ORACLE)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v3 — this round's operators composed into one
+    per-document verdict ledger: corpus-wide chunk dedup
+    (dedup_corpus_chunks) yields each doc's NOVELTY (fraction of its
+    tokens that are the corpus-first copy), the LM-typicality score
+    (lm_typicality) gives the two-sided perplexity band (too low =
+    boilerplate, too high = garbled), and the keep verdict is their
+    conjunction — all exact integers.  The chunk stats and the bigram
+    model each cost their documented shuffles; the final assembly is
+    two doc-keyed joins that AQE plans as small-table broadcasts."""
+    from ..dataops.text import words as _words
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    chunks = cu.chunk_documents(
+        docs, chunk_tokens=_DCHUNK, overlap=0
+    ).withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    from pyspark.sql import Window
+
+    wdw = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_index")
+    ranked = chunks.withColumn("rk", F.row_number().over(wdw))
+    novelty = ranked.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("rk") == 1, F.col("n_chunk_tokens")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    typ = cu.lm_typicality(docs).select("doc_id", "avg_surprisal_milli")
+    out = novelty.join(typ, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        F.coalesce(F.col("avg_surprisal_milli"), F.lit(0))
+        .cast("long")
+        .alias("avg_surprisal_milli"),
+    )
+    novel = F.col("kept_tokens") * 2 >= F.col("n_tokens")
+    typical = F.col("avg_surprisal_milli").between(
+        _V3_SURPRISAL_LO, _V3_SURPRISAL_HI
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        "avg_surprisal_milli",
+        novel.alias("novel_enough"),
+        typical.alias("typicality_ok"),
+        (novel & typical).alias("keep"),
+    )
