@@ -2632,3 +2632,111 @@ def udf_vectorized_edit_distance(
     return docs.select(
         "doc_id", dl_udf(prefix).alias("edit_distance")
     )
+
+
+# ====================================================================
+# HLL set algebra: intersection estimate via inclusion-exclusion
+# ====================================================================
+
+_HLL_EST_EXPR = (
+    "(0.7213 / (1 + 1.079 / 64)) * 64 * 64 "
+    "* CAST(1::BIGINT << 56 AS DOUBLE) / s_scaled"
+)
+
+
+def _hll_seg_cte(name: str, pred: str) -> str:
+    return f"""
+{name}_rho AS (
+    SELECT CAST({_HLL_H_SQL} % 64 AS INT) AS bucket,
+           CASE WHEN {_HLL_H_SQL} // 64 = 0 THEN 55
+                ELSE CAST(log2(({_HLL_H_SQL} // 64)
+                               & -({_HLL_H_SQL} // 64)) AS INT) + 1
+           END AS r
+    FROM orders WHERE {pred}
+),
+{name}_regs AS (
+    SELECT bucket, CAST(max(r) AS INT) AS max_rho
+    FROM {name}_rho GROUP BY bucket
+),
+{name}_est AS (
+    SELECT {_HLL_EST_EXPR} AS est FROM (
+        SELECT CAST(sum(1::BIGINT << (56 - max_rho))
+                    + (64 - count(*)) * (1::BIGINT << 56) AS BIGINT)
+                   AS s_scaled
+        FROM {name}_regs
+    )
+)"""
+
+
+_HLL_INTERSECT_ORACLE = f"""
+WITH {_hll_seg_cte("a", "o_orderpriority = '1-URGENT'")},
+{_hll_seg_cte("b", "o_orderpriority = '2-HIGH'")},
+u_regs AS (
+    SELECT bucket, CAST(max(max_rho) AS INT) AS max_rho
+    FROM (SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs)
+    GROUP BY bucket
+),
+u_est AS (
+    SELECT {_HLL_EST_EXPR} AS est FROM (
+        SELECT CAST(sum(1::BIGINT << (56 - max_rho))
+                    + (64 - count(*)) * (1::BIGINT << 56) AS BIGINT)
+                   AS s_scaled
+        FROM u_regs
+    )
+),
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+)
+SELECT a_est.est AS est_a, b_est.est AS est_b, u_est.est AS est_union,
+       a_est.est + b_est.est - u_est.est AS est_intersection,
+       (SELECT n_exact FROM exact) AS n_exact
+FROM a_est, b_est, u_est
+"""
+
+
+@query("sketch_hll_intersection", _HLL_INTERSECT_ORACLE)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: the customer overlap between two order
+    priorities estimated by inclusion-exclusion (|A| + |B| - |A∪B|,
+    the union estimate coming from the per-bucket max merge — HLLs
+    cannot intersect directly), with the exact INTERSECT count in the
+    same row so the error is on the board.  At 100 TB the three
+    estimates derive from the SAME per-segment register sets computed
+    in one pass; only the audit column needs the exact distinct."""
+    from ..dataops.sketches import hll_estimate, hll_merge, hll_registers
+
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH")
+    ra = hll_registers(a, "o_custkey")
+    rb = hll_registers(b, "o_custkey")
+    ru = hll_merge(
+        ra.select(F.lit("a").alias("seg"), "bucket", "max_rho").unionByName(
+            rb.select(F.lit("b").alias("seg"), "bucket", "max_rho")
+        )
+    )
+    ea = hll_estimate(ra).select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate(ru).select(F.col("hll_estimate").alias("est_union"))
+    exact = (
+        a.select("o_custkey")
+        .intersect(b.select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+        )
+        .crossJoin(exact)
+    )

@@ -954,3 +954,124 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ====================================================================
+# Data-quality constraint audit (dbt-test-style ledger)
+# ====================================================================
+
+_CONSTRAINT_ORACLE = """
+SELECT 'orders_pk_unique' AS constraint_name,
+       CAST((SELECT count(*) FROM (
+           SELECT o_orderkey FROM orders
+           GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            AS BIGINT)
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders_status_accepted_values',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_date_in_range',
+       CAST((SELECT count(*) FROM orders
+             WHERE CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                OR CAST(o_orderdate AS DATE) > DATE '2005-12-31')
+            AS BIGINT)
+"""
+
+
+@query("warehouse_constraint_audit", _CONSTRAINT_ORACLE)
+def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality ledger over the warehouse tables:
+    primary-key uniqueness, not-null, two referential-integrity checks
+    (FK anti joins), accepted values, numeric ranges, and date
+    freshness — one row per constraint with its violation count (all
+    zero on this corpus, and the ZEROS are the assertion).  Each check
+    is a scan-filter-count or an anti join on the FK key; at 100 TB
+    they share scans via Spark's plan reuse and the FK probes shuffle
+    only the violating sliver.  The checks run as real anti joins, not
+    set-difference approximations."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    null_ck = orders.where(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fk_cust = (
+        orders.join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk_ord = (
+        lineitem.join(
+            orders,
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    status = orders.where(
+        ~F.col("o_orderstatus").isin("F", "O", "P")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    qty = lineitem.where(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    disc = lineitem.where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dates = orders.where(
+        (F.to_date("o_orderdate") < F.lit("1990-01-01").cast("date"))
+        | (F.to_date("o_orderdate") > F.lit("2005-12-31").cast("date"))
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    return (
+        one("orders_pk_unique", dup_pk)
+        .unionByName(one("orders_custkey_not_null", null_ck))
+        .unionByName(one("orders_fk_customer", fk_cust))
+        .unionByName(one("lineitem_fk_orders", fk_ord))
+        .unionByName(one("orders_status_accepted_values", status))
+        .unionByName(one("lineitem_quantity_positive", qty))
+        .unionByName(one("lineitem_discount_range", disc))
+        .unionByName(one("orders_date_in_range", dates))
+    )
