@@ -7,7 +7,8 @@ driver memory.
 
 Image and audio decode are REAL: images via Pillow when installed
 (anything PIL reads), else the vendored codecs — stdlib PNG
-(dataops/png.py) and baseline grayscale JPEG (dataops/jpeg.py); audio
+(dataops/png.py), baseline JPEG (dataops/jpeg.py, gray + color luma),
+and GIF87a/89a (dataops/gif.py, incl. animations); audio
 via the vendored RIFF/WAVE PCM codec (dataops/wav.py) — so
 ``decode_media(..., fake=False)`` and ``decode_audio_stats`` work on
 actual media in this runtime.
@@ -27,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import gif as _gif
 from . import png as _png
 
 
@@ -34,8 +36,9 @@ def decode_image_gray(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, luminance bytes) of a real encoded image.
 
     Prefers Pillow (any format it reads); falls back to the vendored
-    PNG codec for PNG payloads.  Raises ``NotImplementedError`` only
-    when the payload is a non-PNG format AND Pillow is absent."""
+    codecs routed on magic bytes — PNG, baseline JPEG (gray + color
+    luma), GIF (first frame).  Raises ``NotImplementedError`` only for
+    formats with no vendored path AND no Pillow."""
     try:
         from PIL import Image  # optional dependency, not in runtime
     except ImportError:
@@ -53,10 +56,13 @@ def decode_image_gray(data: bytes) -> tuple[int, int, bytes]:
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg_gray(data)
+    if data[:6] in _gif.GIF_MAGICS:
+        w, h, gray = _gif.decode_gif_frames(data)[0]
+        return w, h, gray
     raise NotImplementedError(
-        "image decode without Pillow covers PNG (dataops/png.py) and "
-        "baseline grayscale JPEG (dataops/jpeg.py); other formats "
-        "require Pillow"
+        "image decode without Pillow covers PNG (dataops/png.py), "
+        "baseline JPEG (dataops/jpeg.py), and GIF (dataops/gif.py); "
+        "other formats require Pillow"
     )
 
 #: Metadata carried alongside every media payload.
@@ -207,9 +213,10 @@ def sample_frames(
     """Video frame-sampling: one output row per sampled frame (explode
     shape), keeping every ``every``-th frame.
 
-    Real path (``fake=False``): payloads are APNG animations decoded
-    by the vendored codec (png.decode_apng_frames) — each kept frame
-    is emitted as its luminance pixel buffer.  True video containers
+    Real path (``fake=False``): payloads are APNG or animated-GIF
+    streams decoded by the vendored codecs (png.decode_apng_frames /
+    gif.decode_gif_frames, routed on magic bytes) — each kept frame is
+    emitted as its luminance pixel buffer.  True video containers
     (mp4/mkv) would slot in at the same call site via pyav/ffmpeg.
     The fake path treats the payload as fixed-size byte frames — the
     same fan-out contract, SQL-expressible for the oracle."""
@@ -229,6 +236,13 @@ def sample_frames(
                                 fno * frame_bytes : (fno + 1) * frame_bytes
                             ]
                         )
+                elif data[:6] in _gif.GIF_MAGICS:
+                    gdecoded = _gif.decode_gif_frames(data)
+                    for fno in range(0, len(gdecoded), every):
+                        _, _, gray = gdecoded[fno]
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        frames.append(gray)
                 else:
                     decoded = _png.decode_apng_frames(data)
                     for fno in range(0, len(decoded), every):

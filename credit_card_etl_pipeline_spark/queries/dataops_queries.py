@@ -2740,3 +2740,81 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(exact)
     )
+
+
+_GIF_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 11),
+f AS (SELECT d.doc_id, u.fno FROM d, UNNEST([0, 4]) AS u(fno)),
+px AS (
+    SELECT f.doc_id, f.fno,
+           (f.doc_id * 13 + f.fno * 29 + u.i * 5) % 256 AS v
+    FROM f, UNNEST(generate_series(0, 63)) AS u(i)
+)
+SELECT doc_id, CAST(fno AS INTEGER) AS frame_no,
+       CAST(sum(v) AS BIGINT) AS frame_sum,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, fno
+"""
+
+
+@query("multimodal_gif_frame_sample", _GIF_FRAMES_ORACLE)
+def multimodal_gif_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL animated-GIF frame sampling end-to-end: per document a
+    6-frame 8x8 GIF89a animation (frame f pixel i = (doc_id*13 + f*29
+    + i*5) % 256, gray palette so index == luminance) is encoded by
+    the vendored LZW codec and every 4th frame extracted through the
+    production path (sample_frames fake=False routes GIF magic to
+    gif.decode_gif_frames); GIF is lossless, so the decoded pixel
+    sums are compared against DuckDB computing them analytically from
+    the pixel formula — any LZW, sub-block, palette, or compositing
+    bug breaks the hash."""
+    from collections.abc import Iterator
+
+    from ..dataops import gif as gifc
+    from ..dataops import multimodal as mmod
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                frames = [
+                    bytes(
+                        (i64 * 13 + f * 29 + i * 5) % 256
+                        for i in range(64)
+                    )
+                    for f in range(6)
+                ]
+                ids.append(i64)
+                payloads.append(gifc.encode_gif(8, 8, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 11)
+        .select("doc_id")
+    )
+    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
+    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
+
+    def summarize(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "frame_sum": [
+                        sum(bytes(fr)) for fr in pdf["frame"]
+                    ],
+                    "n_px": [len(bytes(fr)) for fr in pdf["frame"]],
+                }
+            )
+
+    return sampled.mapInPandas(
+        summarize,
+        "doc_id long, frame_no int, frame_sum long, n_px long",
+    )

@@ -172,11 +172,11 @@ def test_non_png_without_pillow_raises_or_pillow_decodes():
     except ImportError:
         has_pil = False
     if not has_pil:
-        # JPEG magic now routes to the vendored codec (dataops/jpeg.py),
-        # so the honest NotImplementedError is reserved for formats with
-        # no vendored path (e.g. GIF)
+        # JPEG and GIF magics now route to vendored codecs, so the
+        # honest NotImplementedError is reserved for formats with no
+        # vendored path (e.g. BMP)
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_image_gray(b"GIF89a fake gif bytes")
+            decode_image_gray(b"BM fake bitmap bytes")
         with pytest.raises(ValueError):
             # malformed JPEG reaches the vendored decoder and fails
             # with a parse error, not a capability error
