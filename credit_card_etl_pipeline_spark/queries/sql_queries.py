@@ -1630,3 +1630,49 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part", "supplier"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q20_SQL)
+
+
+# ====================================================================
+# Recursive CTE (Spark 4): transitive reachability on the hand-off
+# graph
+# ====================================================================
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE
+seq AS (
+    SELECT event_type, user_id,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT user_id AS src, nxt AS dst
+    FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id
+),
+reach AS (
+    SELECT user_id AS node, CAST(0 AS BIGINT) AS hop
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0)
+    UNION ALL
+    SELECT e.dst AS node, r.hop + 1 AS hop
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.hop < 2
+)
+SELECT node AS user_id,
+       CAST(min(hop) AS BIGINT) AS min_hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+@query("sql_recursive_reachability", _RECURSIVE_REACH_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE: 2-hop transitive reachability from seed
+    users over the DISTINCT hand-off graph — per reached node the
+    minimum hop count and the number of path-visits, both exact
+    integers.  The recursion is depth-bounded (UNION ALL + hop guard,
+    so termination is structural, not fixpoint-detected); each
+    expansion step is one src-keyed join, the same shuffle shape as
+    the PageRank iterations, planned by Catalyst's UnionLoop.  One SQL
+    string runs verbatim on both engines — recursive SQL parity."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_REACH_SQL)
