@@ -8,7 +8,8 @@ driver memory.
 Image and audio decode are REAL: images via Pillow when installed
 (anything PIL reads), else the vendored codecs — stdlib PNG
 (dataops/png.py), baseline JPEG (dataops/jpeg.py, gray + color luma),
-and GIF87a/89a (dataops/gif.py, incl. animations); audio
+GIF87a/89a (dataops/gif.py, incl. animations), and uncompressed
+BMP (dataops/bmp.py); audio
 via the vendored RIFF/WAVE PCM codec (dataops/wav.py) — so
 ``decode_media(..., fake=False)`` and ``decode_audio_stats`` work on
 actual media in this runtime.
@@ -59,10 +60,14 @@ def decode_image_gray(data: bytes) -> tuple[int, int, bytes]:
     if data[:6] in _gif.GIF_MAGICS:
         w, h, gray = _gif.decode_gif_frames(data)[0]
         return w, h, gray
+    if data[:2] == b"BM":
+        from . import bmp as _bmp
+
+        return _bmp.decode_bmp_gray(data)
     raise NotImplementedError(
-        "image decode without Pillow covers PNG (dataops/png.py), "
-        "baseline JPEG (dataops/jpeg.py), and GIF (dataops/gif.py); "
-        "other formats require Pillow"
+        "image decode without Pillow covers PNG, baseline JPEG, GIF, "
+        "and uncompressed BMP (dataops/{png,jpeg,gif,bmp}.py); other "
+        "formats require Pillow"
     )
 
 #: Metadata carried alongside every media payload.

@@ -1075,3 +1075,87 @@ def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_discount_range", disc))
         .unionByName(one("orders_date_in_range", dates))
     )
+
+
+# ====================================================================
+# CDC apply (change-data-capture log → current snapshot)
+# ====================================================================
+
+_CDC_ORACLE = """
+WITH log AS (
+    -- synthesized CDC stream over orders: every order INSERTs at
+    -- seq 0; keys %3=1 get an UPDATE (amount doubled) at seq 1;
+    -- keys %7=3 get a DELETE at seq 2.  Op codes and sequence
+    -- numbers derive from the key, so both engines build the same log
+    SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 1, 'U',
+           CAST(round(o_totalprice * 100) AS BIGINT) * 2
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, 2, 'D', CAST(0 AS BIGINT)
+    FROM orders WHERE o_orderkey % 7 = 3
+),
+latest AS (
+    SELECT k, op, amt_cents,
+           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log
+)
+SELECT k, amt_cents
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("warehouse_cdc_apply", _CDC_ORACLE)
+def warehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a change log (insert/update/delete rows with
+    sequence numbers) collapsed to the current snapshot — per key the
+    LAST change wins and deletes drop the key, which is exactly one
+    window over the key partitioning (no iterative merge, no
+    per-operation pass: at 100 TB you apply a day's CDC in one shuffle
+    of the log, then MERGE the survivors into the table as
+    warehouse_upsert_merge does).  The log here is synthesized
+    deterministically from orders so both engines construct it
+    identically; sequence-number ordering (not arrival order) decides
+    the winner, the property that makes the apply idempotent under
+    replay."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ins = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        cents.alias("amt_cents"),
+    )
+    upd = (
+        orders.where(F.col("o_orderkey") % 3 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (cents * 2).alias("amt_cents"),
+        )
+    )
+    dele = (
+        orders.where(F.col("o_orderkey") % 7 == 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(0).cast("long").alias("amt_cents"),
+        )
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "amt_cents")
+    )

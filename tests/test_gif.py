@@ -99,3 +99,29 @@ def test_multimodal_routes_gif_magic_and_samples_frames(spark):
     }
     assert set(got) == {0, 2, 4}
     assert got[2] == frames[2]
+
+
+def test_bmp_roundtrip_and_routing():
+    from credit_card_etl_pipeline_spark.dataops.bmp import (
+        decode_bmp_gray,
+        encode_bmp_gray,
+    )
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        decode_image_gray,
+    )
+
+    # odd width exercises 4-byte row padding
+    px = bytes((i * 7) % 256 for i in range(13 * 5))
+    data = encode_bmp_gray(13, 5, px)
+    assert decode_bmp_gray(data) == (13, 5, px)
+    assert decode_image_gray(data) == (13, 5, px)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        # RLE8-compressed BMPs have no vendored path
+        import struct
+
+        bad = bytearray(data)
+        bad[30:34] = struct.pack("<I", 1)
+        decode_bmp_gray(bytes(bad))
