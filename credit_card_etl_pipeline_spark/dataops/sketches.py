@@ -298,7 +298,12 @@ def bloom_prefilter(
     by whatever exact join follows.  This is the manual form of
     Spark's runtime row-level filtering: at 100 TB it turns a
     join-everything shuffle into a shuffle of the ~matching fraction
-    for the cost of broadcasting <= m positions."""
+    for the cost of broadcasting <= m positions.
+
+    SIZE ``m`` TO THE MEMBER COUNT (~16-32 bits per key): a saturated
+    filter passes everything and the pushdown silently degrades to a
+    no-op — observed in the 30x soak with the 1024-bit default against
+    a 4.6k-key dim (BENCH_HISTORY r5c)."""
     out = df
     for j in range(depth):
         out = out.join(

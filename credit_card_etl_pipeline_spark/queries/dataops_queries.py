@@ -2475,12 +2475,20 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom semi-join pushdown (pre-shuffle fact reduction)
 # ====================================================================
 
-def _bloom_key_pos_sql(j: int, key_expr: str) -> str:
+#: Filter width for the pushdown query: ~16 bits per member key at
+#: sf0.1 (4.6k urgent-1996 orders).  Sizing matters: the soak run that
+#: used the default 1024-bit sketch at 30x volume SATURATED the filter
+#: (every probe passed — zero reduction), which is the failure mode a
+#: fleet-scale run must avoid; at 100 TB m is picked from the dim-side
+#: count (16-32 bits/key) before building.
+_PUSHDOWN_BLOOM_M = 1 << 16
+
+
+def _bloom_key_pos_sql(j: int, key_expr: str, m: int) -> str:
     a, b = MINHASH_COEFFS[j]
-    from ..dataops.sketches import BLOOM_M
 
     x = f"({md5_int60_sql(f'CAST({key_expr} AS VARCHAR)')} % {MERSENNE_P})"
-    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {BLOOM_M})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {m})"
 
 
 _BLOOM_PUSHDOWN_ORACLE = f"""
@@ -2494,7 +2502,8 @@ WITH dim AS (
 bloom AS (
     SELECT DISTINCT pos FROM (
         {" UNION ALL ".join(
-            f"SELECT {_bloom_pos_sql(j)} AS pos FROM dim"
+            f"SELECT {_bloom_key_pos_sql(j, 'k', _PUSHDOWN_BLOOM_M)}"
+            f" AS pos FROM dim"
             for j in range(4))}
     )
 ),
@@ -2502,7 +2511,7 @@ passed AS (
     SELECT l_orderkey, l_extendedprice FROM lineitem l
     WHERE {" AND ".join(
         f"EXISTS (SELECT 1 FROM bloom b WHERE b.pos = "
-        f"{_bloom_key_pos_sql(j, 'l.l_orderkey')})"
+        f"{_bloom_key_pos_sql(j, 'l.l_orderkey', _PUSHDOWN_BLOOM_M)})"
         for j in range(4))}
 ),
 joined AS (
@@ -2538,9 +2547,12 @@ def bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.year(F.to_date("o_orderdate")) == 1996)
     ).select(F.col("o_orderkey").alias("k"))
-    bloom = sk.bloom_build(dim, "k")
+    bloom = sk.bloom_build(dim, "k", m=_PUSHDOWN_BLOOM_M)
     passed = sk.bloom_prefilter(
-        bloom, lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"
+        bloom,
+        lineitem.select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+        m=_PUSHDOWN_BLOOM_M,
     )
     n_fact = lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
     n_pass = passed.agg(
