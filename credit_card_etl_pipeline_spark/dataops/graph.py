@@ -86,3 +86,69 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simple graph of ``edges`` (direction and multiplicity dropped).
+
+    Degree-ordered orientation — each undirected edge points from its
+    lower-(degree, id) endpoint to the higher one — before the wedge
+    join: the classic trick that bounds per-node join fan-out by the
+    graph's degeneracy instead of its max degree, which is what keeps
+    the wedge stage alive on power-law graphs at 100 TB (a celebrity
+    node's d² wedge explosion never materializes).  Two shuffles: the
+    wedge self-join on the mid node and the closing semi-join on the
+    (lo, hi) edge key."""
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"),
+            "b",
+        )
+    )
+    # orient lo -> hi by (degree, id)
+    lo = F.when(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+        F.col("a"),
+    ).otherwise(F.col("b"))
+    hi = F.when(lo == F.col("a"), F.col("b")).otherwise(F.col("a"))
+    oriented = ranked.select(lo.alias("lo"), hi.alias("hi"))
+
+    w1 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q1")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q2")
+    )
+    wedges = w1.join(w2, "p").where(F.col("q1") < F.col("q2"))
+    closing = und.select(
+        F.col("a").alias("q1"), F.col("b").alias("q2")
+    )
+    tris = wedges.join(closing, ["q1", "q2"]).select(
+        F.col("p").alias("x"), F.col("q1").alias("y"), F.col("q2").alias("z")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -2830,3 +2830,79 @@ def multimodal_gif_frame_sample(
         summarize,
         "doc_id long, frame_no int, frame_sum long, n_px long",
     )
+
+
+# ====================================================================
+# Triangle counting (degree-ordered wedge join)
+# ====================================================================
+
+_TRIANGLES_ORACLE = """
+WITH seq AS (
+    SELECT event_type, user_id,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+raw AS (
+    SELECT user_id AS src, nxt AS dst
+    FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw
+),
+deg AS (
+    SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY n
+),
+oriented AS (
+    SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+           CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi
+    FROM und
+    JOIN deg dga ON dga.n = und.a
+    JOIN deg dgb ON dgb.n = und.b,
+    LATERAL (SELECT dga.d AS da, dgb.d AS db) t
+),
+wedges AS (
+    SELECT w1.lo AS p, w1.hi AS q1, w2.hi AS q2
+    FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+    WHERE w1.hi < w2.hi
+),
+tris AS (
+    SELECT p, q1, q2
+    FROM wedges JOIN und ON und.a = q1 AND und.b = q2
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT p AS node FROM tris
+    UNION ALL SELECT q1 FROM tris
+    UNION ALL SELECT q2 FROM tris
+)
+GROUP BY node
+"""
+
+
+@query("events_triangle_counts", _TRIANGLES_ORACLE)
+def events_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the undirected hand-off graph via
+    the degree-ordered wedge join (dataops.graph.triangle_counts):
+    edges orient from the lower-(degree, id) endpoint, so wedge
+    fan-out is bounded by the graph's degeneracy, not its max degree
+    — the property that survives power-law graphs at 100 TB.  Exact
+    integer counts, identical orientation rule in the oracle."""
+    from pyspark.sql import Window
+
+    from ..dataops.graph import triangle_counts
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", F.lead("user_id").over(w).alias("nxt")
+    )
+    edges = seq.where(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id"))
+    ).select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+    return triangle_counts(edges).select(
+        F.col("node").alias("node"), "n_triangles"
+    )

@@ -408,3 +408,23 @@ def test_damerau_levenshtein_matches_duckdb_variant():
         assert _damerau_levenshtein(a, b) == want, (a, b)
     # the transposition-then-edit case that separates full DL from OSA
     assert _damerau_levenshtein("ca", "abc") == 2
+
+
+def test_triangle_counts_known_graph(spark):
+    from credit_card_etl_pipeline_spark.dataops.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # edge 4-5 (no triangles) and a duplicate/reversed edge noise
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (2, 1), (3, 2),
+        ],
+        "src long, dst long",
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # total = sum/3
+    assert sum(out.values()) // 3 == 4
