@@ -2906,3 +2906,118 @@ def events_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).select(
         F.col("node").alias("node"), "n_triangles"
     )
+
+
+# ====================================================================
+# Greedy LM generation (argmax decoding from the corpus bigram model)
+# ====================================================================
+
+_GEN_STEPS = 12
+
+
+def _gen_oracle() -> str:
+    parts = [f"""
+w AS (SELECT string_split({_NORM_DOC_SQL}, ' ') AS toks FROM documents),
+uni AS (
+    SELECT t AS tok, count(*) AS c FROM (SELECT unnest(toks) AS t FROM w)
+    GROUP BY t
+),
+big AS (
+    SELECT toks[i] AS prev, toks[i+1] AS nxt, count(*) AS c
+    FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    GROUP BY prev, nxt
+),
+best AS (
+    SELECT prev, nxt FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM big
+    ) WHERE rn = 1
+),
+g0 AS (
+    SELECT CAST(0 AS BIGINT) AS step,
+           (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 1) AS tok
+)"""]
+    for i in range(1, _GEN_STEPS):
+        parts.append(f"""
+g{i} AS (
+    SELECT CAST({i} AS BIGINT) AS step,
+           (SELECT nxt FROM best
+            WHERE prev = (SELECT tok FROM g{i - 1})) AS tok
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM g{i}" for i in range(_GEN_STEPS)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT step, tok FROM ({union}) WHERE tok IS NOT NULL"
+    )
+
+
+_GEN_ORACLE = _gen_oracle()
+
+
+@query("text_greedy_generation", _GEN_ORACLE)
+def text_greedy_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy argmax decoding from the corpus-fit word-bigram model —
+    the deterministic skeleton of LM inference (the stochastic part is
+    sampling; argmax with a lexicographic tie-break is exactly
+    reproducible, so both engines emit the SAME {_GEN_STEPS}-token
+    continuation, greedy-decoding repetition loops included).  The
+    model fit is distributed (one gram shuffle, then a per-prev argmax
+    window); the {_GEN_STEPS}-step decode loop collects ONE ROW per
+    step off the ranked-continuation table — the bounded-driver-state
+    iterative pattern shared with the BPE learner."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.words(F.col("text"))
+    w = docs.select(toks.alias("toks"))
+    uni = (
+        w.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grams = (
+        w.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS prev,"
+                    " element_at(toks, i + 1) AS nxt))"
+                )
+            ).alias("g")
+        )
+        .select("g.prev", "g.nxt")
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt"))
+    # the ranked table is vocab-sized; ONE partition makes each
+    # decode-step lookup a single-task job instead of a 32-partition
+    # scan (12 sequential jobs dominate the wall otherwise)
+    best = (
+        grams.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select("prev", "nxt")
+        .coalesce(1)
+        .persist()
+    )
+    from ..functions import caching
+
+    caching.track(best)
+
+    start = (
+        uni.orderBy(F.col("c").desc(), F.col("tok")).limit(1).collect()
+    )[0]["tok"]
+    out = [(0, start)]
+    cur = start
+    for step in range(1, _GEN_STEPS):
+        row = best.where(F.col("prev") == cur).collect()
+        if not row:
+            break
+        cur = row[0]["nxt"]
+        out.append((step, cur))
+    return spark.createDataFrame(out, "step long, tok string")
