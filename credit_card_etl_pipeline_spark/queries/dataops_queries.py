@@ -2916,18 +2916,22 @@ _GEN_STEPS = 12
 
 
 def _gen_oracle() -> str:
+    # MATERIALIZED: the 12 unrolled decode steps each reference
+    # `best`; without the hint DuckDB inlines the whole model fit into
+    # every correlated subquery (85s observed; 2s materialized)
     parts = [f"""
-w AS (SELECT string_split({_NORM_DOC_SQL}, ' ') AS toks FROM documents),
-uni AS (
+w AS MATERIALIZED (SELECT string_split({_NORM_DOC_SQL}, ' ') AS toks
+                   FROM documents),
+uni AS MATERIALIZED (
     SELECT t AS tok, count(*) AS c FROM (SELECT unnest(toks) AS t FROM w)
     GROUP BY t
 ),
-big AS (
+big AS MATERIALIZED (
     SELECT toks[i] AS prev, toks[i+1] AS nxt, count(*) AS c
     FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
     GROUP BY prev, nxt
 ),
-best AS (
+best AS MATERIALIZED (
     SELECT prev, nxt FROM (
         SELECT prev, nxt,
                row_number() OVER (PARTITION BY prev
