@@ -968,3 +968,138 @@ def stream_dedup_within_watermark(
 # skipif-protobuf end-state parity test that activates the moment the
 # dependency appears.  applyInPandasWithState (stream_stateful_user_stats)
 # remains the exercised custom-stateful path.
+
+
+# ====================================================================
+# Sketches as streaming state: per-window HLL registers built
+# in-stream
+# ====================================================================
+
+_STREAM_HLL_ORACLE = """
+WITH hashed AS (
+    SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+           CAST(((CAST(hash_part AS HUGEINT)) % 64) AS INT) AS bucket,
+           hash_part // 64 AS rest
+    FROM (
+        SELECT ts,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS BIGINT)
+                   AS hash_part
+        FROM events
+    )
+),
+rho AS (
+    SELECT window_start, bucket,
+           CASE WHEN rest = 0 THEN 55
+                ELSE CAST(log2(rest & -rest) AS INT) + 1 END AS r
+    FROM hashed
+),
+regs AS (
+    SELECT window_start, bucket, max(r) AS max_rho
+    FROM rho GROUP BY window_start, bucket
+),
+agg AS (
+    SELECT window_start,
+           CAST(sum(1::BIGINT << (56 - max_rho))
+                + (64 - count(*)) * (1::BIGINT << 56) AS BIGINT)
+               AS s_scaled,
+           CAST(count(*) AS BIGINT) AS n_buckets_hit
+    FROM regs GROUP BY window_start
+),
+exact AS (
+    SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY 1
+)
+SELECT a.window_start AS window_start, n_buckets_hit, s_scaled,
+       (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+           * CAST(1::BIGINT << 56 AS DOUBLE) / s_scaled AS hll_estimate,
+       n_exact
+FROM agg a JOIN exact e ON e.window_start = a.window_start
+"""
+
+
+@query("stream_hll_windowed", _STREAM_HLL_ORACLE)
+def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches as streaming state: per-day distinct-user HLL
+    REGISTERS built inside a watermarked streaming aggregation
+    (groupBy(window, bucket).max(rho) — register updates are monotone
+    max, so update-mode emissions converge to the batch registers),
+    then the estimate derived from the sink's end state next to the
+    exact per-window distinct.  This is the 100 TB cardinality
+    pattern: the stream maintains KBs of mergeable state per window
+    instead of a distinct set, and the SAME registers roll up to any
+    coarser grain later."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60
+
+    from ..dataops.sketches import hll_rho
+
+    name = f"hll_windowed_{next(_stateful_run_counter)}"
+    stream = event_time(events_stream(spark, sf_dir)).withWatermark(
+        "event_ts", "1 hour"
+    )
+    # shared hash family: the 60-bit md5 is non-negative, so
+    # bucket = low 6 bits and rest = the remaining 54 via bit ops
+    h = md5_int60(F.col("user_id").cast("string"))
+    rest = F.shiftright(h, 6)
+    prepped = stream.select(
+        F.window("event_ts", "1 day").alias("win"),
+        h.bitwiseAND(F.lit(63)).cast("int").alias("bucket"),
+        hll_rho(rest).alias("rho"),
+    )
+    regs = prepped.groupBy("win", "bucket").agg(
+        F.max("rho").cast("int").alias("max_rho")
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="hllw_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    final = (
+        spark.table(name)
+        .groupBy(
+            F.unix_timestamp("win.start").alias("window_start"), "bucket"
+        )
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    agg = final.groupBy("window_start").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 56 - max_rho)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 56)
+        ).cast("long").alias("s_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+    )
+    from ..functions.eventtime import event_micros
+
+    ev = load(spark, sf_dir, "events")
+    day = (
+        (event_micros(ev) / F.lit(86_400_000_000)).cast("long") * 86400
+    ).alias("window_start")
+    exact = ev.select(day, "user_id").groupBy("window_start").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        agg.join(exact, "window_start")
+        .select(
+            "window_start",
+            "n_buckets_hit",
+            "s_scaled",
+            (
+                F.lit(0.7213 / (1 + 1.079 / 64))
+                * 64 * 64 * float(1 << 56)
+                / F.col("s_scaled")
+            ).alias("hll_estimate"),
+            "n_exact",
+        )
+    )
