@@ -362,3 +362,325 @@ def events_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_score_x2e50"),
     )
+
+
+# ------------------------------------------------------------------
+# Gap-based sessionization (30-minute inactivity timeout)
+# ------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+    SELECT user_id, us,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess_idx
+    FROM flagged
+)
+SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS dur_us
+FROM sess
+GROUP BY user_id, sess_idx
+"""
+
+
+@query("events_sessionization", _SESSIONIZE_ORACLE)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of the streaming
+    session_window operator): a user's events are split into sessions
+    wherever the inactivity gap exceeds 30 minutes, via the classic
+    lag → new-session flag → running-sum-of-flags window chain.  ONE
+    shuffle on user_id serves all three windowed steps (lag, running
+    sum) AND the per-session aggregate — the partitioning is reused
+    across stages, which is what makes sessionization linear at
+    100 TB.  Ties on the timestamp are broken by the unique event_id
+    so both engines assign identical session indices."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", event_micros(ev).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        "user_id", F.col("sess_idx").cast("long").alias("sess_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+    )
+
+
+# ------------------------------------------------------------------
+# Interval max-concurrency (sweep-line over +1/-1 boundaries)
+# ------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH iv AS (
+    -- each event opens an interval of `value` seconds (exact micros:
+    -- cents * 10^4), closed-open [start, end)
+    SELECT event_type,
+           epoch_us(ts) AS s,
+           epoch_us(ts)
+             + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+    FROM events
+),
+bounds AS (
+    SELECT event_type, s AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS d FROM iv
+),
+net AS (
+    -- starts ride along so the interval count needs no second pass
+    SELECT event_type, t, CAST(sum(d) AS BIGINT) AS delta,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+    FROM bounds GROUP BY event_type, t
+),
+swept AS (
+    SELECT event_type, starts,
+           sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS conc
+    FROM net
+)
+SELECT event_type,
+       CAST(sum(starts) AS BIGINT) AS n_intervals,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM swept
+GROUP BY event_type
+"""
+
+
+@query("events_max_concurrency", _CONCURRENCY_ORACLE)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max concurrency: every event opens a closed-open
+    interval of ``value`` seconds; per event_type, the peak number of
+    simultaneously open intervals is the running sum of +1/-1
+    boundary deltas, maxed.  Boundaries are pre-aggregated per (type,
+    timestamp) BEFORE the ordered window, so the sweep's sort touches
+    at most one row per distinct instant (and nets a start against an
+    end at the same instant — exactly the closed-open convention,
+    which also makes the running sum order-unambiguous without a
+    tiebreak).  Interval lengths are exact integer micros (cents x
+    10^4), so both engines sweep identical boundary sets.  At 100 TB
+    the ordered window partitions by event_type; a single hot type
+    would range-partition on t with boundary-count carry-in, the
+    standard two-pass prefix-sum split."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        event_micros(ev).alias("s"),
+        (
+            event_micros(ev)
+            + F.round(F.col("value") * 100).cast("long") * 10000
+        ).alias("e"),
+    )
+    bounds = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    net = bounds.groupBy("event_type", "t").agg(
+        F.sum("d").cast("long").alias("delta"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("starts"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = net.withColumn("conc", F.sum("delta").over(w))
+    return swept.groupBy("event_type").agg(
+        F.sum("starts").cast("long").alias("n_intervals"),
+        F.max("conc").cast("long").alias("max_concurrent"),
+    )
+
+
+# ------------------------------------------------------------------
+# Robust outlier detection (median / MAD, exact integer arithmetic)
+# ------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+med AS (
+    -- 2x the interpolated median stays integral (k or k + 0.5 halves)
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+    FROM v GROUP BY event_type
+),
+dev AS (
+    SELECT v.event_type, v.cents, m.med2,
+           abs(2 * v.cents - m.med2) AS dev2
+    FROM v JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(d.med2) AS med2_cents,
+       min(m.mad4) AS mad4_cents,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("events_outliers_mad", _MAD_ORACLE)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment outlier detection: a value is an outlier
+    when its absolute deviation from the segment median exceeds 3x the
+    median-absolute-deviation — the estimator that, unlike mean/stddev
+    z-scores, a few extreme rows cannot drag.  Both medians are exact
+    interpolated percentiles kept integral by doubling (median of
+    BIGINTs is k or k+0.5; medians ride x2, MADs x4), so the outlier
+    predicate `2*dev2 > 3*mad4` is pure integer arithmetic —
+    bit-identical across engines.  Two aggregation rounds shuffle on
+    event_type; the per-type medians broadcast back (type cardinality
+    is tiny).  At 100 TB exact percentile per group is the memory
+    hazard — approx_percentile(..., accuracy) is the drop-in scale
+    path, same plan shape."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.round(2 * F.expr("percentile(cents, 0.5)"))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(2 * F.expr("percentile(dev2, 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med2").alias("med2_cents"),
+            F.min("mad4").alias("mad4_cents"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# Event-type co-occurrence (cosine over user sets)
+# ------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+WITH u AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS co_users
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+),
+totals AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM u GROUP BY event_type
+)
+SELECT p.type_a, p.type_b, p.co_users,
+       ta.n_users AS users_a, tb.n_users AS users_b,
+       CAST(p.co_users * p.co_users * 1000000
+            // (ta.n_users * tb.n_users) AS BIGINT) AS cosine2_ppm
+FROM pairs p
+JOIN totals ta ON ta.event_type = p.type_a
+JOIN totals tb ON tb.event_type = p.type_b
+"""
+
+
+@query("events_type_cooccurrence", _COOCCUR_ORACLE)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the unit step of
+    collaborative filtering / market-basket analysis): for every pair
+    of event types, how many users touched both, normalized to a
+    squared-cosine in parts-per-million — kept integral (co² · 10⁶ //
+    (n_a · n_b)) so no float sqrt crosses the engine boundary.  The
+    user×type matrix is deduplicated FIRST (one shuffle), then
+    self-joined on user_id — fan-out per user is C(types,2), bounded
+    by the tiny type vocabulary, never |events|².  At 100 TB with an
+    unbounded item vocabulary this is where DIMSUM-style sampling
+    slots in; with a capped per-user item count the exact join is the
+    right plan, and the totals joined back are broadcast-sized."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_users"))
+    )
+    totals = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "co_users",
+            "users_a",
+            "users_b",
+            (
+                F.col("co_users")
+                * F.col("co_users")
+                * 1_000_000
+                / (F.col("users_a") * F.col("users_b"))
+            )
+            .cast("long")
+            .alias("cosine2_ppm"),
+        )
+    )
