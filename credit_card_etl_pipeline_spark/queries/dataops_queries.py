@@ -3025,3 +3025,90 @@ def text_greedy_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = row[0]["nxt"]
         out.append((step, cur))
     return spark.createDataFrame(out, "step long, tok string")
+
+
+# ------------------------------------------------------------------
+# Heavy hitters via count-min (sketch-filtered candidates + audit)
+# ------------------------------------------------------------------
+
+def _cms_user_bucket_sql(j: int) -> str:
+    from ..dataops.sketches import CMS_WIDTH
+
+    a, b = MINHASH_COEFFS[j]
+    x = f"({md5_int60_sql('CAST(k AS VARCHAR)')} % {MERSENNE_P})"
+    return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {CMS_WIDTH})"
+
+
+_HEAVY_ORACLE = f"""
+WITH keys AS (SELECT user_id AS k FROM events),
+sketch AS (
+    SELECT j, bucket, CAST(count(*) AS BIGINT) AS counter
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, {_cms_user_bucket_sql(j)} AS bucket FROM keys"
+            for j in range(4))}
+    )
+    GROUP BY j, bucket
+),
+thresh AS (
+    SELECT CAST(count(*) // 256 AS BIGINT) AS phi_n FROM keys
+),
+probes AS (SELECT DISTINCT k FROM keys),
+lookups AS (
+    {" UNION ALL ".join(
+        f"SELECT k, {j} AS j, {_cms_user_bucket_sql(j)} AS bucket FROM probes"
+        for j in range(4))}
+),
+est AS (
+    SELECT l.k, CAST(min(s.counter) AS BIGINT) AS cms_estimate
+    FROM lookups l JOIN sketch s ON s.j = l.j AND s.bucket = l.bucket
+    GROUP BY l.k
+),
+truth AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM keys GROUP BY k
+)
+SELECT e.k AS user_id, e.cms_estimate, t.true_n,
+       t.true_n > th.phi_n AS is_true_heavy
+FROM est e
+JOIN truth t ON t.k = e.k
+CROSS JOIN thresh th
+WHERE e.cms_estimate > th.phi_n
+"""
+
+
+@query("sketch_heavy_hitters", _HEAVY_ORACLE)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (phi = 1/256 of the stream) through the count-min
+    sketch: candidate keys are kept only when their CMS estimate
+    clears the threshold, then audited against exact counts.  CMS
+    never under-counts, so every true heavy hitter survives the filter
+    (no false negatives — the structural guarantee this query makes
+    checkable: rows with is_true_heavy=false are the sketch's false
+    positives, and no true-heavy key is absent).  The sketch is d·w ≤
+    1024 cells however large the stream — it broadcasts; the exact
+    audit join is one shuffle on the surviving candidates only, which
+    is the point of sketch-first filtering at 100 TB."""
+    from ..dataops import sketches as sk
+
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").alias("k"))
+    sketch = sk.cms_build(keys, "k")
+    thresh = keys.agg(
+        (F.count(F.lit(1)) / F.lit(256)).cast("long").alias("phi_n")
+    )
+    probes = keys.distinct()
+    est = sk.cms_estimate(sketch, probes, "k")
+    truth = keys.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return (
+        est.join(truth, "k")
+        .crossJoin(F.broadcast(thresh))
+        .where(F.col("cms_estimate") > F.col("phi_n"))
+        .select(
+            F.col("k").alias("user_id"),
+            "cms_estimate",
+            "true_n",
+            (F.col("true_n") > F.col("phi_n")).alias("is_true_heavy"),
+        )
+    )

@@ -1676,3 +1676,210 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     string runs verbatim on both engines — recursive SQL parity."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+# --------------------------------------------------------------------
+# One-pass table profiler (per-column nulls / distincts / extrema)
+# --------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderdate, o_orderpriority
+    FROM orders
+),
+wide AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS nn1,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+           CAST(min(o_orderkey) AS STRING) AS mn1,
+           CAST(max(o_orderkey) AS STRING) AS mx1,
+           CAST(count(o_custkey) AS BIGINT) AS nn2,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+           CAST(min(o_custkey) AS STRING) AS mn2,
+           CAST(max(o_custkey) AS STRING) AS mx2,
+           CAST(count(o_orderstatus) AS BIGINT) AS nn3,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+           CAST(min(o_orderstatus) AS STRING) AS mn3,
+           CAST(max(o_orderstatus) AS STRING) AS mx3,
+           CAST(count(price_cents) AS BIGINT) AS nn4,
+           CAST(count(DISTINCT price_cents) AS BIGINT) AS nd4,
+           CAST(min(price_cents) AS STRING) AS mn4,
+           CAST(max(price_cents) AS STRING) AS mx4,
+           CAST(count(o_orderdate) AS BIGINT) AS nn5,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+           CAST(min(o_orderdate) AS STRING) AS mn5,
+           CAST(max(o_orderdate) AS STRING) AS mx5,
+           CAST(count(o_orderpriority) AS BIGINT) AS nn6,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+           CAST(min(o_orderpriority) AS STRING) AS mn6,
+           CAST(max(o_orderpriority) AS STRING) AS mx6
+    FROM t
+)
+SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+       nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM wide
+UNION ALL
+SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM wide
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM wide
+UNION ALL
+SELECT 'price_cents', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM wide
+UNION ALL
+SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM wide
+UNION ALL
+SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM wide
+"""
+
+
+@query("orders_table_profile", _PROFILE_ORACLE)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the dbt-docs / Deequ 'analyze' pass):
+    per column of orders — row count, null count, distinct count, and
+    min/max rendered as strings — in ONE scan.  Spark plans the six
+    count-DISTINCTs as a single Expand (6× row multiplication,
+    map-side) rather than six scans; the single wide row is then
+    unpivoted to long form with stack(), which is driver-free.  Money
+    profiles in integer cents so the string rendering is
+    engine-stable.  At 100 TB the drop-in scale variant is
+    approx_count_distinct per column (HLL merge, no Expand) — same
+    output schema."""
+    t = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "price_cents",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).cast("long").alias(f"nn{i}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd{i}"),
+            F.min(c).cast("string").alias(f"mn{i}"),
+            F.max(c).cast("string").alias(f"mx{i}"),
+        ]
+    wide = t.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )
+
+
+# --------------------------------------------------------------------
+# Trend regression (exact-integer least squares over daily counts)
+# --------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM orders
+    GROUP BY o_orderpriority, x
+),
+sums AS (
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM daily GROUP BY priority
+)
+SELECT priority, n_days, sy AS total_orders,
+       n_days * sxy - sx * sy AS slope_num,
+       n_days * sxx - sx * sx AS slope_den,
+       -- truncate-toward-zero ppm (den > 0 always; sign rides out
+       -- front so both engines' integer division agrees)
+       CASE WHEN n_days * sxy - sx * sy >= 0
+            THEN CAST((n_days * sxy - sx * sy) * 1000000
+                      // (n_days * sxx - sx * sx) AS BIGINT)
+            ELSE -CAST((sx * sy - n_days * sxy) * 1000000
+                       // (n_days * sxx - sx * sx) AS BIGINT)
+       END AS slope_ppm_per_day
+FROM sums
+"""
+
+
+@query("orders_trend_regression", _TREND_ORACLE)
+def orders_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear trend (is order volume growing?): ordinary
+    least squares of daily order counts against the day index, with
+    the slope carried as an exact integer rational (numerator /
+    denominator from the moment sums, plus a truncated ppm-per-day
+    rendering) — closed-form regression needs only Σx Σy Σxy Σx²,
+    which partial-aggregate map-side and never materialize the series.
+    Two cheap shuffles (priority×day, then priority); day indices are
+    exact integers from midnight timestamps, so both engines compute
+    bit-identical moments.  This is the shape regr_slope() computes in
+    floats — done here in integers so the oracle hash is stable."""
+    from ..functions.eventtime import event_micros
+
+    t = load(spark, sf_dir, "orders")
+    daily = (
+        t.select(
+            F.col("o_orderpriority").alias("priority"),
+            (event_micros(t, "o_orderdate") / 86_400_000_000)
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("priority", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    sums = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n_days"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    return sums.select(
+        "priority",
+        "n_days",
+        sy.alias("total_orders"),
+        (n * sxy - sx * sy).alias("slope_num"),
+        (n * sxx - sx * sx).alias("slope_den"),
+        F.when(
+            n * sxy - sx * sy >= 0,
+            F.expr(
+                "(n_days * sxy - sx * sy) * 1000000"
+                " div (n_days * sxx - sx * sx)"
+            ),
+        )
+        .otherwise(
+            -F.expr(
+                "(sx * sy - n_days * sxy) * 1000000"
+                " div (n_days * sxx - sx * sx)"
+            )
+        )
+        .cast("long")
+        .alias("slope_ppm_per_day"),
+    )

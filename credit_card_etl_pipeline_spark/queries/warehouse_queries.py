@@ -1159,3 +1159,83 @@ def warehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("k", "amt_cents")
     )
+
+
+# ====================================================================
+# Snapshot diff (change-data-feed generation — the inverse of CDC apply)
+# ====================================================================
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v0 AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents
+    FROM orders
+),
+v1 AS (
+    -- the "next day" snapshot, derived deterministically: keys
+    -- %11=4 were deleted, keys %5=2 had 1000 cents added, and a
+    -- synthetic negative-key row was inserted for every %13=6 key
+    SELECT k,
+           CASE WHEN k % 5 = 2 THEN amt_cents + 1000
+                ELSE amt_cents END AS amt_cents
+    FROM v0 WHERE k % 11 <> 4
+    UNION ALL
+    SELECT -k - 1, amt_cents FROM v0 WHERE k % 13 = 6
+)
+SELECT COALESCE(v0.k, v1.k) AS k,
+       CASE WHEN v1.k IS NULL THEN 'D'
+            WHEN v0.k IS NULL THEN 'I'
+            ELSE 'U' END AS op,
+       v0.amt_cents AS before_cents,
+       v1.amt_cents AS after_cents
+FROM v0 FULL OUTER JOIN v1 ON v0.k = v1.k
+WHERE v0.k IS NULL OR v1.k IS NULL OR v0.amt_cents <> v1.amt_cents
+"""
+
+
+@query("warehouse_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation: diff two table snapshots into the
+    I/U/D change log that warehouse_cdc_apply consumes — together they
+    round-trip (apply(diff(v0,v1), v0) == v1).  One full outer join on
+    the key, unchanged rows filtered out BEFORE anything downstream
+    sees them, so the emitted feed is proportional to the churn, not
+    the table: at 100 TB this is the one-shuffle snapshot-diff you run
+    when the source can't give you a real CDC stream.  The v1 snapshot
+    is synthesized from v0 by deterministic key arithmetic so both
+    engines diff identical inputs."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+    )
+    survivors = v0.where(F.col("k") % 11 != 4).select(
+        "k",
+        F.when(F.col("k") % 5 == 2, F.col("amt_cents") + 1000)
+        .otherwise(F.col("amt_cents"))
+        .alias("amt_cents"),
+    )
+    inserts = v0.where(F.col("k") % 13 == 6).select(
+        (-F.col("k") - 1).alias("k"), "amt_cents"
+    )
+    v1 = survivors.unionByName(inserts)
+    j = v0.alias("a").join(
+        v1.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("b.k").isNull(), "D")
+        .when(F.col("a.k").isNull(), "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("a.amt_cents").alias("before_cents"),
+        F.col("b.amt_cents").alias("after_cents"),
+    ).where(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.amt_cents") != F.col("b.amt_cents"))
+    )
