@@ -684,3 +684,64 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cosine2_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Seasonal-naive forecast backtest (week-over-week, gap-safe)
+# ------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY event_type, x
+),
+scored AS (
+    SELECT a.event_type, a.y, b.y AS yhat, abs(a.y - b.y) AS abs_err
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.x = a.x - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_backtest_days,
+       CAST(sum(y) AS BIGINT) AS total_actual,
+       CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+       CAST(1000 * sum(abs_err) // sum(y) AS BIGINT) AS wape_permille
+FROM scored GROUP BY event_type
+"""
+
+
+@query("events_seasonal_backtest", _BACKTEST_ORACLE)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting, seasonal-naive baseline: predict each
+    day's event count with the count from 7 days earlier and score the
+    weighted absolute percentage error per event type — the sanity
+    baseline every demand-forecast pipeline reports before anything
+    learned.  The lag is a self-JOIN on (type, day-7), not a window
+    lag(7), so calendar GAPS can't silently misalign the season; the
+    daily aggregate shrinks the fact table before the join, and both
+    the error and WAPE are exact integers.  Two shuffles (type×day
+    agg, then the aligned join reuses that partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (event_micros(ev) / 86_400_000_000).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    past = daily.select(
+        "event_type", (F.col("x") + 7).alias("x"), F.col("y").alias("yhat")
+    )
+    scored = daily.join(past, ["event_type", "x"]).select(
+        "event_type", "y", F.abs(F.col("y") - F.col("yhat")).alias("abs_err")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_backtest_days"),
+        F.sum("y").cast("long").alias("total_actual"),
+        F.sum("abs_err").cast("long").alias("total_abs_err"),
+        F.expr("1000 * sum(abs_err) div sum(y)")
+        .cast("long")
+        .alias("wape_permille"),
+    )

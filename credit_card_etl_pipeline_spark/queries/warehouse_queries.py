@@ -1239,3 +1239,90 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("b.k").isNull()
         | (F.col("a.amt_cents") != F.col("b.amt_cents"))
     )
+
+
+# ====================================================================
+# Commutative table fingerprint (order-insensitive content digest)
+# ====================================================================
+
+def _fp_oracle() -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    h_o = md5_int60_sql(
+        "'o' || CAST(o_orderkey AS VARCHAR) || '|' "
+        "|| CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+    )
+    h_l = md5_int60_sql(
+        "'l' || CAST(l_orderkey AS VARCHAR) || '|' "
+        "|| CAST(l_linenumber AS VARCHAR) || '|' "
+        "|| CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+    )
+    return f"""
+WITH ho AS (SELECT {h_o} AS h FROM orders),
+hl AS (SELECT {h_l} AS h FROM lineitem)
+SELECT 'orders' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor60,
+       CAST(sum(h % 1048576) AS BIGINT) AS sum20
+FROM ho
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       CAST(bit_xor(h) AS BIGINT), CAST(sum(h % 1048576) AS BIGINT)
+FROM hl
+"""
+
+
+@query("warehouse_table_fingerprint", _fp_oracle())
+def warehouse_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per table, the XOR and a
+    modular SUM of a 60-bit hash of each row's canonical business-key
+    string, plus the row count.  Both combiners are COMMUTATIVE and
+    ASSOCIATIVE, so the digest is identical however the table is
+    partitioned, sorted, or compacted — which is exactly what makes it
+    usable as a replication / migration integrity check at 100 TB:
+    each side computes its digest fully map-side (partial aggregates,
+    one 2-row exchange) and only the 3-number summaries cross the
+    wire.  XOR alone is blind to duplicated-row pairs; the modular sum
+    and count close that hole."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    ho = orders.select(
+        md5_int60(
+            F.concat(
+                F.lit("o"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("h")
+    )
+    hl = lineitem.select(
+        md5_int60(
+            F.concat(
+                F.lit("l"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+                F.lit("|"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("h")
+    )
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor60"),
+            F.sum(F.col("h") % 1_048_576).cast("long").alias("sum20"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "xor60", "sum20")
+
+    return digest(ho, "orders").unionByName(digest(hl, "lineitem"))
