@@ -152,3 +152,68 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+#: "Unreachable" sentinel for shortest_paths — far above any real
+#: k-hop cost (k·max_cost ≤ 4·10^6 here) yet safe to add a cost to
+#: without approaching int64.
+SP_INF = 10**15
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cost_col: str = "cost",
+    iters: int = 4,
+) -> DataFrame:
+    """Hop-bounded single-source-set shortest paths (Bellman-Ford,
+    ``iters`` relaxation rounds) over positive INTEGER edge costs.
+
+    Each round is one join (frontier ⋈ edges on src) + one
+    groupBy(dst) min + one key-aligned left join back — the same
+    bounded-driver-state iteration shape as :func:`pagerank` and
+    connected components; no per-node state ever reaches the driver.
+    Integer costs make every relaxation exact, so the full distance
+    table is value-checkable against an unrolled SQL oracle.  Returns
+    (node, dist) for nodes reachable within ``iters`` hops.
+
+    ``seeds`` must have a single ``node`` column.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .unionByName(seeds.select("node"))
+        .distinct()
+    )
+    e = edges.select(
+        src.alias("e_src"), dst.alias("e_dst"), F.col(cost_col).alias("e_cost")
+    )
+    dist = nodes.join(
+        seeds.select("node", F.lit(0).cast("long").alias("seed0")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("seed0", F.lit(SP_INF)).alias("dist"))
+    for _ in range(iters):
+        relax = (
+            e.join(
+                dist.where(F.col("dist") < SP_INF),
+                e["e_src"] == F.col("node"),
+            )
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("dist") + F.col("e_cost")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("rd"))
+        )
+        dist = dist.join(relax, "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce("rd", F.lit(SP_INF))
+            ).alias("dist"),
+        )
+    return dist.where(F.col("dist") < SP_INF)

@@ -3249,3 +3249,95 @@ def parts_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ------------------------------------------------------------------
+# Hop-bounded shortest paths (Bellman-Ford, exact integer costs)
+# ------------------------------------------------------------------
+
+_SP_ITERS = 4
+_SP_INF = 10**15
+
+
+def _sp_iter_sql(i: int) -> str:
+    return f"""
+relax{i} AS (
+    SELECT e.dst AS node, min(d.dist + e.cost) AS rd
+    FROM e JOIN d{i - 1} d ON d.node = e.src
+    WHERE d.dist < {_SP_INF}
+    GROUP BY e.dst
+),
+d{i} AS (
+    SELECT d.node,
+           least(d.dist, coalesce(r.rd, {_SP_INF})) AS dist
+    FROM d{i - 1} d LEFT JOIN relax{i} r ON r.node = d.node
+)"""
+
+
+_SP_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type, user_id,
+           lead(user_id) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+edges AS (
+    SELECT user_id AS src, nxt AS dst,
+           CAST(1000000 // count(*) AS BIGINT) AS cost
+    FROM seq
+    WHERE nxt IS NOT NULL AND nxt <> user_id
+    GROUP BY user_id, nxt
+),
+seeds AS (
+    SELECT DISTINCT user_id AS node FROM events WHERE user_id % 29 = 0
+),
+nodes AS (
+    SELECT src AS node FROM edges
+    UNION SELECT dst FROM edges
+    UNION SELECT node FROM seeds
+),
+d0 AS (
+    SELECT n.node,
+           CASE WHEN s.node IS NULL THEN CAST({_SP_INF} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dist
+    FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),
+e AS (SELECT src, dst, cost FROM edges),
+{",".join(_sp_iter_sql(i) for i in range(1, _SP_ITERS + 1))}
+SELECT node AS user_id, dist AS dist_cost
+FROM d{_SP_ITERS} WHERE dist < {_SP_INF}
+"""
+
+
+@query("events_shortest_paths", _SP_ORACLE)
+def events_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths over the user hand-off
+    graph (edge cost = 10^6 // hand-off count, so stronger ties are
+    cheaper): Bellman-Ford from the seed set, 4 relaxation rounds,
+    all-integer — the "influence distance" companion to
+    events_user_pagerank on the same graph.  Every round is one
+    src-keyed join + one dst-keyed min + a key-aligned merge back
+    (bounded driver state, linear plan growth); the 4-round unroll is
+    mirrored CTE-for-CTE in the oracle so the entire distance table is
+    on the hash.  At 100 TB rounds localCheckpoint every few
+    iterations exactly as connected components does."""
+    from pyspark.sql import Window
+
+    from ..dataops.graph import shortest_paths
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    edges = (
+        seq.where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        .groupBy(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.expr("1000000 div count(*)").cast("long").alias("cost"))
+    )
+    seeds = (
+        ev.where(F.col("user_id") % 29 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return shortest_paths(edges, seeds, iters=_SP_ITERS).select(
+        F.col("node").alias("user_id"), F.col("dist").alias("dist_cost")
+    )

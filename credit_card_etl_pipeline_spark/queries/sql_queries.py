@@ -1883,3 +1883,98 @@ def orders_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_ppm_per_day"),
     )
+
+
+# --------------------------------------------------------------------
+# Largest-remainder proration (cents that sum back exactly)
+# --------------------------------------------------------------------
+
+_PRORATE_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey AS k, l_linenumber AS ln,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+o AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+),
+base AS (
+    SELECT li.k, li.ln, li.qty, o.total_cents,
+           sum(li.qty) OVER (PARTITION BY li.k) AS qty_sum,
+           CAST(o.total_cents * li.qty
+                // sum(li.qty) OVER (PARTITION BY li.k) AS BIGINT)
+               AS floor_cents,
+           o.total_cents * li.qty
+             % sum(li.qty) OVER (PARTITION BY li.k) AS remainder
+    FROM li JOIN o ON o.k = li.k
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY remainder DESC, ln, qty
+    ) AS rr,
+    CAST(total_cents - sum(floor_cents) OVER (PARTITION BY k) AS BIGINT)
+        AS shortfall
+    FROM base
+)
+SELECT k, ln, qty,
+       floor_cents + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END
+           AS alloc_cents
+FROM ranked
+"""
+
+
+@query("lineitem_prorate_cents", _PRORATE_ORACLE)
+def lineitem_prorate_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder money allocation: each order's total is split
+    across its line items proportionally to quantity, in whole cents
+    that SUM BACK EXACTLY — floor every share, then hand the leftover
+    cents to the largest fractional remainders (line number breaks
+    remainder ties deterministically).  Naive rounding leaks cents;
+    this is the allocation rule billing and revenue-recognition
+    pipelines are audited against.  All three windows (share floor,
+    remainder rank, shortfall) ride ONE shuffle on the order key — no
+    join back, no second pass; integer division keeps both engines
+    bit-identical.  (The corpus has duplicate (orderkey, linenumber)
+    pairs, so qty joins the remainder tie-break — identical full rows
+    are interchangeable and hash the same either way.)"""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    wk = Window.partitionBy("k")
+    base = (
+        li.join(o, "k")
+        .withColumn("qty_sum", F.sum("qty").over(wk))
+        .withColumn(
+            "floor_cents",
+            F.expr("total_cents * qty div qty_sum").cast("long"),
+        )
+        .withColumn("remainder", F.expr("total_cents * qty % qty_sum"))
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number().over(
+            wk.orderBy(F.col("remainder").desc(), "ln", "qty")
+        ),
+    ).withColumn(
+        "shortfall",
+        (F.col("total_cents") - F.sum("floor_cents").over(wk)).cast("long"),
+    )
+    return ranked.select(
+        "k",
+        "ln",
+        "qty",
+        (
+            F.col("floor_cents")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )

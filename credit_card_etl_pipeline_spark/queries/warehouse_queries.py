@@ -1326,3 +1326,121 @@ def warehouse_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("table_name"), "n_rows", "xor60", "sum20")
 
     return digest(ho, "orders").unionByName(digest(hl, "lineitem"))
+
+
+# ====================================================================
+# Anti-entropy repair plan (per-partition digest diff, Merkle-style)
+# ====================================================================
+
+def _repair_oracle() -> str:
+    from ..functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql(
+        "CAST(k AS VARCHAR) || '|' || CAST(amt_cents AS VARCHAR)"
+    )
+    return f"""
+WITH v0 AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS part_ym
+    FROM orders
+),
+v1 AS (
+    -- replica that diverged: %5=2 rows doubled, %11=4 rows missing
+    SELECT k,
+           CASE WHEN k % 5 = 2 THEN amt_cents * 2 ELSE amt_cents END
+               AS amt_cents,
+           part_ym
+    FROM v0 WHERE k % 11 <> 4
+),
+d0 AS (
+    SELECT part_ym, CAST(count(*) AS BIGINT) AS n0,
+           CAST(bit_xor({h}) AS BIGINT) AS x0,
+           CAST(sum({h} % 1048576) AS BIGINT) AS s0
+    FROM v0 GROUP BY part_ym
+),
+d1 AS (
+    SELECT part_ym, CAST(count(*) AS BIGINT) AS n1,
+           CAST(bit_xor({h}) AS BIGINT) AS x1,
+           CAST(sum({h} % 1048576) AS BIGINT) AS s1
+    FROM v1 GROUP BY part_ym
+)
+SELECT COALESCE(d0.part_ym, d1.part_ym) AS part_ym,
+       COALESCE(d0.n0, 0) AS n_primary,
+       COALESCE(d1.n1, 0) AS n_replica,
+       d0.part_ym IS NULL OR d1.part_ym IS NULL
+           OR d0.x0 <> d1.x1 OR d0.s0 <> d1.s1 OR d0.n0 <> d1.n1
+           AS needs_repair
+FROM d0 FULL OUTER JOIN d1 ON d1.part_ym = d0.part_ym
+"""
+
+
+@query("warehouse_partition_repair_plan", _repair_oracle())
+def warehouse_partition_repair_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anti-entropy repair planning (the Merkle-tree sync pattern):
+    primary and replica each digest every month partition with the
+    commutative (count, xor, modular-sum) fingerprint, then ONLY the
+    digests — one row per partition — are joined to decide which
+    partitions need re-sync.  This is how replicated stores reconcile
+    100 TB without shipping data: digests are computed fully map-side
+    on each site, the comparison moves kilobytes, and the repair job
+    re-reads only flagged partitions.  The replica's divergence
+    (doubled amounts, missing rows) is synthesized deterministically
+    so both engines diff identical sites."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int60
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+        (
+            F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+        .cast("long")
+        .alias("part_ym"),
+    )
+    v1 = v0.where(F.col("k") % 11 != 4).select(
+        "k",
+        F.when(F.col("k") % 5 == 2, F.col("amt_cents") * 2)
+        .otherwise(F.col("amt_cents"))
+        .alias("amt_cents"),
+        "part_ym",
+    )
+
+    def digest(df: DataFrame, n: str, x: str, s: str) -> DataFrame:
+        h = md5_int60(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit("|"),
+                F.col("amt_cents").cast("string"),
+            )
+        )
+        return df.select("part_ym", h.alias("h")).groupBy("part_ym").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.expr("bit_xor(h)").cast("long").alias(x),
+            F.sum(F.col("h") % 1_048_576).cast("long").alias(s),
+        )
+
+    d0 = digest(v0, "n0", "x0", "s0")
+    d1 = digest(v1, "n1", "x1", "s1")
+    j = d0.alias("a").join(
+        d1.alias("b"), F.col("a.part_ym") == F.col("b.part_ym"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.part_ym"), F.col("b.part_ym")).alias("part_ym"),
+        F.coalesce(F.col("a.n0"), F.lit(0)).cast("long").alias("n_primary"),
+        F.coalesce(F.col("b.n1"), F.lit(0)).cast("long").alias("n_replica"),
+        (
+            F.col("a.part_ym").isNull()
+            | F.col("b.part_ym").isNull()
+            | (F.col("a.x0") != F.col("b.x1"))
+            | (F.col("a.s0") != F.col("b.s1"))
+            | (F.col("a.n0") != F.col("b.n1"))
+        ).alias("needs_repair"),
+    )
