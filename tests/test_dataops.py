@@ -428,3 +428,49 @@ def test_triangle_counts_known_graph(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
     # total = sum/3
     assert sum(out.values()) // 3 == 4
+
+
+def test_shortest_paths_known_graph(spark):
+    from credit_card_etl_pipeline_spark.dataops.graph import shortest_paths
+
+    # line 1→2→3→4 (cost 10 each) with an expensive shortcut 1→4 (35)
+    # and an unreachable island 9→10
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (3, 4, 10), (1, 4, 35), (9, 10, 10)],
+        "src long, dst long, cost long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist for r in shortest_paths(edges, seeds, iters=4).collect()
+    }
+    # 3 hops beat the direct edge; the island never appears
+    assert got == {1: 0, 2: 10, 3: 20, 4: 30}
+
+    # hop bound binds: with 2 rounds node 4 is only reachable via the
+    # shortcut (1 hop, cost 35), not the cheaper 3-hop chain
+    got2 = {
+        r.node: r.dist for r in shortest_paths(edges, seeds, iters=2).collect()
+    }
+    assert got2[4] == 35
+
+
+def test_shortest_paths_partition_invariant(spark):
+    from credit_card_etl_pipeline_spark.dataops.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, (i % 3) + 1) for i in range(20)]
+        + [(0, 10, 100), (5, 15, 1)],
+        "src long, dst long, cost long",
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = sorted(
+        (r.node, r.dist)
+        for r in shortest_paths(edges, seeds, iters=5).collect()
+    )
+    b = sorted(
+        (r.node, r.dist)
+        for r in shortest_paths(
+            edges.repartition(7), seeds.repartition(3), iters=5
+        ).collect()
+    )
+    assert a == b

@@ -85,3 +85,26 @@ def test_rolling_7d_users_matches_naive(spark):
         users = {u for u, d in ud if obs - 6 <= d <= obs}
         want.add((obs, len(users)))
     assert got == want
+
+
+def test_prorate_cents_sum_back_exactly(spark, sf_dir):
+    """Largest-remainder allocation: per order, allocated cents must
+    sum to the order total exactly — the invariant naive rounding
+    breaks."""
+    from pyspark.sql import functions as F
+
+    import credit_card_etl_pipeline_spark.queries as q
+
+    out = q.QUERIES["lineitem_prorate_cents"](spark, sf_dir)
+    per_order = out.groupBy("k").agg(F.sum("alloc_cents").alias("got"))
+    totals = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("want"),
+        )
+    )
+    # only orders that have line items participate
+    joined = per_order.join(totals, "k")
+    bad = joined.where(F.col("got") != F.col("want")).count()
+    assert bad == 0
