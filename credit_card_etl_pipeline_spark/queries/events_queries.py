@@ -745,3 +745,95 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wape_permille"),
     )
+
+
+# ------------------------------------------------------------------
+# Time-constrained funnel (conversion windows, one-pass)
+# ------------------------------------------------------------------
+
+_WINDOWED_FUNNEL_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us
+    FROM events
+    WHERE event_type IN ('signup', 'click', 'purchase')
+),
+s AS (
+    SELECT user_id, min(us) AS s_us FROM e
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    -- first click within 7 days after the first signup
+    SELECT e.user_id, min(e.us) AS c_us
+    FROM e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND e.us > s.s_us AND e.us <= s.s_us + 604800000000
+    GROUP BY e.user_id
+),
+p AS (
+    -- purchase within 7 days after that qualifying click
+    SELECT DISTINCT e.user_id
+    FROM e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.us > c.c_us AND e.us <= c.c_us + 604800000000
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_7d,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_7d
+"""
+
+
+@query("events_windowed_funnel", _WINDOWED_FUNNEL_ORACLE)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup → first click WITHIN 7 DAYS →
+    purchase within 7 days of that click.  The deadline is what makes
+    this the funnel marketers actually run (unbounded funnels—see
+    events_funnel_conversion—only ever grow); it reuses the same
+    ONE-PASS shape: a single scan filtered to the three stage types,
+    one user_id shuffle, and stacked conditional-min window aggregates
+    over that partitioning where each stage's predicate reads the
+    previous stage's column plus the window arithmetic — integer
+    micros, so the 7-day bound is exact on both engines."""
+    ev = load(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    e = ev.select(
+        "user_id", "event_type", event_micros(ev).alias("us")
+    ).where(F.col("event_type").isin("signup", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        e.withColumn(
+            "s_us", F.min(F.when(typ == "signup", F.col("us"))).over(w)
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (typ == "click")
+                    & (F.col("us") > F.col("s_us"))
+                    & (F.col("us") <= F.col("s_us") + week_us),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_hit",
+            F.max(
+                F.when(
+                    (typ == "purchase")
+                    & (F.col("us") > F.col("c_us"))
+                    & (F.col("us") <= F.col("c_us") + week_us),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("s_us").alias("s_us"),
+        F.min("c_us").alias("c_us"),
+        F.max("p_hit").alias("p_hit"),
+    )
+    return per_user.agg(
+        F.count(F.col("s_us")).cast("long").alias("n_signup"),
+        F.count(F.col("c_us")).cast("long").alias("n_click_7d"),
+        F.sum("p_hit").cast("long").alias("n_purchase_7d"),
+    )

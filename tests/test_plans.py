@@ -325,3 +325,57 @@ def test_tpch_q2_q11_q20_dims_broadcast(spark):
     assert "BroadcastHashJoin" in p20
     assert "SortMergeJoin" not in p20
     assert "PushedFilters" in p20  # p_name LIKE 'red%' reaches the scan
+
+
+def test_sessionization_single_user_shuffle(spark):
+    # lag → running-sum → per-session agg must all ride ONE user_id
+    # Exchange; a regression to per-stage repartitions shows as extra
+    # user_id hashpartitioning or a SortMergeJoin
+    import re
+
+    from credit_card_etl_pipeline_spark.queries.events_queries import (
+        events_sessionization,
+    )
+
+    plan = _plan(events_sessionization(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+
+
+def test_windowed_funnel_single_fact_shuffle(spark):
+    import re
+
+    from credit_card_etl_pipeline_spark.queries.events_queries import (
+        events_windowed_funnel,
+    )
+
+    plan = _plan(events_windowed_funnel(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+    assert "PushedFilters" in plan
+
+
+def test_prorate_single_order_key_shuffle(spark):
+    # all three windows (share floor, remainder rank, shortfall) over
+    # one order-key partitioning; the orders side joins broadcast
+    import re
+
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        lineitem_prorate_cents,
+    )
+
+    plan = _plan(lineitem_prorate_cents(spark, SF))
+    assert len(re.findall(r"hashpartitioning\(k", plan)) <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_table_fingerprint_is_map_side(spark):
+    # commutative digest: NO key shuffle anywhere — partial aggregates
+    # into single-partition exchanges only
+    from credit_card_etl_pipeline_spark.queries.warehouse_queries import (
+        warehouse_table_fingerprint,
+    )
+
+    plan = _plan(warehouse_table_fingerprint(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
