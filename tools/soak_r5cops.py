@@ -189,6 +189,14 @@ def main() -> int:
     )
     n_parts = pfact.count()
 
+    # NOTE: the UNCAPPED variant is gated to mult <= 10.  Measured:
+    # 57.9 s at mult 10 and >22 min (killed) at mult 30 — a synthetic
+    # inflated vocabulary concentrates every replica of a base name on
+    # the same trigrams, so uncapped candidates grow ~quadratically in
+    # the replica count and the hot-gram partitions serialize onto one
+    # core.  That blow-up is precisely why the stop-gram cap below
+    # (and the hot-key caps in dedup.py's LSH/anchor stages) exist.
+    run_uncapped = args.mult <= 10
     t0 = time.time()
     master = pfact.select("name").distinct()
     dirty = pfact.where(F.col("k") % 3 == 0).select(
@@ -217,57 +225,74 @@ def main() -> int:
     dg = grams(dirty, "dirty_name", "k", "dirty_name")
     msize = mg.groupBy("name").agg(F.count(F.lit(1)).alias("nb"))
     dsize = dg.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
-    cand = (
-        dg.join(mg, "g")
-        .groupBy("k", "dirty_name", "name")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    scored = (
-        cand.join(dsize, "k")
-        .join(msize, "name")
-        .where(F.expr("1000 * inter div (na + nb - inter)") >= 400)
-    )
-    wb = Window.partitionBy("k").orderBy(
-        F.col("inter").desc(), "name"
-    )
-    n_linked = (
-        scored.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .count()
-    )
-    out.append(
-        {
-            "op": "fuzzy_link",
-            "mult": args.mult,
-            "n_parts": n_parts,
-            "n_linked": n_linked,
-            "sec": round(time.time() - t0, 2),
-        }
-    )
+    if run_uncapped:
+        cand = (
+            dg.join(mg, "g")
+            .groupBy("k", "dirty_name", "name")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = (
+            cand.join(dsize, "k")
+            .join(msize, "name")
+            .where(F.expr("1000 * inter div (na + nb - inter)") >= 400)
+        )
+        wb = Window.partitionBy("k").orderBy(
+            F.col("inter").desc(), "name"
+        )
+        n_linked = (
+            scored.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") == 1)
+            .count()
+        )
+        out.append(
+            {
+                "op": "fuzzy_link",
+                "mult": args.mult,
+                "n_parts": n_parts,
+                "n_linked": n_linked,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
 
-    # capped variant: drop stop-grams (blocking keys shared by more
-    # than CAP master names) from candidate generation — the hot-key
-    # valve the operator docstring prescribes.  A synthetic inflated
-    # vocabulary concentrates mass on few trigrams, so the uncapped
-    # candidate set grows quadratically with replicas; the cap
-    # restores candidate counts proportional to the dirty side.
+    # prefix-filtered variant (the similarity-join-literature valve):
+    # each record blocks ONLY on its 2 globally-rarest grams, so a
+    # hot gram stops generating candidates once rarer grams exist —
+    # candidate volume tracks the rare-gram document frequencies, not
+    # the hottest gram.  (A fixed df cap measured 884.8 s at mult 30:
+    # with a 600k-name vocabulary every base trigram's df scales with
+    # the replica count, so any absolute threshold eventually admits
+    # quadratic hot-gram blocks.  Rarest-r blocking is relative, so
+    # it survives vocabulary growth — the 100 TB shape.)
     t0 = time.time()
-    cap = 500
-    hot = (
-        mg.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > cap)
-        .select("g")
+    df_g = mg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wr_m = Window.partitionBy("name").orderBy("df", "g")
+    mg_r = (
+        mg.join(df_g, "g")
+        .withColumn("rn", F.row_number().over(wr_m))
+        .where(F.col("rn") <= 2)
+        .select("name", "g")
     )
-    mg_c = mg.join(F.broadcast(hot), "g", "left_anti")
-    dg_c = dg.join(F.broadcast(hot), "g", "left_anti")
-    cand_c = (
-        dg_c.join(mg_c, "g")
-        .groupBy("k", "dirty_name", "name")
+    wr_d = Window.partitionBy("k").orderBy("df", "g")
+    dg_r = (
+        dg.join(df_g, "g", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("rn", F.row_number().over(wr_d))
+        .where(F.col("rn") <= 2)
+        .select("k", "g")
+    )
+    cand_p = dg_r.join(mg_r, "g").select("k", "name").distinct()
+    inter = (
+        cand_p.join(dg.select("k", "g"), "k")
+        .join(
+            mg.select(F.col("name").alias("name"), F.col("g").alias("mg_g")),
+            "name",
+        )
+        .where(F.col("g") == F.col("mg_g"))
+        .groupBy("k", "name")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    n_linked_c = (
-        cand_c.join(dsize, "k")
+    n_linked_p = (
+        inter.join(dsize, "k")
         .join(msize, "name")
         .where(F.expr("1000 * inter div (na + nb - inter)") >= 300)
         .withColumn(
@@ -281,10 +306,10 @@ def main() -> int:
     )
     out.append(
         {
-            "op": "fuzzy_link_stopgram_capped",
+            "op": "fuzzy_link_prefix_filtered",
             "mult": args.mult,
             "n_parts": n_parts,
-            "n_linked": n_linked_c,
+            "n_linked": n_linked_p,
             "sec": round(time.time() - t0, 2),
         }
     )
