@@ -3341,3 +3341,189 @@ def events_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, seeds, iters=_SP_ITERS).select(
         F.col("node").alias("user_id"), F.col("dist").alias("dist_cost")
     )
+
+
+# ------------------------------------------------------------------
+# Prefix-filtered fuzzy link (EXACT blocking under the Jaccard bound)
+# ------------------------------------------------------------------
+
+_PREFIX_LINK_ORACLE = """
+WITH master AS (
+    SELECT DISTINCT p_name AS name FROM part
+),
+dirty AS (
+    SELECT p_partkey AS k,
+           substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+           || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+               AS dirty_name
+    FROM part WHERE p_partkey % 3 = 0
+),
+mgrams AS (
+    SELECT DISTINCT m.name, substr(m.name, CAST(i AS INT), 3) AS g
+    FROM master m
+    CROSS JOIN UNNEST(range(1, greatest(length(m.name) - 1, 2))) AS t(i)
+),
+dgrams AS (
+    SELECT DISTINCT d.k, d.dirty_name,
+           substr(d.dirty_name, CAST(i AS INT), 3) AS g
+    FROM dirty d
+    CROSS JOIN UNNEST(range(1, greatest(length(d.dirty_name) - 1, 2)))
+        AS t(i)
+),
+-- one global canonical gram order: master document frequency
+-- ascending (absent grams are rarest), gram text as tiebreak
+df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM mgrams GROUP BY g),
+msize AS (SELECT name, CAST(count(*) AS BIGINT) AS nb FROM mgrams GROUP BY name),
+dsize AS (SELECT k, CAST(count(*) AS BIGINT) AS na FROM dgrams GROUP BY k),
+-- prefix length for Jaccard >= 2/5: |A| - ceil(2|A|/5) + 1
+mpref AS (
+    SELECT mg.name, mg.g
+    FROM (
+        SELECT name, g, row_number() OVER (
+            PARTITION BY name ORDER BY coalesce(df.df, 0), g
+        ) AS rn
+        FROM mgrams LEFT JOIN df USING (g)
+    ) mg JOIN msize ms ON ms.name = mg.name
+    WHERE mg.rn <= ms.nb - (2 * ms.nb + 4) // 5 + 1
+),
+dpref AS (
+    SELECT dg.k, dg.g
+    FROM (
+        SELECT k, g, row_number() OVER (
+            PARTITION BY k ORDER BY coalesce(df.df, 0), g
+        ) AS rn
+        FROM dgrams LEFT JOIN df USING (g)
+    ) dg JOIN dsize ds ON ds.k = dg.k
+    WHERE dg.rn <= ds.na - (2 * ds.na + 4) // 5 + 1
+),
+cand AS (
+    SELECT DISTINCT dp.k, mp.name
+    FROM dpref dp JOIN mpref mp ON mp.g = dp.g
+),
+inter AS (
+    SELECT c.k, c.name, CAST(count(*) AS BIGINT) AS inter
+    FROM cand c
+    JOIN dgrams d ON d.k = c.k
+    JOIN mgrams m ON m.name = c.name AND m.g = d.g
+    GROUP BY c.k, c.name
+),
+scored AS (
+    SELECT i.k, d2.dirty_name, i.name AS matched_name, i.inter,
+           ds.na, ms.nb,
+           CAST(1000 * i.inter // (ds.na + ms.nb - i.inter) AS BIGINT)
+               AS jac_permille
+    FROM inter i
+    JOIN dsize ds ON ds.k = i.k
+    JOIN msize ms ON ms.name = i.name
+    JOIN (SELECT DISTINCT k, dirty_name FROM dirty) d2 ON d2.k = i.k
+),
+best AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY k
+        ORDER BY jac_permille DESC, inter DESC, matched_name
+    ) AS rn
+    FROM scored WHERE jac_permille >= 400
+)
+SELECT k, dirty_name, matched_name, inter, na, nb, jac_permille
+FROM best WHERE rn = 1
+"""
+
+
+@query("parts_fuzzy_link_prefix", _PREFIX_LINK_ORACLE)
+def parts_fuzzy_link_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered fuzzy link — the SCALE-CORRECT sibling of
+    parts_fuzzy_link that provably returns the SAME matches: under a
+    Jaccard threshold t, two sets can only reach t if they share a
+    gram within each side's first |A| - ceil(t*|A|) + 1 grams of one
+    global canonical order (rarest-first by master document
+    frequency) — the prefix-filtering bound from the set-similarity-
+    join literature.  Blocking therefore probes only rare-gram
+    buckets: soaked at 30x volume this ran 16x faster than an
+    absolute hot-gram cap (55s vs 885s, BENCH_HISTORY r5c) BECAUSE
+    the guard is relative, so vocabulary growth can't re-inflate the
+    hottest block.  Candidates are then verified on FULL gram sets —
+    exactness comes from the bound, not from luck; t = 2/5 in exact
+    integer arithmetic throughout."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    master = part.select(F.col("p_name").alias("name")).distinct()
+    dirty = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("k"),
+        F.concat(
+            F.expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+            F.expr(
+                "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"
+            ),
+        ).alias("dirty_name"),
+    )
+
+    def grams(df: DataFrame, col: str, *keep: str) -> DataFrame:
+        return (
+            df.select(
+                *keep,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length({col}) - 2,"
+                        f" 1)), i -> substr({col}, i, 3))"
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    mg = grams(master, "name", "name")
+    dg = grams(dirty, "dirty_name", "k", "dirty_name")
+    dfg = mg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    msize = mg.groupBy("name").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    dsize = dg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("na"))
+
+    wm = Window.partitionBy("name").orderBy(F.coalesce("df", F.lit(0)), "g")
+    mpref = (
+        mg.join(F.broadcast(dfg), "g", "left")
+        .withColumn("rn", F.row_number().over(wm))
+        .join(F.broadcast(msize), "name")
+        .where(F.col("rn") <= F.expr("nb - (2 * nb + 4) div 5 + 1"))
+        .select("name", "g")
+    )
+    wd = Window.partitionBy("k").orderBy(F.coalesce("df", F.lit(0)), "g")
+    dpref = (
+        dg.join(F.broadcast(dfg), "g", "left")
+        .withColumn("rn", F.row_number().over(wd))
+        .join(dsize, "k")
+        .where(F.col("rn") <= F.expr("na - (2 * na + 4) div 5 + 1"))
+        .select("k", "g")
+    )
+    cand = dpref.join(mpref, "g").select("k", "name").distinct()
+    inter = (
+        cand.join(dg.select("k", "g"), "k")
+        .join(mg.select("name", F.col("g").alias("mg_g")), "name")
+        .where(F.col("g") == F.col("mg_g"))
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    scored = (
+        inter.join(dsize, "k")
+        .join(F.broadcast(msize), "name")
+        .join(dirty.select("k", "dirty_name").distinct(), "k")
+        .select(
+            "k",
+            "dirty_name",
+            F.col("name").alias("matched_name"),
+            "inter",
+            "na",
+            "nb",
+            F.expr("1000 * inter div (na + nb - inter)")
+            .cast("long")
+            .alias("jac_permille"),
+        )
+        .where(F.col("jac_permille") >= 400)
+    )
+    wb = Window.partitionBy("k").orderBy(
+        F.col("jac_permille").desc(), F.col("inter").desc(), "matched_name"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

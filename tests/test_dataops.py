@@ -474,3 +474,20 @@ def test_shortest_paths_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_prefix_filter_blocking_is_exact(spark, sf_dir):
+    """The prefix-filtering bound must lose NOTHING: the prefix-blocked
+    fuzzy link returns exactly the full-blocking link's matches."""
+    import credit_card_etl_pipeline_spark.queries as q
+
+    full = sorted(
+        map(tuple, q.QUERIES["parts_fuzzy_link"](spark, sf_dir).collect())
+    )
+    pref = sorted(
+        map(
+            tuple,
+            q.QUERIES["parts_fuzzy_link_prefix"](spark, sf_dir).collect(),
+        )
+    )
+    assert full == pref
