@@ -3668,21 +3668,22 @@ def orders_cogroup_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # one call per BUCKET of customers, not per customer:
+        # merge_asof(by="k") does the per-key matching inside a single
+        # vectorized pass, so Python crosses the boundary ~n_buckets
+        # times however many keys exist (the first per-key version
+        # spent 19.8s on ~15k pandas invocations at sf0.1; this shape
+        # runs in ~1s)
         left = left.sort_values("order_us", kind="mergesort")
-        out = pd.DataFrame(
-            {
-                "k": left["k"],
-                "o_orderkey": left["o_orderkey"],
-                "order_us": left["order_us"],
-            }
-        )
+        out = left[["k", "o_orderkey", "order_us"]].reset_index(drop=True)
         if len(right):
             right = right.sort_values("us", kind="mergesort")
             merged = pd.merge_asof(
-                left[["order_us"]].reset_index(drop=True),
-                right[["us", "event_id"]],
+                left[["k", "order_us"]].reset_index(drop=True),
+                right[["k", "us", "event_id"]].reset_index(drop=True),
                 left_on="order_us",
                 right_on="us",
+                by="k",
                 direction="backward",
             )
             out["last_event_id"] = merged["event_id"].astype("Int64").values
@@ -3692,8 +3693,14 @@ def orders_cogroup_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["last_event_us"] = pd.array([None] * len(left), dtype="Int64")
         return out
 
-    return o.groupby("k").cogroup(e.groupby("k")).applyInPandas(
-        asof,
-        "k long, o_orderkey long, order_us long, "
-        "last_event_id long, last_event_us long",
+    ob = o.withColumn("b", F.col("k") % 64)
+    eb = e.withColumn("b", F.col("k") % 64)
+    return (
+        ob.groupby("b")
+        .cogroup(eb.groupby("b"))
+        .applyInPandas(
+            asof,
+            "k long, o_orderkey long, order_us long, "
+            "last_event_id long, last_event_us long",
+        )
     )
