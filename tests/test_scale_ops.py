@@ -108,3 +108,133 @@ def test_prorate_cents_sum_back_exactly(spark, sf_dir):
     joined = per_order.join(totals, "k")
     bad = joined.where(F.col("got") != F.col("want")).count()
     assert bad == 0
+
+
+def test_snapshot_diff_cdc_roundtrip(spark, sf_dir):
+    """Applying the generated change feed to v0 must reproduce v1
+    exactly — the diff/apply round-trip both docstrings promise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import credit_card_etl_pipeline_spark.queries as q
+
+    feed = q.QUERIES["warehouse_snapshot_diff"](spark, sf_dir)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+    )
+    # v1 per the same deterministic rules the query synthesizes
+    v1 = (
+        v0.where(F.col("k") % 11 != 4)
+        .select(
+            "k",
+            F.when(F.col("k") % 5 == 2, F.col("amt_cents") + 1000)
+            .otherwise(F.col("amt_cents"))
+            .alias("amt_cents"),
+        )
+        .unionByName(
+            v0.where(F.col("k") % 13 == 6).select(
+                (-F.col("k") - 1).alias("k"), "amt_cents"
+            )
+        )
+    )
+
+    # apply the feed to v0: upserts replace/insert, deletes drop
+    log = v0.select(
+        "k", F.lit(0).alias("seq"), F.lit("K").alias("op"), "amt_cents"
+    ).unionByName(
+        feed.select(
+            "k",
+            F.lit(1).alias("seq"),
+            "op",
+            F.col("after_cents").alias("amt_cents"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    applied = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "amt_cents")
+    )
+    assert applied.exceptAll(v1).count() == 0
+    assert v1.exceptAll(applied).count() == 0
+
+
+def test_prefix_filter_exact_on_random_vocab(spark):
+    """Prefix-filter exactness on an adversarial random vocabulary:
+    candidates from rarest-first prefixes must find every pair that
+    full blocking scores >= the threshold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    words = ["spark", "query", "table", "shard", "merge", "scan",
+             "joint", "batch", "index", "group"]
+    names = list({
+        " ".join(rng.sample(words, 3)) for _ in range(300)
+    })
+    master = spark.createDataFrame([(n,) for n in names], "name string")
+    dirty_rows = []
+    for i, n in enumerate(names):
+        if i % 2 == 0:
+            cut = i % len(n)
+            dirty_rows.append((i, n[:cut] + n[cut + 1:]))
+    dirty = spark.createDataFrame(dirty_rows, "k long, dirty_name string")
+
+    def grams(df, col, *keep):
+        return (
+            df.select(
+                *keep,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length({col}) - 2,"
+                        f" 1)), i -> substr({col}, i, 3))"
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    mg = grams(master, "name", "name")
+    dg = grams(dirty, "dirty_name", "k")
+    msize = mg.groupBy("name").agg(F.count(F.lit(1)).alias("nb"))
+    dsize = dg.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+
+    # full-blocking truth: every pair sharing ANY gram, scored
+    full = (
+        dg.join(mg, "g")
+        .groupBy("k", "name")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(dsize, "k")
+        .join(msize, "name")
+        .where(F.expr("1000 * inter div (na + nb - inter)") >= 400)
+        .select("k", "name")
+    )
+
+    # prefix-filtered candidates
+    from pyspark.sql import Window
+
+    dfg = mg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wm = Window.partitionBy("name").orderBy(F.coalesce("df", F.lit(0)), "g")
+    mpref = (
+        mg.join(dfg, "g", "left")
+        .withColumn("rn", F.row_number().over(wm))
+        .join(msize, "name")
+        .where(F.col("rn") <= F.expr("nb - (2 * nb + 4) div 5 + 1"))
+        .select("name", "g")
+    )
+    wd = Window.partitionBy("k").orderBy(F.coalesce("df", F.lit(0)), "g")
+    dpref = (
+        dg.join(dfg, "g", "left")
+        .withColumn("rn", F.row_number().over(wd))
+        .join(dsize, "k")
+        .where(F.col("rn") <= F.expr("na - (2 * na + 4) div 5 + 1"))
+        .select("k", "g")
+    )
+    cand = dpref.join(mpref, "g").select("k", "name").distinct()
+
+    missed = full.exceptAll(full.join(cand, ["k", "name"], "left_semi"))
+    assert missed.count() == 0
