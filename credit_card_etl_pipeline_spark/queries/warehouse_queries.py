@@ -1444,3 +1444,96 @@ def warehouse_partition_repair_plan(
             | (F.col("a.n0") != F.col("b.n1"))
         ).alias("needs_repair"),
     )
+
+
+# ====================================================================
+# Incremental view maintenance (delta-merge an aggregate under CDC)
+# ====================================================================
+
+_IVM_ORACLE = """
+WITH v0 AS (
+    SELECT o_orderkey AS k, o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents
+    FROM orders
+),
+v1 AS (
+    -- same deterministic churn as warehouse_snapshot_diff
+    SELECT k, priority,
+           CASE WHEN k % 5 = 2 THEN amt_cents + 1000
+                ELSE amt_cents END AS amt_cents
+    FROM v0 WHERE k % 11 <> 4
+    UNION ALL
+    SELECT -k - 1, priority, amt_cents FROM v0 WHERE k % 13 = 6
+)
+-- the oracle recomputes the view from scratch on v1; the engine must
+-- reach the identical state by delta-merging the change feed into the
+-- v0 aggregate
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(amt_cents) AS BIGINT) AS revenue_cents
+FROM v1 GROUP BY priority
+"""
+
+
+@query("warehouse_ivm_delta_merge", _IVM_ORACLE)
+def warehouse_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the materialized aggregate
+    (orders and revenue per priority) is brought up to date by
+    delta-merging the CDC feed — inserts add (+1, +amt), deletes add
+    (-1, -before), updates add (0, after-before) — NEVER by
+    re-aggregating the base table.  The oracle recomputes the view
+    from scratch on the next snapshot, so the hash proves
+    delta-maintenance reaches the exact recompute state.  This is the
+    counts-and-sums IVM rule every self-maintainable aggregate view
+    uses: at 100 TB the refresh cost is proportional to the day's
+    churn, not the table (the feed here is the same one
+    warehouse_snapshot_diff emits, keyed so the delta aggregate
+    shuffles only changed groups).  Exact integers make the merged
+    state bit-identical to recompute under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    orders = load(spark, sf_dir, "orders")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+    )
+    # the standing materialized view over v0
+    view0 = v0.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("amt_cents").cast("long").alias("revenue_cents"),
+    )
+    # the change feed (same churn rules as warehouse_snapshot_diff),
+    # carried WITH the group key so deltas aggregate per group
+    upd = v0.where((F.col("k") % 11 != 4) & (F.col("k") % 5 == 2)).select(
+        "priority", F.lit(0).alias("dn"), F.lit(1000).alias("damt")
+    )
+    dele = v0.where(F.col("k") % 11 == 4).select(
+        "priority", F.lit(-1).alias("dn"), (-F.col("amt_cents")).alias("damt")
+    )
+    ins = v0.where(F.col("k") % 13 == 6).select(
+        "priority", F.lit(1).alias("dn"), F.col("amt_cents").alias("damt")
+    )
+    deltas = (
+        upd.unionByName(dele)
+        .unionByName(ins)
+        .groupBy("priority")
+        .agg(
+            F.sum("dn").cast("long").alias("dn"),
+            F.sum("damt").cast("long").alias("damt"),
+        )
+    )
+    return (
+        view0.join(F.broadcast(deltas), "priority", "left")
+        .select(
+            "priority",
+            (F.col("n_orders") + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.col("revenue_cents") + F.coalesce("damt", F.lit(0)))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
