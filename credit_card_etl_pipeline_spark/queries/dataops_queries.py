@@ -3704,3 +3704,60 @@ def orders_cogroup_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event_id long, last_event_us long",
         )
     )
+
+
+# ------------------------------------------------------------------
+# mapInArrow byte-level document stats (§2.K Arrow-native surface)
+# ------------------------------------------------------------------
+
+_ARROW_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS n_spaces
+FROM documents
+"""
+
+
+@query("udf_arrow_byte_stats", _ARROW_STATS_ORACLE)
+def udf_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the zero-copy sibling of mapInPandas): per-document
+    byte/char/space counts computed directly on pyarrow RecordBatch
+    buffers — no pandas materialization, no Python-object rows; the
+    batch's UTF-8 buffer is scanned with pyarrow.compute kernels
+    (C++-side), so the Python worker only routes batches.  This
+    completes the §2.K ladder: scalar pandas UDF → GROUPED_AGG UDAF →
+    grouped/cogrouped applyInPandas → UDTF → mapInArrow.  Byte length
+    vs char length differ on the corpus's CJK documents, which is
+    what the oracle's strlen/length pair checks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pc.cast(
+                        pc.binary_length(
+                            pc.cast(batch.column("text"), pa.binary())
+                        ),
+                        pa.int64(),
+                    ),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(batch.column("text")), pa.int64()
+                    ),
+                    "n_spaces": pc.cast(
+                        pc.count_substring(batch.column("text"), " "),
+                        pa.int64(),
+                    ),
+                }
+            )
+            for out in t.to_batches():
+                yield out
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id long, n_bytes long, n_chars long, n_spaces long"
+    )
