@@ -837,3 +837,65 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("c_us")).cast("long").alias("n_click_7d"),
         F.sum("p_hit").cast("long").alias("n_purchase_7d"),
     )
+
+
+# ------------------------------------------------------------------
+# Key-skew diagnostics (what you run before picking a salt factor)
+# ------------------------------------------------------------------
+
+_SKEW_DIAG_ORACLE = """
+WITH per_key AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_n,
+           CAST(round(2 * quantile_cont(n, 0.5)) AS BIGINT) AS med2
+    FROM per_key
+)
+SELECT p.user_id, p.n,
+       CAST(p.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+       -- how many partition-sized units this key alone occupies if a
+       -- perfectly even split is total/n_keys per key
+       CAST(p.n * t.n_keys // t.total AS BIGINT) AS x_even_load,
+       CAST(2 * p.n // t.med2 AS BIGINT) AS x_median_key
+FROM per_key p CROSS JOIN tot t
+WHERE p.n * 20 >= t.max_n
+"""
+
+
+@query("events_skew_diagnostics", _SKEW_DIAG_ORACLE)
+def events_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics: for every key within 20x of the
+    heaviest, its absolute count, corpus share in ppm, multiple of
+    the perfectly-even per-key load, and multiple of the median key —
+    the numbers that decide whether a groupBy/join needs salting and
+    what factor (operators/skew.py) or whether AQE's skew-join
+    threshold will catch it.  One shuffle for the per-key histogram;
+    the corpus totals ride a 1-row broadcast; exact integer ratios
+    make the report hash-checkable.  At 100 TB this query IS the
+    cheap pre-flight you run before the expensive job — its own
+    skew exposure is just the histogram groupBy."""
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(2 * F.expr("percentile(n, 0.5)")).cast("long").alias("med2"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * 20 >= F.col("max_n"))
+        .select(
+            "user_id",
+            "n",
+            F.expr("n * 1000000 div total").cast("long").alias("share_ppm"),
+            F.expr("n * n_keys div total").cast("long").alias("x_even_load"),
+            F.expr("2 * n div med2").cast("long").alias("x_median_key"),
+        )
+    )
