@@ -29,11 +29,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering (the driver samples a prefix of this dict each round, so
     ordering decides where the per-round check budget goes):
 
-    1. queries with no driver correctness row in any committed
-       CORRECTNESS_r*.json (never verified),
-    2. queries whose LATEST driver row is a failure (so a fix made
-       since that round gets re-checked instead of carrying a stale
-       red row — the round-4 process bug),
+    1. queries whose LATEST driver row is a failure (stale-red: a fix
+       made since that round gets re-checked FIRST instead of carrying
+       a stale red row — the round-4/5 process bug was putting these
+       behind never-verified entries),
+    2. queries with no driver correctness row in any committed
+       CORRECTNESS_r*.json (never verified), in registration order,
     3. previously-green queries, least-recently-verified round first,
        so old greens rotate back through the sample and regressions
        in already-verified queries still get caught.
@@ -71,10 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tier(name: str) -> tuple[int, int]:
         if name not in latest:
-            return (0, 0)  # never verified
+            return (1, 0)  # never verified: after stale-reds
         rnd, green = latest[name]
         if not green:
-            return (1, rnd)  # latest row is a failure: re-check next
+            return (0, rnd)  # latest row is a failure: re-check FIRST
         return (2, rnd)  # green: least-recently-verified first
 
     ordered = sorted(q.QUERIES, key=tier)

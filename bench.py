@@ -40,6 +40,9 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Snapshot BEFORE Spark starts: external host load, not our own.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     import __spark_entry__ as entrymod
     from credit_card_etl_pipeline_spark.session import get_spark
 
@@ -99,6 +102,13 @@ def main() -> int:
         "env": {
             "pyspark": pyspark.__version__,
             "events_ts_dtype": describe_ts_dtype(spark, sf_dir),
+            # host-load canary: BENCH_HISTORY shows ~1.5x wall variance
+            # on a loaded driver box; loadavg makes that machine-checkable
+            # instead of argued from cross-query uniformity.  `loadavg`
+            # is sampled before Spark starts (external load only);
+            # `loadavg_end` includes our own 32-core run.
+            "loadavg": loadavg_start,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
     }
     if failures:
@@ -106,9 +116,12 @@ def main() -> int:
         result["n_failed"] = len(failures)
 
     # Complete record (all per-query timings) -> file; the driver's
-    # 2000-char stdout tail cannot hold it as one line.
+    # 2000-char stdout tail cannot hold it as one line.  A subset run
+    # (SPARK_GRAFT_BENCH_ONLY, local iteration) must not clobber the
+    # committed full record — route it to a scratch file instead.
+    full_name = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), full_name
     )
     with open(full_path, "w") as fh:
         json.dump(result, fh, ensure_ascii=False)
@@ -122,7 +135,7 @@ def main() -> int:
     )
     compact = dict(result)
     compact["queries"] = slowest
-    compact["queries_full"] = "BENCH_FULL.json"
+    compact["queries_full"] = full_name
     if failures:
         # keep the final line bounded even if many queries break
         names = sorted(failures)

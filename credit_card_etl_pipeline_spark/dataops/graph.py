@@ -180,20 +180,24 @@ def shortest_paths(
     table is value-checkable against an unrolled SQL oracle.  Returns
     (node, dist) for nodes reachable within ``iters`` hops.
 
-    ``seeds`` must have a single ``node`` column.
+    ``seeds`` must have a single ``node`` column; duplicate seed rows
+    are tolerated (deduplicated here — a left join against a
+    non-distinct seed set would multiply dist rows and every
+    downstream round would propagate the duplicates).
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    seed_nodes = seeds.select("node").distinct()
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
-        .unionByName(seeds.select("node"))
+        .unionByName(seed_nodes)
         .distinct()
     )
     e = edges.select(
         src.alias("e_src"), dst.alias("e_dst"), F.col(cost_col).alias("e_cost")
     )
     dist = nodes.join(
-        seeds.select("node", F.lit(0).cast("long").alias("seed0")),
+        seed_nodes.select("node", F.lit(0).cast("long").alias("seed0")),
         "node",
         "left",
     ).select("node", F.coalesce("seed0", F.lit(SP_INF)).alias("dist"))

@@ -3552,8 +3552,7 @@ ranked AS (
 SELECT priority,
        min(n) AS n_orders,
        min(s) AS total_cents,
-       CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
-       min(n) * min(s) AS gini_den
+       CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS gini_num
 FROM ranked
 GROUP BY priority
 """
@@ -3566,9 +3565,14 @@ def orders_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     value per priority segment.  The UDAF receives each group's value
     vector as ONE Arrow batch and returns the Gini numerator
     Σ(2i-n-1)·x_(i) as a single BIGINT — rank-weighted sums over the
-    sorted vector, exact in integers (the denominator n·Σx comes from
-    plain JVM aggregates in the same groupBy, so the rational
-    gini_num/gini_den is bit-stable cross-engine).  Grouped-agg UDFs
+    sorted vector, exact in integers.  The denominator's FACTORS
+    (n_orders, total_cents) are returned separately rather than as the
+    materialized product n·Σx: that product reaches ~3.4e18 per
+    priority at sf1 and overflows int64 at modest scale-up — Spark
+    would wrap silently while DuckDB raises, so the engines would
+    diverge instead of both failing loudly (ADVICE r5).  Consumers
+    form gini_num / (n_orders·total_cents) in arbitrary precision or
+    float as needed.  Grouped-agg UDFs
     hold one group in memory — fine for segment-cardinality groups; a
     100 TB per-key variant would use the two-pass rank decomposition
     that functions/ranks.py already implements for pct-rank."""
@@ -3594,10 +3598,9 @@ def orders_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = v.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("total_cents"),
-        (F.count(F.lit(1)) * F.sum("cents")).cast("long").alias("gini_den"),
     )
     return plain.join(F.broadcast(nums), "priority").select(
-        "priority", "n_orders", "total_cents", "gini_num", "gini_den"
+        "priority", "n_orders", "total_cents", "gini_num"
     )
 
 

@@ -674,14 +674,14 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co_users",
             "users_a",
             "users_b",
-            (
-                F.col("co_users")
-                * F.col("co_users")
-                * 1_000_000
-                / (F.col("users_a") * F.col("users_b"))
-            )
-            .cast("long")
-            .alias("cosine2_ppm"),
+            # integer floor division end-to-end: float `/` + cast
+            # truncates (not floors) and double-rounds once
+            # co_users^2 * 1e6 exceeds 2^53, diverging from the
+            # exact-integer oracle `//` (ADVICE r5).  int64 still
+            # bounds co_users at ~3.0e6 — both engines share that.
+            F.expr(
+                "co_users * co_users * 1000000L div (users_a * users_b)"
+            ).alias("cosine2_ppm"),
         )
     )
 

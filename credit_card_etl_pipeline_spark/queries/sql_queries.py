@@ -1810,9 +1810,12 @@ sums AS (
 SELECT priority, n_days, sy AS total_orders,
        n_days * sxy - sx * sy AS slope_num,
        n_days * sxx - sx * sx AS slope_den,
-       -- truncate-toward-zero ppm (den > 0 always; sign rides out
-       -- front so both engines' integer division agrees)
-       CASE WHEN n_days * sxy - sx * sy >= 0
+       -- truncate-toward-zero ppm; sign rides out front so both
+       -- engines' integer division agrees.  A single-day segment
+       -- makes the denominator 0 (DuckDB // raises, Spark div
+       -- NULLs): render NULL on both sides instead.
+       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+            WHEN n_days * sxy - sx * sy >= 0
             THEN CAST((n_days * sxy - sx * sy) * 1000000
                       // (n_days * sxx - sx * sx) AS BIGINT)
             ELSE -CAST((sx * sy - n_days * sxy) * 1000000
@@ -1867,7 +1870,11 @@ def orders_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy.alias("total_orders"),
         (n * sxy - sx * sy).alias("slope_num"),
         (n * sxx - sx * sx).alias("slope_den"),
-        F.when(
+        # degenerate segment (one distinct day) => denominator 0;
+        # DuckDB `//` raises while Spark `div` NULLs, so emit NULL
+        # explicitly on both sides (ADVICE r5).
+        F.when(n * sxx - sx * sx == 0, F.lit(None))
+        .when(
             n * sxy - sx * sy >= 0,
             F.expr(
                 "(n_days * sxy - sx * sy) * 1000000"

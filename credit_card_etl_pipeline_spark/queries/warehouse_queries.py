@@ -1536,4 +1536,9 @@ def warehouse_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("revenue_cents"),
         )
+        # group-deletion rule: a group whose count drops to 0 leaves
+        # the view entirely (the recompute oracle's GROUP BY never
+        # emits it); without this a fully-deleted priority would linger
+        # as a (priority, 0, 0) row (ADVICE r5).
+        .where(F.col("n_orders") > 0)
     )

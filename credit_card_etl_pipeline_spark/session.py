@@ -57,6 +57,10 @@ def get_spark(
         # scan partitions big enough that sf0.1 doesn't over-parallelize.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-escape spam to stdout; the
+        # driver records only the last 2000 chars of bench output, and
+        # in r5 the progress escapes displaced all but 5 BENCHQ lines.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

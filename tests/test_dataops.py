@@ -453,6 +453,13 @@ def test_shortest_paths_known_graph(spark):
     }
     assert got2[4] == 35
 
+    # duplicate seed rows must not multiply dist rows (the operator
+    # dedups seeds itself; callers aren't required to — ADVICE r5)
+    dup_seeds = spark.createDataFrame([(1,), (1,), (1,)], "node long")
+    rows = shortest_paths(edges, dup_seeds, iters=4).collect()
+    assert len(rows) == len({r.node for r in rows})
+    assert {r.node: r.dist for r in rows} == got
+
 
 def test_shortest_paths_partition_invariant(spark):
     from credit_card_etl_pipeline_spark.dataops.graph import shortest_paths
