@@ -76,6 +76,132 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*[a.combine() for a in aggs])
 
 
+def probe_key_skew(df: DataFrame, keys: list[str]) -> dict:
+    """One bounded action: the per-key count histogram reduced to
+    (total rows, distinct keys, hottest-key count) — three longs to the
+    driver, never the histogram itself.
+
+    The probe is itself skew-immune: a count-per-key groupBy combines
+    map-side, so the hot key contributes at most one partial row per
+    input partition regardless of its row count; and it scans ONLY the
+    key columns, so with columnar storage its cost is a fraction of the
+    aggregate it gates.  This is the programmatic twin of the
+    events_skew_diagnostics report."""
+    row = (
+        df.select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("max_n"),
+        )
+        .first()
+    )
+    return {
+        "total": int(row["total"] or 0),
+        "n_keys": int(row["n_keys"] or 0),
+        "max_n": int(row["max_n"] or 0),
+    }
+
+
+#: Salt a COMBINE-FREE aggregate when the hottest key exceeds this
+#: multiple of the even per-partition load (total/shuffle_partitions).
+#: Set from measurement (tools/soak_adaptive.py + its pandas-UDAF
+#: variant, 10M rows, 1024 keys, hot-share sweep 0-50%, local[32]):
+#:
+#: * algebraic JVM aggregates (sum/count/min/max): the salted plan
+#:   NEVER won at any hot share (x_even up to 16) — Spark's map-side
+#:   partial aggregation already collapses the hot key to one partial
+#:   row per input partition, so the final task receives ~|partitions|
+#:   rows however hot the key is.  Plain is always right there.
+#: * combine-free payloads (pandas grouped-agg UDAF — no partial
+#:   aggregation, every hot-key row shuffles to ONE task): salted won
+#:   from x_even ~= 8 (25% hot share: 2.01s vs 2.11s) and above; plain
+#:   won at x_even <= ~4.  The crossover sits between, hence 6.
+HOT_PARTITION_FACTOR = 6.0
+
+
+def choose_agg_strategy(
+    stats: dict,
+    shuffle_partitions: int,
+    *,
+    combine_free: bool,
+    hot_partition_factor: float = HOT_PARTITION_FACTOR,
+) -> bool:
+    """True = salt.  Pure decision rule over a probe_key_skew report.
+
+    Aggregates with map-side combine are measured skew-immune (see
+    HOT_PARTITION_FACTOR notes) — never salted.  Combine-free payloads
+    salt when the hottest key alone exceeds ``hot_partition_factor``
+    times the perfectly-even per-partition load, i.e. when its single
+    reduce task would be the stage straggler."""
+    if not combine_free or stats["total"] <= 0:
+        return False
+    even = stats["total"] / max(shuffle_partitions, 1)
+    return stats["max_n"] > hot_partition_factor * even
+
+
+def adaptive_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[SaltedAgg],
+    *,
+    combine_free: bool = False,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+    hot_partition_factor: float = HOT_PARTITION_FACTOR,
+    skew_stats: dict | None = None,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Skew-aware groupBy that PICKS its physical strategy from the
+    data: probe the key histogram (or consume a caller-supplied
+    ``skew_stats`` report, e.g. a cached diagnostics run), then build
+    either the plain one-shuffle groupBy or the two-stage salted plan
+    (:func:`salted_aggregate`) — identical results either way, only the
+    plan differs.  The same auto-selection shape as
+    ``functions.ranks.with_pct_rank``: measure, then commit to the
+    plan that survives the observed distribution.
+
+    ``combine_free`` declares that the payload aggregates do NOT
+    benefit from map-side partial aggregation — pandas grouped-agg
+    UDAFs and other Python paths, where every row of a key crosses the
+    shuffle to one task.  JVM sum/count/min/max payloads should leave
+    it False: measurement shows partial aggregation already neutralizes
+    key skew for them and salting is pure overhead (the probe is then
+    skipped entirely — no action, no cost).
+
+    ``decision_out``, when given, receives {salted, stats,
+    shuffle_partitions, combine_free} so callers/tests can audit the
+    choice."""
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if not combine_free:
+        skew_stats = skew_stats or {"total": -1, "n_keys": -1, "max_n": -1}
+        salted = False
+    else:
+        if skew_stats is None:
+            skew_stats = probe_key_skew(df, keys)
+        salted = choose_agg_strategy(
+            skew_stats,
+            parts,
+            combine_free=True,
+            hot_partition_factor=hot_partition_factor,
+        )
+    if decision_out is not None:
+        decision_out.update(
+            salted=salted,
+            stats=dict(skew_stats),
+            shuffle_partitions=parts,
+            combine_free=combine_free,
+        )
+    if salted:
+        return salted_aggregate(
+            df, keys, aggs, n_salts=n_salts, salt_source=salt_source
+        )
+    return df.groupBy(*keys).agg(*[a.partial for a in aggs])
+
+
 def salted_count_distinct(
     df: DataFrame,
     keys: list[str],

@@ -10,6 +10,7 @@ TPC-H-Q1-shaped aggregate whose oracle is the same SQL in DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -87,6 +88,68 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long"),
         F.col("total_cents").cast("long"),
         F.col("n_priorities").cast("long"),
+    )
+
+
+_ADAPTIVE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("skew_adaptive_aggregate", _ADAPTIVE_ORACLE)
+def skew_adaptive_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured skew response (operators/skew.py adaptive_aggregate):
+    the operator probes the key histogram — the programmatic twin of
+    the events_skew_diagnostics pre-flight — and PICKS plain vs salted
+    two-stage aggregation by whether the hottest key exceeds
+    HOT_PARTITION_FACTOR x the even per-partition load.  The payload
+    here is a pandas grouped-agg UDAF (combine_free=True): the regime
+    where the decision is real — no map-side partial aggregation, so a
+    hot key funnels every row into one Python task (JVM algebraic aggs
+    are measured skew-immune and always go plain).  Grouping events by
+    low-cardinality event_type puts the hottest key at ~20% of the
+    table = 6.45x the even 32-partition load, just over the measured
+    6x crossover — the real corpus exercises the salted branch, the
+    oracle is the plain GROUP BY (identical values either way), and
+    tests/test_plans.py pins the plan FLIP on synthetic uniform vs
+    hot-key corpora."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.skew import SaltedAgg, adaptive_aggregate
+
+    @pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        return int(len(v))
+
+    @pandas_udf("long")
+    def psum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = adaptive_aggregate(
+        ev,
+        ["event_type"],
+        [
+            SaltedAgg("n_events", pcount(F.col("cents")).alias("n_events"), "sum"),
+            SaltedAgg("value_cents", psum(F.col("cents")).alias("value_cents"), "sum"),
+        ],
+        combine_free=True,
+        n_salts=8,
+        salt_source="id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long"),
+        F.col("value_cents").cast("long"),
     )
 
 

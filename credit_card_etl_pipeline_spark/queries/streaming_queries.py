@@ -960,14 +960,66 @@ def stream_dedup_within_watermark(
 # ====================================================================
 # transformWithStateInPandas (Spark 4 typed-state API)
 # ====================================================================
-# NOT registered as a query: the API's Python worker requires the
-# protobuf package, absent from this runtime (and installs are off the
-# table), so a registered query would crash the driver's sweep.  The
-# operator itself ships gated in streaming.stateful.running_user_stats_tws
-# with an actionable RuntimeError, and tests/test_streaming.py carries a
-# skipif-protobuf end-state parity test that activates the moment the
-# dependency appears.  applyInPandasWithState (stream_stateful_user_stats)
-# remains the exercised custom-stateful path.
+# Registered CONDITIONALLY: the API's Python worker speaks protobuf to
+# the JVM state server, and the protobuf package may be absent from the
+# runtime (installs are off the table).  Registration probes for it at
+# import time — when present, `stream_user_stats_tws` runs the real
+# typed-state operator with the same end-state-vs-batch oracle as
+# stream_stateful_user_stats; when absent, the query is NOT registered
+# (an always-crashing query would burn a driver sample) and the
+# operator keeps its actionable RuntimeError for direct callers.
+# tests/test_streaming.py pins both sides of the gate.
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+
+    @query("stream_user_stats_tws", _STATEFUL_ORACLE)
+    def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas end-state parity: the Spark 4
+        typed-state successor of applyInPandasWithState, run as a real
+        streaming query (availableNow, memory sink, update mode); the
+        final per-user state must equal the plain batch aggregation —
+        the same oracle contract stream_stateful_user_stats pins for
+        the older API, making the two registered queries a migration
+        A/B."""
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..streaming.stateful import running_user_stats_tws
+
+        name = f"user_stats_tws_{next(_stateful_run_counter)}"
+        stream = event_time(events_stream(spark, sf_dir))
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="tws_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "n_events", "value_cents")
+        )
 
 
 # ====================================================================

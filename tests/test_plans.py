@@ -4,6 +4,7 @@ on rule lookups) must survive refactors."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 import pytest
 from pyspark.sql import functions as F
 
@@ -379,3 +380,79 @@ def test_table_fingerprint_is_map_side(spark):
     plan = _plan(warehouse_table_fingerprint(spark, SF))
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_aggregate_flips_on_hot_key(spark):
+    """The measured-skew operator must pick DIFFERENT physical plans
+    for a uniform corpus (plain one-shuffle groupBy) and a hot-key
+    corpus (two-stage salted: a __salt grouping appears) when the
+    payload is combine-free (pandas UDAF — no map-side partial agg),
+    with the decision audit agreeing in both cases; and a JVM
+    algebraic payload must stay plain even on the hot corpus (partial
+    aggregation is measured skew-immune — soak_adaptive.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from credit_card_etl_pipeline_spark.operators.skew import (
+        SaltedAgg,
+        adaptive_aggregate,
+        salted_count,
+    )
+
+    @pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        return int(len(v))
+
+    aggs = [SaltedAgg("n", pcount(F.col("id")).alias("n"), "sum")]
+
+    # uniform: 64 keys x 50 rows — hottest key ~ even load
+    uniform = spark.range(3200).select(
+        (F.col("id") % 64).alias("k"), F.col("id").alias("id")
+    )
+    # hot: one key holds half the corpus
+    hot = spark.range(3200).select(
+        F.when(F.col("id") < 1600, F.lit(0))
+        .otherwise(F.col("id") % 64)
+        .alias("k"),
+        F.col("id").alias("id"),
+    )
+
+    # x_even = hot_share x shuffle_partitions; pin partitions so the
+    # hot corpus (share ~0.5) clears the 6x default crossover and the
+    # uniform one (share ~1/64) stays far under it
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        dec_u, dec_h = {}, {}
+        df_u = adaptive_aggregate(
+            uniform, ["k"], aggs, combine_free=True, salt_source="id",
+            decision_out=dec_u,
+        )
+        df_h = adaptive_aggregate(
+            hot, ["k"], aggs, combine_free=True, salt_source="id",
+            decision_out=dec_h,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert dec_u["salted"] is False
+    assert dec_h["salted"] is True
+    plan_u, plan_h = _plan(df_u), _plan(df_h)
+    assert "__salt" not in plan_u
+    assert "__salt" in plan_h
+
+    # identical results regardless of branch: hot corpus counts
+    got = {r["k"]: r["n"] for r in df_h.collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in hot.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+    # JVM algebraic payload: plain even on the hot corpus, and the
+    # probe is skipped (no action spent on an immune path)
+    dec_j = {}
+    df_j = adaptive_aggregate(
+        hot, ["k"], [salted_count("n")], salt_source="id",
+        decision_out=dec_j,
+    )
+    assert dec_j["salted"] is False and dec_j["combine_free"] is False
+    assert "__salt" not in _plan(df_j)

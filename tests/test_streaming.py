@@ -131,3 +131,20 @@ def test_transform_with_state_gated_or_parity(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_tws_registration_tracks_protobuf():
+    """The tws query is registered exactly when the runtime has
+    protobuf: an always-crashing registration would waste a driver
+    correctness sample; an available runtime should expose the
+    typed-state API as a first-class oracle-checked query."""
+    from credit_card_etl_pipeline_spark import queries as q
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    assert ("stream_user_stats_tws" in q.QUERIES) == has_pb
+    assert ("stream_user_stats_tws" in q.ORACLES) == has_pb

@@ -7,6 +7,16 @@ compares row count, column names, and an order-insensitive value
 comparison (exact after canonicalization).  Use before committing:
 
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+    python tools/check_oracle.py --changed-only
+
+``--changed-only`` fingerprints each query (md5 of the query function's
+source + its oracle SQL + the md5 of the module file defining it + the
+sf dir) and skips entries whose fingerprint already has a recorded PASS
+in ``tools/.oracle_check_state.json``; the state updates on every PASS,
+in both modes.  Caveat: the fingerprint sees the query module, not the
+transitive library modules it calls — after editing an operator library
+(dataops/, operators/, functions/) name the affected queries explicitly
+or run the full sweep (round close runs the full sweep regardless).
 """
 
 from __future__ import annotations
@@ -49,11 +59,37 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     return h, lines
 
 
+STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".oracle_check_state.json")
+
+
+def _fingerprint(fn, oracle: str | None, sf: str) -> str:
+    import inspect
+
+    parts = [sf, oracle or "<no-oracle>"]
+    try:
+        parts.append(inspect.getsource(fn))
+        mod_file = inspect.getfile(fn)
+        with open(mod_file, "rb") as fh:
+            parts.append(hashlib.md5(fh.read()).hexdigest())
+    except (OSError, TypeError):
+        parts.append(repr(time.time()))  # unhashable source: never skip
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--changed-only",
+        action="store_true",
+        help="skip queries whose (source+oracle+module+sf) fingerprint "
+             "already passed; state in tools/.oracle_check_state.json",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    import json
 
     import duckdb
 
@@ -70,6 +106,24 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(queries)
+
+    state: dict[str, str] = {}
+    if os.path.exists(STATE_PATH):
+        try:
+            with open(STATE_PATH) as fh:
+                state = json.load(fh)
+        except Exception:
+            state = {}
+    fps = {
+        name: _fingerprint(queries[name], oracles.get(name), args.sf)
+        for name in names
+        if name in queries
+    }
+    if args.changed_only:
+        skipped = [n for n in names if state.get(n) == fps.get(n)]
+        names = [n for n in names if state.get(n) != fps.get(n)]
+        print(f"changed-only: {len(names)} to run, {len(skipped)} unchanged-skipped")
+
     failures = 0
     for name in names:
         t0 = time.time()
@@ -83,6 +137,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
+            state[name] = fps[name]
             continue
         try:
             rel = con.sql(oracles[name])
@@ -123,9 +178,16 @@ def main() -> int:
                 problems.append(f"value-hash mismatch; first diffs: {diffs}")
         if problems:
             failures += 1
+            state.pop(name, None)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
+            state[name] = fps[name]
             print(f"PASS  {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
+    try:
+        with open(STATE_PATH, "w") as fh:
+            json.dump(state, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 
