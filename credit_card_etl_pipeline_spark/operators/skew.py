@@ -216,6 +216,116 @@ def salted_count_distinct(
     return pairs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias(out))
 
 
+#: Salt a non-broadcast join when the hottest FACT key exceeds this
+#: multiple of the even per-partition load AND AQE's skew-join split
+#: is unavailable.  Measured (tools/soak_adaptive_join.py, 10M-row
+#: fact x 5M-key dim, broadcast disabled, local[32]): with AQE
+#: skew-split ON, plain SMJ beat the salted join at EVERY hot share
+#: swept (1.2-2.4s vs 2.8-4.0s at x_even 0-16) — the n_salts-fold dim
+#: replication costs more than the runtime partition split saves.
+#: Salting a join therefore only pays where AQE cannot split (AQE off,
+#: or join shapes/streams AQE does not cover), and there the
+#: aggregation-path crossover (x_even ~6) is the operative guard.
+JOIN_HOT_FACTOR = 6.0
+
+
+def estimate_df_bytes(df: DataFrame, *, n_rows: int | None = None,
+                      sample_rows: int = 1024) -> int:
+    """Bounded-cost size estimate: row count (caller-supplied or one
+    count action) x average serialized row width from a driver-side
+    sample of ``sample_rows`` rows (JSON length as the width proxy —
+    biased high vs tungsten rows, which is the safe direction for a
+    broadcast decision)."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows == 0:
+        return 0
+    sample = df.select(
+        F.length(F.to_json(F.struct(*df.columns))).alias("w")
+    ).limit(sample_rows)
+    avg_w = sample.agg(F.avg("w")).first()[0] or 0.0
+    return int(n_rows * avg_w)
+
+
+def adaptive_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    dim_rows: int | None = None,
+    hot_partition_factor: float = JOIN_HOT_FACTOR,
+    skew_stats: dict | None = None,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Equi-join that PICKS its physical strategy from bounded probes,
+    completing the diagnostics->decision story adaptive_aggregate
+    starts for aggregation:
+
+    1. **broadcast** when the dim's estimated bytes fit under the
+       session's autoBroadcastJoinThreshold (estimate =
+       :func:`estimate_df_bytes`: one count + a 1024-row width sample);
+    2. else **plain** shuffle join whenever AQE's skew-join split is
+       active — measured (tools/soak_adaptive_join.py): plain + AQE
+       beat the salted plan at every hot share, because the
+       n_salts-fold dim replication costs more than the runtime
+       partition split saves;
+    3. else (AQE skew-split unavailable) **salted**
+       (:func:`salted_broadcastless_join`) when the fact's hottest key
+       exceeds ``hot_partition_factor`` x the even per-partition load
+       (probe = :func:`probe_key_skew`, three longs to the driver),
+       plain otherwise.
+
+    Results are identical on every branch; only the plan differs.
+    ``decision_out`` receives {strategy, dim_bytes, broadcast_threshold,
+    aqe_skew, stats, shuffle_partitions} for audit."""
+    spark = fact.sparkSession
+    thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "0"))
+    dim_bytes = estimate_df_bytes(dim, n_rows=dim_rows)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    aqe_skew = (
+        spark.conf.get("spark.sql.adaptive.enabled", "false").lower()
+        == "true"
+        and spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    stats: dict = {}
+    if thresh > 0 and dim_bytes <= thresh:
+        strategy = "broadcast"
+        out = fact.join(F.broadcast(dim), key)
+    elif aqe_skew:
+        strategy = "plain"
+        out = fact.join(dim, key)
+    else:
+        stats = skew_stats or probe_key_skew(fact, [key])
+        if choose_agg_strategy(
+            stats,
+            parts,
+            combine_free=True,  # a join reducer has no map-side combine
+            hot_partition_factor=hot_partition_factor,
+        ):
+            strategy = "salted"
+            out = salted_broadcastless_join(
+                fact, dim, key, n_salts=n_salts, salt_source=salt_source
+            )
+        else:
+            strategy = "plain"
+            out = fact.join(dim, key)
+    if decision_out is not None:
+        decision_out.update(
+            strategy=strategy,
+            dim_bytes=dim_bytes,
+            broadcast_threshold=thresh,
+            aqe_skew=aqe_skew,
+            stats=dict(stats),
+            shuffle_partitions=parts,
+        )
+    return out
+
+
 def salted_broadcastless_join(
     fact: DataFrame,
     dim: DataFrame,

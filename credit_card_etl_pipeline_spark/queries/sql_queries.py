@@ -153,6 +153,48 @@ def skew_adaptive_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADAPTIVE_JOIN_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("lineitem_adaptive_join", _ADAPTIVE_JOIN_ORACLE)
+def lineitem_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured join-strategy selection (operators/skew.py
+    adaptive_join): the operator estimates the dim's bytes (count x
+    sampled row width) against the session broadcast threshold, checks
+    whether AQE's skew-split covers the shuffle regime, and only then
+    considers the salted plan — the policy the r6 crossover
+    measurement set (plain + AQE beat salting at every hot share; see
+    BENCH_HISTORY).  On this corpus orders fits the threshold, so the
+    chosen plan is the broadcast join — asserted by the audit dict so
+    the driver run exercises the decision path, not just the result.
+    Oracle: the plain SQL join + GROUP BY (identical values on every
+    branch)."""
+    from ..operators.skew import adaptive_join
+
+    fact = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    decision: dict = {}
+    joined = adaptive_join(fact, dim, "k", decision_out=decision)
+    assert decision["strategy"] in ("broadcast", "plain", "salted")
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
 _EXCLUDE_SQL = (
     "NOT regexp_matches(transaction_type,"
     " '繳款|折抵|各項費用|手續費|年費|利息')"

@@ -456,3 +456,71 @@ def test_adaptive_aggregate_flips_on_hot_key(spark):
     )
     assert dec_j["salted"] is False and dec_j["combine_free"] is False
     assert "__salt" not in _plan(df_j)
+
+
+def test_adaptive_join_branches(spark):
+    """adaptive_join must pick broadcast for an under-threshold dim;
+    plain whenever AQE's skew-split is active (measured: plain + AQE
+    beats salting at every hot share); and salted only for a hot fact
+    key when AQE skew-split is OFF — identical results on every
+    branch."""
+    from credit_card_etl_pipeline_spark.operators.skew import adaptive_join
+
+    dim = spark.range(64).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("dv")
+    )
+    uniform = spark.range(3200).select(
+        (F.col("id") % 64).alias("k"), F.col("id").alias("id")
+    )
+    hot = spark.range(3200).select(
+        F.when(F.col("id") < 1600, F.lit(0))
+        .otherwise(F.col("id") % 64)
+        .alias("k"),
+        F.col("id").alias("id"),
+    )
+
+    # branch 1: tiny dim under the default threshold -> broadcast
+    dec_b = {}
+    df_b = adaptive_join(hot, dim, "k", salt_source="id", decision_out=dec_b)
+    assert dec_b["strategy"] == "broadcast"
+    assert "BroadcastHashJoin" in _plan(df_b)
+
+    # branch 2: non-broadcastable dim + AQE skew-split on -> plain
+    # even for the hot fact (AQE splits at runtime; salting measured
+    # slower at every hot share)
+    prev_t = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_sk = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        dec_aqe = {}
+        df_aqe = adaptive_join(
+            hot, dim, "k", salt_source="id", decision_out=dec_aqe
+        )
+        assert dec_aqe["strategy"] == "plain"
+        assert dec_aqe["aqe_skew"] is True
+        assert "__salt" not in _plan(df_aqe)
+
+        # branches 3/4: AQE skew-split off -> the probe decides
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        dec_p, dec_s = {}, {}
+        df_p = adaptive_join(
+            uniform, dim, "k", salt_source="id", decision_out=dec_p
+        )
+        df_s = adaptive_join(
+            hot, dim, "k", salt_source="id", decision_out=dec_s
+        )
+        assert dec_p["strategy"] == "plain"
+        assert dec_s["strategy"] == "salted"
+        assert "__salt" not in _plan(df_p)
+        assert "__salt" in _plan(df_s)
+        got = sorted((r["k"], r["id"], r["dv"]) for r in df_s.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_t)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_p)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_sk)
+    want = sorted(
+        (r["k"], r["id"], r["dv"]) for r in hot.join(dim, "k").collect()
+    )
+    assert got == want
