@@ -41,11 +41,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Within each tier, registration order is preserved (stable sort).
     """
+    ordered = order_for_sampling(list(q.QUERIES), load_driver_history())
+    return {name: q.QUERIES[name] for name in ordered}
+
+
+def load_driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (round_index_of_latest_row, latest_row_was_green) from
+    the committed CORRECTNESS_r*.json files."""
     import glob
     import json
     import os
 
-    # name -> (round_index_of_latest_row, latest_row_was_green)
     latest: dict[str, tuple[int, bool]] = {}
     root = os.path.dirname(os.path.abspath(__file__))
     for rnd, path in enumerate(
@@ -69,6 +75,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 and row.get("hash_match") is not False
             )
             latest[name] = (rnd, green)
+    return latest
+
+
+def order_for_sampling(
+    names: list[str], latest: dict[str, tuple[int, bool]]
+) -> list[str]:
+    """Pure tier ordering (see queries() docstring): stale-red first,
+    then never-verified in registration order, then greens
+    least-recently-verified first; registration order within ties."""
 
     def tier(name: str) -> tuple[int, int]:
         if name not in latest:
@@ -78,8 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (0, rnd)  # latest row is a failure: re-check FIRST
         return (2, rnd)  # green: least-recently-verified first
 
-    ordered = sorted(q.QUERIES, key=tier)
-    return {name: q.QUERIES[name] for name in ordered}
+    return sorted(names, key=tier)
 
 
 def oracle_sql() -> dict[str, str]:
