@@ -218,15 +218,19 @@ def sample_frames(
     """Video frame-sampling: one output row per sampled frame (explode
     shape), keeping every ``every``-th frame.
 
-    Real path (``fake=False``): payloads are APNG or animated-GIF
-    streams decoded by the vendored codecs (png.decode_apng_frames /
-    gif.decode_gif_frames, routed on magic bytes) — each kept frame is
-    emitted as its luminance pixel buffer.  True video containers
-    (mp4/mkv) would slot in at the same call site via pyav/ffmpeg.
-    The fake path treats the payload as fixed-size byte frames — the
-    same fan-out contract, SQL-expressible for the oracle."""
+    Real path (``fake=False``): payloads are AVI/MJPEG containers,
+    APNG, or animated-GIF streams decoded by the vendored codecs
+    (avi.decode_avi + the JPEG decoder per frame /
+    png.decode_apng_frames / gif.decode_gif_frames, routed on magic
+    bytes) — each kept frame is emitted as its luminance pixel buffer.
+    Other containers (mp4/mkv) would slot in at the same call site via
+    pyav/ffmpeg.  The fake path treats the payload as fixed-size byte
+    frames — the same fan-out contract, SQL-expressible for the
+    oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avi as _avi
+
         for pdf in batches:
             ids, nos, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -241,6 +245,15 @@ def sample_frames(
                                 fno * frame_bytes : (fno + 1) * frame_bytes
                             ]
                         )
+                elif (
+                    data[:4] == _avi.AVI_MAGIC and data[8:12] == b"AVI "
+                ):
+                    _, _, jpegs = _avi.decode_avi(data)
+                    for fno in range(0, len(jpegs), every):
+                        _, _, gray = decode_image_gray(jpegs[fno])
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        frames.append(gray)
                 elif data[:6] in _gif.GIF_MAGICS:
                     gdecoded = _gif.decode_gif_frames(data)
                     for fno in range(0, len(gdecoded), every):

@@ -2472,6 +2472,115 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# REAL video container: AVI/MJPEG frame sampling (vendored RIFF
+# container + the baseline JPEG codec per frame; lossy inside, so the
+# oracle pins dims + error bound like the JPEG roundtrip)
+# ====================================================================
+
+_AVI_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 11),
+f AS (SELECT d.doc_id, u.fno FROM d, UNNEST([0, 4]) AS u(fno))
+SELECT doc_id, CAST(fno AS INTEGER) AS frame_no,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       TRUE AS err_bounded
+FROM f
+"""
+
+
+@query("multimodal_avi_frame_sample", _AVI_FRAMES_ORACLE)
+def multimodal_avi_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video-container frame sampling end-to-end: per document a
+    6-frame 24x16 Motion-JPEG AVI (frame f pixel(r,c) = f*8 + r*3 +
+    c*2, a smooth gradient) is built by the vendored RIFF muxer
+    (dataops/avi.py) over real baseline-JFIF frames (dataops/jpeg.py)
+    and every 4th frame extracted through the production path
+    (sample_frames fake=False → avi.decode_avi → JPEG decode per
+    frame).  JPEG is lossy, so the hash pins the round-trip PROPERTY:
+    frame fan-out (frames 0 and 4 per doc), exact dimensions, and max
+    |decoded - gradient| <= 8 per pixel.  Any RIFF layout, chunk
+    alignment, movi/rec descent, or JPEG bug blows the bound, the
+    dims, or the fan-out."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import avi as avic
+    from ..dataops import jpeg as jpegc
+    from ..dataops import multimodal as mmod
+
+    W, H, BOUND = 24, 16, 8
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                frames = [
+                    jpegc.encode_jpeg_gray(
+                        W,
+                        H,
+                        bytes(
+                            min(255, f * 8 + r * 3 + c * 2)
+                            for r in range(H)
+                            for c in range(W)
+                        ),
+                    )
+                    for f in range(6)
+                ]
+                ids.append(i64)
+                payloads.append(avic.encode_avi_mjpeg(W, H, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, ws, hs, oks = [], [], [], [], []
+            for doc_id, fno, frame in zip(
+                pdf["doc_id"], pdf["frame_no"], pdf["frame"]
+            ):
+                gray = bytes(frame)
+                expect = bytes(
+                    min(255, int(fno) * 8 + r * 3 + c * 2)
+                    for r in range(H)
+                    for c in range(W)
+                )
+                err = (
+                    max(abs(a - b) for a, b in zip(gray, expect))
+                    if len(gray) == len(expect)
+                    else 999
+                )
+                ids.append(int(doc_id))
+                nos.append(int(fno))
+                ws.append(W if len(gray) == W * H else 0)
+                hs.append(H if len(gray) == W * H else 0)
+                oks.append(bool(err <= BOUND))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "width": ws,
+                    "height": hs,
+                    "err_bounded": oks,
+                }
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 11)
+        .select("doc_id")
+    )
+    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
+    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
+    return sampled.mapInPandas(
+        check,
+        "doc_id long, frame_no int, width long, height long,"
+        " err_bounded boolean",
+    )
+
+
+# ====================================================================
 # Bloom semi-join pushdown (pre-shuffle fact reduction)
 # ====================================================================
 
