@@ -677,6 +677,125 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Semantic (cluster-scoped) embedding dedup — SemDeDup shape
+# ------------------------------------------------------------------
+
+#: fit memo for the dup-injected corpus (distinct from _IVF_CODEBOOK_
+#: CACHE: the fit corpus includes the injected duplicates)
+_SEMDEDUP_CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
+
+_SEMDEDUP_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, {_QUANT_SQL} AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM vecs
+),
+dims AS (SELECT unnest(generate_series(1, {_IVF_DIM})) AS d),
+cent0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(v, x -> x * {_GRID}) AS g
+    FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_IVF_K})
+),{",".join(_ivf_iteration_sql(i) for i in range(1, _IVF_ITERS + 1))},
+centf AS (
+    SELECT cell, list_transform(g, gx -> gx / {_GRID}.0) AS c
+    FROM cent{_IVF_ITERS}
+),
+cand AS (
+    SELECT vec_id, v, n2, cell FROM (
+        SELECT n.vec_id, n.v, n.n2, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_dot_product(n.v, c.c) DESC,
+                                           c.cell ASC) AS rn
+        FROM normed n CROSS JOIN centf c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT b.vec_id
+    FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+              / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.999
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM cand c
+LEFT JOIN (SELECT DISTINCT vec_id FROM pairs) d ON d.vec_id = c.vec_id
+"""
+
+
+@query("dedup_semantic_clusters", _SEMDEDUP_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape: k-means-cluster the embedding
+    corpus (the deterministic grid-exact IVF fit), then hunt near-dups
+    ONLY within each cluster — the candidate generator that keeps
+    embedding dedup sub-quadratic when hyperplane buckets are too
+    coarse: pair fan-out is bounded by cluster size, never |corpus|²,
+    and at 100 TB the fit is offline and the per-cluster pass shuffles
+    once on cell.  Every vector gets a verdict row (keep-lowest-id
+    rule: a vector is a semantic dup iff a lower-id vector in its
+    cluster matches at cosine >= 0.999); injected exact duplicates
+    guarantee hits.  The genuinely iterative fit unrolls into the
+    DuckDB oracle bit-for-bit (same machinery as ann_ivf_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dups)
+    vecs = base.select(
+        "vec_id",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    if sf_dir not in _SEMDEDUP_CODEBOOK_CACHE:
+        pv = vecs.persist()
+        try:
+            _SEMDEDUP_CODEBOOK_CACHE[sf_dir] = sim.ivf_fit(
+                pv, k=_IVF_K, iters=_IVF_ITERS
+            )
+        finally:
+            pv.unpersist(False)
+    centroids = _SEMDEDUP_CODEBOOK_CACHE[sf_dir]
+    assigned = vecs.select(
+        "vec_id",
+        "qvec",
+        sim._norm2(F.col("qvec")).alias("n2"),
+        sim.assign_cluster(F.col("qvec"), centroids).alias("cell"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qvec").alias("va"),
+        F.col("n2").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("qvec").alias("vb"),
+        F.col("n2").alias("nb"),
+        "cell",
+    )
+    cosine = sim._dot(F.col("va"), F.col("vb")) / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("vec_id"))
+        .where(cosine >= 0.999)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("__dup", F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+# ------------------------------------------------------------------
 # Product quantization (asymmetric-distance top-k over PQ codes)
 # ------------------------------------------------------------------
 
