@@ -184,22 +184,55 @@ def ivf_fit(
     return [_grid_to_float(g) for g in grids]
 
 
+#: Above this codebook size the per-centroid literal dot expressions
+#: stop being "tiny code" and assignment switches to the higher-order
+#: form, where the codebook is a literal ARRAY (data, not code) and
+#: the dot runs through transform/aggregate — O(k*dim) plan DATA
+#: instead of O(k*dim) generated CODE, so k can scale with the corpus
+#: (SemDeDup sizes k ~ n/1000).
+ASSIGN_LITERAL_MAX_K = 16
+
+
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id by maximum dot product, lowest cell on ties
-    (codebook is tiny — one literal expression per centroid, evaluated
-    JVM-side).  Built as ``array_sort`` over (negdot, cell) structs so
+    """Nearest-centroid id by maximum dot product, lowest cell on ties.
+
+    Small codebooks (k <= ASSIGN_LITERAL_MAX_K): one literal dot
+    expression per centroid, evaluated JVM-side with whole-stage
+    codegen.  Built as ``array_sort`` over (negdot, cell) structs so
     each centroid dot appears ONCE in the expression tree: the
     when/otherwise fold this replaces re-nested every previous dot
     into each comparison, giving O(k²)-size codegen (multi-MiB task
-    binaries whose compile time dominated small scans)."""
-    entries = F.array(
+    binaries whose compile time dominated small scans).
+
+    Large codebooks: the centroid matrix becomes one literal
+    array<array<double>> column and the same argmin runs via
+    transform + aggregate — identical results (both dot orders are
+    sequential and the quantized inputs keep every product exact in
+    f64, so the sums are order-independent), but plan size grows as
+    data, not code."""
+    if len(centroids) <= ASSIGN_LITERAL_MAX_K:
+        entries = F.array(
+            *[
+                F.struct(
+                    (-_dot_lit(vec, c)).alias("negdot"),
+                    F.lit(i).cast("long").alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.element_at(F.array_sort(entries), 1)["cell"]
+    cents = F.array(
         *[
-            F.struct(
-                (-_dot_lit(vec, c)).alias("negdot"),
-                F.lit(i).cast("long").alias("cell"),
-            )
-            for i, c in enumerate(centroids)
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
         ]
+    )
+    entries = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-_dot_f(vec, c)).alias("negdot"),
+            i.cast("long").alias("cell"),
+        ),
     )
     return F.element_at(F.array_sort(entries), 1)["cell"]
 

@@ -696,9 +696,13 @@ normed AS (
 ),
 dims AS (SELECT unnest(generate_series(1, {_IVF_DIM})) AS d),
 cent0 AS (
+    -- k scales with the corpus (SemDeDup: cluster size, not cluster
+    -- count, must stay bounded) — same greatest(8, n // 1000) rule
+    -- the Spark side computes
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
            list_transform(v, x -> x * {_GRID}) AS g
-    FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_IVF_K})
+    FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id
+          LIMIT (SELECT greatest({_IVF_K}, count(*) // 1000) FROM vecs))
 ),{",".join(_ivf_iteration_sql(i) for i in range(1, _IVF_ITERS + 1))},
 centf AS (
     SELECT cell, list_transform(g, gx -> gx / {_GRID}.0) AS c
@@ -738,7 +742,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: a vector is a semantic dup iff a lower-id vector in its
     cluster matches at cosine >= 0.999); injected exact duplicates
     guarantee hits.  The genuinely iterative fit unrolls into the
-    DuckDB oracle bit-for-bit (same machinery as ann_ivf_topk)."""
+    DuckDB oracle bit-for-bit (same machinery as ann_ivf_topk).
+
+    k SCALES WITH THE CORPUS — greatest(8, n // 1000), identically in
+    the oracle's cent0 LIMIT — because SemDeDup's cost is quadratic in
+    CLUSTER SIZE: the r6 soak with fixed k=8 went quadratic at 30x
+    volume (~10⁹ within-cell pairs); sizing k ~ n/1000 bounds cluster
+    occupancy so the pair fan-out stays ~500·n.  Above 16 centroids
+    assignment switches to the literal-array higher-order form
+    (similarity.assign_cluster), so the plan grows as data, not
+    generated code."""
     emb = load(spark, sf_dir, "embeddings")
     dups = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -753,8 +766,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _SEMDEDUP_CODEBOOK_CACHE:
         pv = vecs.persist()
         try:
+            k = max(_IVF_K, pv.count() // 1000)
             _SEMDEDUP_CODEBOOK_CACHE[sf_dir] = sim.ivf_fit(
-                pv, k=_IVF_K, iters=_IVF_ITERS
+                pv, k=k, iters=_IVF_ITERS
             )
         finally:
             pv.unpersist(False)

@@ -100,7 +100,14 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (local
+            # inflated soak corpora); DuckDB needs the glob form
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries = entrymod.queries()
