@@ -367,6 +367,132 @@ def ann_lsh_topk(
 
 
 # ------------------------------------------------------------------
+# Hierarchical quantization (per-cell sub-codebooks)
+# ------------------------------------------------------------------
+
+def sub_fit(
+    assigned: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cell_col: str = "cell",
+    k_sub: int = 4,
+    iters: int = 2,
+) -> list[tuple[int, int, list[float]]]:
+    """Per-cell sub-codebooks — the hierarchical level that bounds
+    cluster size with FIXED per-level fan-out: a coarse level of k
+    cells plus k_sub sub-cells each yields k*k_sub leaves at O(n·k +
+    n·k_sub) assignment cost, where a flat codebook of the same leaf
+    count would pay O(n·k·k_sub).  Stacking levels multiplies leaves
+    exponentially while assignment stays linear per level — the escape
+    from the O(n·K) flat-assignment asymptotics (SCALE.md).
+
+    Every cell's sub-k-means runs SIMULTANEOUSLY in the same
+    distributed passes: init = the ``k_sub`` lowest-id members per
+    cell; each iteration broadcast-joins the (cell, subcell) codebook
+    (k*k_sub rows), picks each vector's argmax-dot subcell (lowest
+    subcell on ties), and re-grids per-(cell, subcell) INTEGER sums by
+    truncating division — the same grid-exact arithmetic as
+    :func:`ivf_fit`, so the whole fit unrolls into a DuckDB oracle.
+    Driver state is the k*k_sub x dim codebook, never per-vector.
+    Sub-cells that lose all members keep their previous centroid."""
+    spark = assigned.sparkSession
+    w = Window.partitionBy(cell_col).orderBy(id_col)
+    init = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k_sub)
+        .select(
+            cell_col, (F.col("__rn") - 1).alias("subcell"), vec_col
+        )
+        .collect()
+    )
+    grids: dict[tuple[int, int], list[int]] = {
+        (int(r[cell_col]), int(r["subcell"])): [
+            int(x) * CENTROID_GRID for x in r[vec_col]
+        ]
+        for r in init
+    }
+    if not grids:
+        return []
+    dim = len(next(iter(grids.values())))
+    sum_aggs = [
+        F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+        for d in range(dim)
+    ]
+
+    def codebook_df() -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (c, s, _grid_to_float(g))
+                for (c, s), g in sorted(grids.items())
+            ],
+            f"{cell_col} long, subcell long, c array<double>",
+        )
+
+    def winners(df: DataFrame) -> DataFrame:
+        scored = df.join(F.broadcast(codebook_df()), cell_col).select(
+            id_col,
+            cell_col,
+            "subcell",
+            vec_col,
+            (-_dot_f(F.col(vec_col), F.col("c"))).alias("__negdot"),
+        )
+        w2 = Window.partitionBy(id_col).orderBy("__negdot", "subcell")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__negdot", "c")
+        )
+
+    for _ in range(iters):
+        rows = (
+            winners(assigned)
+            .groupBy(cell_col, "subcell")
+            .agg(*sum_aggs, F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        for r in rows:
+            key = (int(r[cell_col]), int(r["subcell"]))
+            n = r["__n"]
+            grids[key] = [
+                _trunc_div(int(r[f"s{d}"]) * CENTROID_GRID, n)
+                for d in range(dim)
+            ]
+    return [
+        (c, s, _grid_to_float(g)) for (c, s), g in sorted(grids.items())
+    ]
+
+
+def assign_subcells(
+    assigned: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Final (cell, subcell) assignment against a fitted sub-codebook:
+    broadcast join on cell (fan-out = k_sub), argmax dot with
+    lowest-subcell ties — one vec-keyed window, all other columns
+    carried through."""
+    spark = assigned.sparkSession
+    scdf = spark.createDataFrame(
+        codebook, f"{cell_col} long, subcell long, c array<double>"
+    )
+    scored = assigned.join(F.broadcast(scdf), cell_col).select(
+        *assigned.columns,
+        "subcell",
+        (-_dot_f(F.col(vec_col), F.col("c"))).alias("__negdot"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__negdot", "subcell")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__negdot")
+    )
+
+
+# ------------------------------------------------------------------
 # Product quantization (PQ) approximate variant
 # ------------------------------------------------------------------
 

@@ -1167,6 +1167,199 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Hierarchical semantic dedup (two-level grid-exact quantization)
+# ------------------------------------------------------------------
+
+_HIER_CODEBOOK_CACHE: dict[str, tuple] = {}
+_SUB_K = 4
+_SUB_ITERS = 2
+
+
+def _sub_iteration_sql(i: int) -> str:
+    """One unrolled sub-k-means iteration: assign every vector to its
+    cell's nearest SUB-centroid (max dot, lowest subcell on ties),
+    then per-(cell, subcell) grid-exact integer mean updates; empty
+    sub-cells keep their previous centroid."""
+    return f"""
+sassign{i} AS (
+    SELECT vec_id, cell, v, n2, subcell FROM (
+        SELECT c.vec_id, c.cell, c.v, c.n2, s.subcell,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_dot_product(c.v,
+                       list_transform(s.g, gx -> gx / {_GRID}.0)) DESC,
+                   s.subcell ASC) AS rn
+        FROM cand c JOIN sub{i - 1} s ON s.cell = c.cell
+    ) WHERE rn = 1
+),
+supd{i} AS (
+    SELECT cell, subcell,
+           list(CAST((CAST(sm AS HUGEINT) * {_GRID}) // n AS BIGINT)
+                ORDER BY d) AS g
+    FROM (
+        SELECT cell, subcell, dims.d AS d, sum(v[dims.d]) AS sm,
+               count(*) AS n
+        FROM sassign{i} CROSS JOIN dims GROUP BY cell, subcell, dims.d
+    ) GROUP BY cell, subcell
+),
+sub{i} AS (
+    SELECT p.cell, p.subcell, COALESCE(u.g, p.g) AS g
+    FROM sub{i - 1} p LEFT JOIN supd{i} u
+      ON u.cell = p.cell AND u.subcell = p.subcell
+)"""
+
+
+_HIER_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, {_QUANT_SQL} AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+normed AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM vecs
+),
+dims AS (SELECT unnest(generate_series(1, {_IVF_DIM})) AS d),
+cent0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(v, x -> x * {_GRID}) AS g
+    FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_IVF_K})
+),{",".join(_ivf_iteration_sql(i) for i in range(1, _IVF_ITERS + 1))},
+centf AS (
+    SELECT cell, list_transform(g, gx -> gx / {_GRID}.0) AS c
+    FROM cent{_IVF_ITERS}
+),
+cand AS (
+    SELECT vec_id, v, n2, cell FROM (
+        SELECT n.vec_id, n.v, n.n2, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_dot_product(n.v, c.c) DESC,
+                                           c.cell ASC) AS rn
+        FROM normed n CROSS JOIN centf c
+    ) WHERE rn = 1
+),
+sub0 AS (
+    SELECT cell, rn - 1 AS subcell,
+           list_transform(v, x -> x * {_GRID}) AS g
+    FROM (
+        SELECT cell, v,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= {_SUB_K}
+),{",".join(_sub_iteration_sql(i) for i in range(1, _SUB_ITERS + 1))},
+sfinal AS (
+    SELECT vec_id, cell, v, n2, subcell FROM (
+        SELECT c.vec_id, c.cell, c.v, c.n2, s.subcell,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_dot_product(c.v,
+                       list_transform(s.g, gx -> gx / {_GRID}.0)) DESC,
+                   s.subcell ASC) AS rn
+        FROM cand c JOIN sub{_SUB_ITERS} s ON s.cell = c.cell
+    ) WHERE rn = 1
+),
+spairs AS (
+    SELECT b.vec_id
+    FROM sfinal a JOIN sfinal b
+      ON a.cell = b.cell AND a.subcell = b.subcell
+     AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+              / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.999
+)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       CAST(f.subcell AS BIGINT) AS subcell,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM sfinal f
+LEFT JOIN (SELECT DISTINCT vec_id FROM spairs) d ON d.vec_id = f.vec_id
+"""
+
+
+@query("dedup_semantic_hierarchical", _HIER_ORACLE)
+def dedup_semantic_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical semantic dedup: the scale answer to the flat
+    codebook's O(n·K) assignment (SCALE.md).  A FIXED-k coarse level
+    (k=8, 3 grid-exact iterations) routes each vector to a cell; each
+    cell then fits its own k_sub=4 sub-codebook — all cells
+    simultaneously, in the same distributed passes
+    (similarity.sub_fit: broadcast (cell,subcell) codebook join +
+    per-vector argmax window + per-leaf integer mean updates; driver
+    state = the 32xdim codebook).  Near-dups are hunted only within
+    (cell, subcell) leaves.  Per level the assignment is O(n·k) with
+    k SMALL and leaves multiply as k·k_sub — stacking levels grows
+    leaf count exponentially while assignment stays linear per level,
+    which is how cluster size stays bounded WITHOUT a corpus-sized
+    codebook.  Both levels' genuinely iterative fits unroll into the
+    DuckDB oracle bit-for-bit (grid-exact integer arithmetic end to
+    end); keep-lowest-id verdicts, injected exact duplicates
+    guarantee hits."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dups)
+    vecs = base.select(
+        "vec_id",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    if sf_dir not in _HIER_CODEBOOK_CACHE:
+        pv = vecs.persist()
+        try:
+            coarse = sim.ivf_fit(pv, k=_IVF_K, iters=_IVF_ITERS)
+            assigned0 = pv.select(
+                "vec_id",
+                "qvec",
+                sim.assign_cluster(F.col("qvec"), coarse).alias("cell"),
+            )
+            subbook = sim.sub_fit(
+                assigned0, k_sub=_SUB_K, iters=_SUB_ITERS
+            )
+            _HIER_CODEBOOK_CACHE[sf_dir] = (coarse, subbook)
+        finally:
+            pv.unpersist(False)
+    coarse, subbook = _HIER_CODEBOOK_CACHE[sf_dir]
+    assigned = vecs.select(
+        "vec_id",
+        "qvec",
+        sim._norm2(F.col("qvec")).alias("n2"),
+        sim.assign_cluster(F.col("qvec"), coarse).alias("cell"),
+    )
+    leaves = sim.assign_subcells(assigned, subbook)
+    a = leaves.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qvec").alias("va"),
+        F.col("n2").alias("na"),
+        "cell",
+        "subcell",
+    )
+    b = leaves.select(
+        "vec_id",
+        F.col("qvec").alias("vb"),
+        F.col("n2").alias("nb"),
+        "cell",
+        "subcell",
+    )
+    cosine = sim._dot(F.col("va"), F.col("vb")) / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dup_ids = (
+        a.join(b, ["cell", "subcell"])
+        .where(F.col("a_id") < F.col("vec_id"))
+        .where(cosine >= 0.999)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return leaves.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("subcell").cast("long").alias("subcell"),
+        F.coalesce("__dup", F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+# ------------------------------------------------------------------
 # Text analysis
 # ------------------------------------------------------------------
 

@@ -545,6 +545,78 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Stream-static SALTED join (the AQE-less regime where salting pays)
+# ====================================================================
+
+_STREAM_SALTED_ORACLE = """
+SELECT 'tier_' || CAST(user_id % 5 AS VARCHAR) AS tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@query("stream_salted_enrich", _STREAM_SALTED_ORACLE)
+def stream_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join through the SALTED plan
+    (operators/skew.py salted_broadcastless_join): the r6 crossover
+    measurement showed AQE's skew-join split beats explicit salting in
+    batch — but AQE does not re-plan STREAMING joins, so a streaming
+    fact with hot keys against a non-broadcastable dim is exactly the
+    regime the salted join is reserved for (adaptive_join's decision
+    notes).  This query pins that the salted shape works under
+    Structured Streaming semantics end-to-end: the stream salts
+    per-event, the dim replicates into every salt bucket per
+    micro-batch, and the post-join per-tier aggregate must equal the
+    batch GROUP BY (the oracle).  The dim here is corpus-derived so
+    the twin is SQL-expressible; at bench scale it would broadcast —
+    the plan SHAPE, not a runtime win at 100k rows, is the contract."""
+    import tempfile
+
+    from ..operators.skew import salted_broadcastless_join
+
+    name = f"stream_salted_{next(_stateful_run_counter)}"
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("tier_"), (F.col("user_id") % 5).cast("string")
+            ).alias("tier"),
+        )
+    )
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    enriched = salted_broadcastless_join(
+        stream, users, "user_id", n_salts=8, salt_source="event_id"
+    )
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("value_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="salted_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+# ====================================================================
 # Rolling 7-day DISTINCT users (window count-distinct re-expression)
 # ====================================================================
 
