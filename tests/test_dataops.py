@@ -498,3 +498,43 @@ def test_prefix_filter_blocking_is_exact(spark, sf_dir):
         )
     )
     assert full == pref
+
+
+def test_sub_fit_small_cells_and_empty_subcells(spark):
+    """Hierarchical sub-fit edges: a cell with fewer members than
+    k_sub gets only that many sub-centroids; a sub-cell that loses all
+    members keeps its previous centroid; assignment carries all input
+    columns and emits exactly one row per vector."""
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        CENTROID_GRID,
+        assign_subcells,
+        sub_fit,
+    )
+
+    # cell 0: 6 members around two poles; cell 1: a single member
+    rows = [
+        (1, [10, 0], 0), (2, [11, 0], 0), (3, [10, 1], 0),
+        (4, [0, 10], 0), (5, [0, 11], 0), (6, [1, 10], 0),
+        (7, [5, 5], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qvec array<long>, cell long")
+    book = sub_fit(df, k_sub=3, iters=2)
+    cells = {}
+    for c, s, _ in book:
+        cells.setdefault(c, []).append(s)
+    assert sorted(cells[0]) == [0, 1, 2]
+    assert sorted(cells[1]) == [0]  # one member -> one sub-centroid
+
+    leaves = assign_subcells(df, book)
+    got = {r["vec_id"]: (r["cell"], r["subcell"]) for r in leaves.collect()}
+    assert len(got) == 7  # exactly one leaf per vector
+    # the two poles in cell 0 must land in different sub-cells
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[4][1] == got[5][1] == got[6][1]
+    assert got[1][1] != got[4][1]
+    assert got[7] == (1, 0)
+
+    # centroid values live on the binary grid (exact arithmetic)
+    for _, _, c in book:
+        for x in c:
+            assert (x * CENTROID_GRID) == int(x * CENTROID_GRID)

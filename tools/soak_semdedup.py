@@ -78,26 +78,39 @@ def main() -> int:
         inf.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
         n = spark.read.parquet(f"{out}/embeddings.parquet").count()
 
-        dq._SEMDEDUP_CODEBOOK_CACHE.pop(out, None)
-        t0 = time.perf_counter()
-        res = dq.dedup_semantic_clusters(spark, out)
-        stats = res.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("is_semantic_dup").cast("long")).alias("dups"),
-        ).first()
-        sec = time.perf_counter() - t0
-        print(
-            json.dumps(
-                {
-                    "mult": mult,
-                    "vectors": n,
-                    "verdict_rows": stats["rows"],
-                    "dups": stats["dups"],
-                    "sec": round(sec, 2),
-                }
+        for qname, fn, cache in (
+            (
+                "flat_scaled_k",
+                dq.dedup_semantic_clusters,
+                dq._SEMDEDUP_CODEBOOK_CACHE,
             ),
-            flush=True,
-        )
+            (
+                "hierarchical",
+                dq.dedup_semantic_hierarchical,
+                dq._HIER_CODEBOOK_CACHE,
+            ),
+        ):
+            cache.pop(out, None)
+            t0 = time.perf_counter()
+            res = fn(spark, out)
+            stats = res.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("is_semantic_dup").cast("long")).alias("dups"),
+            ).first()
+            sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "variant": qname,
+                        "mult": mult,
+                        "vectors": n,
+                        "verdict_rows": stats["rows"],
+                        "dups": stats["dups"],
+                        "sec": round(sec, 2),
+                    }
+                ),
+                flush=True,
+            )
         shutil.rmtree(out, ignore_errors=True)
     return 0
 
