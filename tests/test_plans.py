@@ -524,3 +524,21 @@ def test_adaptive_join_branches(spark):
         (r["k"], r["id"], r["dv"]) for r in hot.join(dim, "k").collect()
     )
     assert got == want
+
+
+def test_semantic_dedup_plans_no_cartesian(spark):
+    """Both semantic-dedup variants must stay join-shaped: the pair
+    hunt is an equi-join on (cell[, subcell]) — never a cartesian —
+    and the sub-codebook side of the hierarchical assignment is
+    broadcast."""
+    from credit_card_etl_pipeline_spark.queries.dataops_queries import (
+        dedup_semantic_clusters,
+        dedup_semantic_hierarchical,
+    )
+
+    p1 = _plan(dedup_semantic_clusters(spark, SF))
+    assert "CartesianProduct" not in p1
+
+    p2 = _plan(dedup_semantic_hierarchical(spark, SF))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastHashJoin" in p2  # codebook join
