@@ -341,6 +341,101 @@ def lm_typicality(
 
 
 # ------------------------------------------------------------------
+# DSIR importance weights (data selection for language models)
+# ------------------------------------------------------------------
+
+#: Hashed n-gram feature space size.  Fixed and small so BOTH fitted
+#: models are bounded (≤ DSIR_BUCKETS rows each) regardless of corpus
+#: size — the models broadcast, the scoring join never shuffles.
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) re-expressed in exact integer arithmetic: score
+    every document by how much more likely its hashed-bigram features
+    are under a *target* distribution (rows where ``target_pred``
+    holds) than under the raw corpus, then keep the target-like ones.
+
+    Per gram occurrence the importance weight is the integer-surprisal
+    difference ``(floor(log2 Tr') - floor(log2 cr')) - (floor(log2 Tt')
+    - floor(log2 ct'))`` with add-one smoothing (``c' = c + 1``,
+    ``T' = T + n_buckets``) — i.e. bits saved by explaining the gram
+    with the target model instead of the raw model, within 1 bit of the
+    true log-likelihood ratio and float-free in the cross-engine
+    comparison (log2 of the same exact integer on both sides; see
+    :func:`lm_typicality` for the floor-boundary argument).
+
+    100 TB shape: grams hash into ``n_buckets`` buckets, so each model
+    fit is one map-side-combinable groupBy onto ≤ ``n_buckets`` rows;
+    both models ride ONE broadcast join back onto the gram stream (the
+    bucket join is uniform by construction — md5 buckets can't be
+    skewed by hot tokens).  The only fact-sized shuffles are the two
+    aggregations (fit + per-doc score), same as :func:`lm_typicality`.
+    Docs with fewer than two tokens have no features and are absent.
+    """
+    from ..functions import caching
+    from ..functions.hashing import md5_int60
+
+    # exploded gram buckets feed the raw fit, the target fit, and the
+    # scoring join — persist once
+    grams = caching.track(
+        df.select(
+            F.col(id_col),
+            target_pred.alias("is_target"),
+            F.explode(bigrams(F.col(text_col))).alias("gram"),
+        )
+        .select(
+            id_col,
+            "is_target",
+            (md5_int60(F.col("gram")) % n_buckets).alias("bucket"),
+        )
+        .persist()
+    )
+    raw = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    tgt = grams.where(F.col("is_target")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        "cr",
+        F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    bits_raw = F.floor(F.log2(F.col("tr") + n_buckets)) - F.floor(
+        F.log2(F.col("cr") + 1)
+    )
+    bits_tgt = F.floor(F.log2(F.col("tt") + n_buckets)) - F.floor(
+        F.log2(F.col("ct") + 1)
+    )
+    scored = (
+        grams.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, (bits_raw - bits_tgt).cast("long").alias("bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("bits").cast("long").alias("dsir_bits"),
+        F.expr("CAST(sum(bits) * 1000 div count(1) AS BIGINT)").alias(
+            "avg_bits_milli"
+        ),
+        (F.expr("sum(bits) * 1000 div count(1)") > 0).alias("keep"),
+    )
+
+
+# ------------------------------------------------------------------
 # Boilerplate line removal
 # ------------------------------------------------------------------
 

@@ -337,6 +337,68 @@ def curate_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# DSIR importance resampling (target-conditioned data selection)
+# ------------------------------------------------------------------
+
+_DSIR_B = cu.DSIR_BUCKETS
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, (lang = 'en') AS is_target,
+           CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))
+                AS BIGINT) % {_DSIR_B} AS bucket
+    FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2),
+         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+raw AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY bucket
+),
+tgt AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+    FROM grams WHERE is_target GROUP BY bucket
+),
+model AS (
+    SELECT bucket, cr, CAST(COALESCE(ct, 0) AS BIGINT) AS ct
+    FROM raw LEFT JOIN tgt USING (bucket)
+),
+tot AS (
+    SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+    FROM model
+),
+scored AS (
+    SELECT doc_id,
+           CAST((floor(log2(tr + {_DSIR_B})) - floor(log2(cr + 1)))
+              - (floor(log2(tt + {_DSIR_B})) - floor(log2(ct + 1)))
+                AS BIGINT) AS bits
+    FROM grams JOIN model USING (bucket) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(bits) AS BIGINT) AS dsir_bits,
+       CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_bits_milli,
+       (sum(bits) * 1000 // count(*)) > 0 AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): hashed-bigram importance
+    weights of every document against a target distribution (here the
+    English slice stands in for the high-quality target corpus), in
+    exact integer bit arithmetic.  Both fitted models are bounded at
+    4096 buckets and broadcast; the only fact-sized shuffles are the
+    model fit and the per-doc score — see dataops.curate.dsir_weights
+    for the 100 TB argument."""
+    docs = load(spark, sf_dir, "documents")
+    return cu.dsir_weights(docs, F.col("lang") == "en")
+
+
+# ------------------------------------------------------------------
 # Training-mix weighted sampling
 # ------------------------------------------------------------------
 

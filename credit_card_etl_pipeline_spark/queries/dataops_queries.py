@@ -503,6 +503,63 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(vecs, queries, k=5)
 
 
+# 64 sign bits packed into ONE BIGINT word; bit 63 rides the LONG_MIN
+# literal (1 << 63 overflows engines that check).  list_sum keeps the
+# packing exact (HUGEINT internally) — list_dot_product would round
+# through DOUBLE above 2^53.
+_PACK_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, 63), i -> "
+    "CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE CAST(0 AS BIGINT) END)) "
+    f"+ CASE WHEN v[64] > 0 THEN CAST({sim.LONG_MIN} AS HUGEINT) "
+    "ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+)
+
+_ANN_HAMMING_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+enc AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2, {_PACK_SQL} AS w
+    FROM vecs
+),
+queries AS (SELECT * FROM enc WHERE vec_id % 100 = 0),
+coarse AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(bit_count(xor(q.w, c.w)) AS BIGINT) AS hamming,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN enc c ON c.vec_id <> q.vec_id
+),
+s1 AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, cand_id) AS rk1
+    FROM coarse
+),
+s2 AS (
+    SELECT query_id, cand_id, hamming, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rank
+    FROM s1 WHERE rk1 <= 32
+)
+SELECT query_id, cand_id, hamming, cosine, CAST(rank AS BIGINT) AS rank
+FROM s2 WHERE rank <= 5
+"""
+
+
+@query("ann_binary_hamming", _ANN_HAMMING_ORACLE)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized two-stage ANN: 64 sign bits per vector packed
+    into ONE int64 word, coarse Hamming ranking via
+    ``bit_count(qw XOR cw)`` (8 bytes per candidate through stage 1),
+    exact integer-cosine rescoring of the 32 coarse survivors, top-5
+    out.  The bandwidth shape that makes ANN affordable at 100 TB —
+    see dataops.similarity.ann_hamming_topk."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.ann_hamming_topk(vecs, queries, k=5, m=32)
+
+
 def _planes_sql(planes: list[list[int]]) -> str:
     cases = []
     for j, plane in enumerate(planes):
@@ -1987,6 +2044,58 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+# ====================================================================
+# Centroid-distance outlier pruning (embedding quality filter)
+# ====================================================================
+
+_OUTLIER_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, {_QUANT_SQL} AS v
+    FROM embeddings
+),
+stats AS (
+    SELECT label, u.i AS dim, CAST(sum(v[u.i]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM vecs, UNNEST(generate_series(1, len(v))) AS u(i)
+    GROUP BY label, u.i
+),
+cent AS (SELECT label, dim, CAST(s // n AS BIGINT) AS c, n FROM stats),
+d AS (
+    SELECT v.vec_id, v.label,
+           CAST(sum((v.v[c.dim] - c.c) * (v.v[c.dim] - c.c)) AS BIGINT)
+               AS d2,
+           CAST(any_value(c.n) AS BIGINT) AS n_members
+    FROM vecs v JOIN cent c ON v.label = c.label
+    GROUP BY v.vec_id, v.label
+),
+lab AS (
+    SELECT label, CAST(sum(d2) AS BIGINT) AS label_d2_sum
+    FROM d GROUP BY label
+)
+SELECT vec_id, label, d2, n_members, label_d2_sum,
+       (d2 * n_members > 2 * label_d2_sum) AS is_outlier
+FROM d JOIN lab USING (label)
+"""
+
+
+@query("embeddings_outlier_prune", _OUTLIER_ORACLE)
+def embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditioned embedding outlier pruning: integer-exact
+    squared distance of every vector to its label's truncating-mean
+    centroid, flagged when it exceeds 2× the label average (compared
+    as cross-multiplied integers — no division).  Centroids and
+    per-label sums broadcast; the distance pass is map-only — see
+    dataops.similarity.centroid_outlier_verdicts."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    return sim.centroid_outlier_verdicts(vecs)
 
 
 # ====================================================================

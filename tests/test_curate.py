@@ -265,3 +265,43 @@ def test_lm_typicality_short_docs_absent(spark):
     )
     ids = {r.doc_id for r in cu.lm_typicality(df).collect()}
     assert ids == {3}
+
+
+def test_dsir_weights_exact_hand_case(spark):
+    # target doc d1 = "a"*9 (8 "a a" grams), non-target d3 = "z"*9
+    # (8 "z z" grams); buckets distinct at n_buckets=16 (15 vs 4,
+    # deterministic md5 constants).  cr=8/ct=8 vs cr=8/ct=0,
+    # T_r=16, T_t=8, B=16:
+    #   bits("a a") = (floor(log2 32) - floor(log2 9))
+    #               - (floor(log2 24) - floor(log2 9)) = (5-3)-(4-3) = 1
+    #   bits("z z") = (5-3) - (4-0) = -2
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "en", " ".join(["a"] * 9)), (3, "de", " ".join(["z"] * 9))],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in cu.dsir_weights(
+            df, F.col("lang") == "en", n_buckets=16
+        ).collect()
+    }
+    assert out[1].n_grams == 8 and out[1].dsir_bits == 8
+    assert out[1].avg_bits_milli == 1000 and out[1].keep is True
+    assert out[3].n_grams == 8 and out[3].dsir_bits == -16
+    assert out[3].avg_bits_milli == -2000 and out[3].keep is False
+
+
+def test_dsir_weights_short_docs_absent(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "en", "solo"), (2, "en", ""), (3, "de", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    ids = {
+        r.doc_id
+        for r in cu.dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert ids == {3}

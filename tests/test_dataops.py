@@ -13,6 +13,7 @@ from credit_card_etl_pipeline_spark.dataops.multimodal import (
     media_metadata,
     pack_text_as_media,
 )
+from credit_card_etl_pipeline_spark.dataops import similarity as sim
 from credit_card_etl_pipeline_spark.dataops.similarity import (
     ann_lsh_topk,
     cosine_topk,
@@ -538,3 +539,69 @@ def test_sub_fit_small_cells_and_empty_subcells(spark):
     for _, _, c in book:
         for x in c:
             assert (x * CENTROID_GRID) == int(x * CENTROID_GRID)
+
+
+def test_pack_bits64_matches_python_popcount(spark):
+    # Known bit patterns, including bit 63 (the LONG_MIN special case):
+    # quantized value > 0 sets the bit.
+    pats = [
+        [1 if (p >> i) & 1 else -1 for i in range(64)]
+        for p in [0, 1, (1 << 63), (1 << 63) | 5, (1 << 64) - 1, 0xDEADBEEF]
+    ]
+    df = spark.createDataFrame(
+        [(i, [v * 7 for v in pat]) for i, pat in enumerate(pats)],
+        "vec_id long, qvec array<long>",
+    )
+    rows = df.select(
+        "vec_id",
+        sim.pack_bits64(sim.sign_bits(F.col("qvec"))).alias("w"),
+    ).collect()
+    got = {r.vec_id: r.w for r in rows}
+    for i, pat in enumerate(pats):
+        expected = sum(1 << j for j, b in enumerate(pat) if b > 0)
+        if expected >= 1 << 63:  # two's complement
+            expected -= 1 << 64
+        assert got[i] == expected, i
+
+
+def test_ann_hamming_topk_prefers_sign_matches(spark):
+    # query q; candidate c1 flips 1 sign, c2 flips 20 — coarse Hamming
+    # must rank c1 first and the exact rescoring keep it.
+    base = [100 + 10 * i for i in range(64)]
+    c1 = list(base); c1[0] = -c1[0]
+    c2 = list(base)
+    for i in range(20):
+        c2[i] = -c2[i]
+    df = spark.createDataFrame(
+        [(0, [float(x) / 1000 for x in base]),
+         (1, [float(x) / 1000 for x in c1]),
+         (2, [float(x) / 1000 for x in c2])],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = df.select(
+        "vec_id", sim.quantize(F.col("embedding")).alias("qvec")
+    )
+    out = sim.ann_hamming_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), k=2, m=2
+    ).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].cand_id == 1 and by_rank[1].hamming == 1
+    assert by_rank[2].cand_id == 2 and by_rank[2].hamming == 20
+    assert by_rank[1].cosine > by_rank[2].cosine
+
+
+def test_centroid_outlier_flags_planted_outlier(spark):
+    # label 0: nine identical vectors + one far outlier; label 1: all
+    # identical (no outliers — d2 = 0 for every member).
+    rows = [(i, 0, [0, 0, 0, 0]) for i in range(9)]
+    rows.append((9, 0, [1000, 1000, 1000, 1000]))
+    rows += [(10 + i, 1, [500, -500, 0, 250]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, qvec array<long>")
+    out = {r.vec_id: r for r in sim.centroid_outlier_verdicts(df).collect()}
+    assert out[9].is_outlier is True
+    assert all(not out[i].is_outlier for i in range(9))
+    assert all(not out[10 + i].is_outlier for i in range(4))
+    # centroid of label 0 = 100 per dim (truncating mean)
+    assert out[0].d2 == 4 * 100 * 100
+    assert out[9].d2 == 4 * 900 * 900
+    assert out[9].n_members == 10
