@@ -298,6 +298,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dups co-assigned)
+# ------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, component,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 10 < 8 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM ({_COMPONENTS_ORACLE}) comp
+"""
+
+
+@query("documents_leakage_safe_split", _SPLIT_ORACLE)
+def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment with ZERO near-duplicate leakage: the
+    split hash keys on the near-dup COMPONENT label, not the doc id,
+    so every member of a duplicate cluster lands on the same side —
+    the eval-integrity property a doc-hashed split silently violates
+    (a train doc's near-copy in the val set).  80/10/10 via the
+    cross-engine md5 stream on the component id; after the components
+    pass (bounded label propagation) the split itself is map-only."""
+    from ..functions.hashing import md5_int60
+
+    c = corpus(spark, sf_dir)
+    sh = dd.exploded_shingles(c)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
+    comps = dd.connected_components(c.select("doc_id"), pairs)
+    h = md5_int60(F.col("component").cast("string")) % 10
+    return comps.select(
+        "doc_id",
+        "component",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+# ------------------------------------------------------------------
 # SimHash
 # ------------------------------------------------------------------
 

@@ -605,3 +605,18 @@ def test_centroid_outlier_flags_planted_outlier(spark):
     assert out[0].d2 == 4 * 100 * 100
     assert out[9].d2 == 4 * 900 * 900
     assert out[9].n_members == 10
+
+
+def test_leakage_safe_split_coassigns_planted_duplicates(spark, sf_dir):
+    from credit_card_etl_pipeline_spark import queries as q
+
+    split = q.QUERIES["documents_leakage_safe_split"](spark, sf_dir)
+    dup = split.where(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("split").alias("dup_split"),
+    )
+    joined = split.join(dup, "doc_id")
+    n = joined.count()
+    assert n > 0
+    leaked = joined.where(F.col("split") != F.col("dup_split")).count()
+    assert leaked == 0
