@@ -4348,3 +4348,196 @@ def udf_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id long, n_bytes long, n_chars long, n_spaces long"
     )
+
+
+# ====================================================================
+# Curation pipeline v4: the round-7 operators composed
+# (DSIR gate x near-dup canonical rule x embedding outlier prune,
+#  with the leakage-safe split riding the same component labels)
+# ====================================================================
+
+#: DSIR acceptance threshold in milli-bits: sits between the English
+#: slice's mean (~ -112 at sf0.01) and every other language's (~ -230),
+#: so the gate selects target-like docs without being vacuous.
+_V4_DSIR_MIN = -150
+
+#: Sentinel for docs with no bigram features (absent from the DSIR
+#: output): far below any real score, so they fail the gate on both
+#: engines identically.
+_V4_DSIR_NONE = -1_000_000
+
+_V4_ORACLE = f"""
+WITH comp AS (
+    SELECT * FROM ({_COMPONENTS_ORACLE}) t
+),
+dsir AS (
+    SELECT * FROM (
+        WITH c2 AS ({_CORPUS_SQL}),
+        w AS (
+            SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+            FROM c2
+        ),
+        grams AS (
+            SELECT doc_id, (lang = 'en') AS is_target,
+                   CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]),
+                                        1, 15)) AS BIGINT) % 4096 AS bucket
+            FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2),
+                 UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        ),
+        raw AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+            FROM grams GROUP BY bucket
+        ),
+        tgt AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+            FROM grams WHERE is_target GROUP BY bucket
+        ),
+        model AS (
+            SELECT bucket, cr, CAST(COALESCE(ct, 0) AS BIGINT) AS ct
+            FROM raw LEFT JOIN tgt USING (bucket)
+        ),
+        tot AS (
+            SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(sum(ct) AS BIGINT) AS tt
+            FROM model
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST((floor(log2(tr + 4096)) - floor(log2(cr + 1)))
+                      - (floor(log2(tt + 4096)) - floor(log2(ct + 1)))
+                        AS BIGINT) AS bits
+            FROM grams JOIN model USING (bucket) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+                   AS avg_bits_milli
+        FROM scored GROUP BY doc_id
+    ) t
+),
+outv AS (
+    SELECT * FROM (
+        WITH ve AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   {_QUANT_SQL} AS v
+            FROM (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding, label
+                FROM embeddings WHERE vec_id % 5 = 0
+            )
+        ),
+        stats AS (
+            SELECT label, u.i AS dim, CAST(sum(v[u.i]) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ve, UNNEST(generate_series(1, len(v))) AS u(i)
+            GROUP BY label, u.i
+        ),
+        cent AS (
+            SELECT label, dim, CAST(s // n AS BIGINT) AS c FROM stats
+        ),
+        d AS (
+            SELECT ve.vec_id, ve.label,
+                   CAST(sum((ve.v[c.dim] - c.c) * (ve.v[c.dim] - c.c))
+                        AS BIGINT) AS d2,
+                   CAST(count(*) AS BIGINT) AS ndims
+            FROM ve JOIN cent c ON ve.label = c.label
+            GROUP BY ve.vec_id, ve.label
+        ),
+        lab AS (
+            SELECT label, CAST(sum(d2) AS BIGINT) AS label_d2_sum,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM d GROUP BY label
+        )
+        SELECT vec_id AS doc_id,
+               (d2 * n_members > 2 * label_d2_sum) AS is_outlier
+        FROM d JOIN lab USING (label)
+    ) t
+)
+SELECT comp.doc_id,
+       comp.component,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(comp.component AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 10 < 8
+            THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(comp.component AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 10 = 8
+            THEN 'val' ELSE 'test' END AS split,
+       CAST(COALESCE(dsir.avg_bits_milli, {_V4_DSIR_NONE}) AS BIGINT)
+           AS dsir_avg_milli,
+       COALESCE(dsir.avg_bits_milli, {_V4_DSIR_NONE}) > {_V4_DSIR_MIN}
+           AS dsir_ok,
+       (comp.component <> comp.doc_id) AS is_dup,
+       outv.is_outlier,
+       (COALESCE(dsir.avg_bits_milli, {_V4_DSIR_NONE}) > {_V4_DSIR_MIN}
+        AND comp.component = comp.doc_id
+        AND NOT outv.is_outlier) AS keep
+FROM comp
+LEFT JOIN dsir ON dsir.doc_id = comp.doc_id
+JOIN outv ON outv.doc_id = comp.doc_id
+"""
+
+
+@query("curation_pipeline_v4", _V4_ORACLE)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v4 — the round-7 operators composed into the
+    modern selection recipe (SemDeDup-era): a DSIR target-likeness
+    gate on the text, the near-dup canonical rule (LSH components,
+    keep-lowest-id), an embedding-space centroid-outlier prune, and
+    the leakage-safe split riding the SAME component labels so kept
+    near-dup families never straddle train/val.  One verdict ledger
+    row per corpus doc; every signal integer-exact and every stage the
+    library operator unchanged.  Scale: DSIR models broadcast
+    (bounded 4096 buckets), components bound label propagation, the
+    outlier pass is map-only after a broadcast — nothing quadratic,
+    nothing driver-side."""
+    from ..dataops import curate as cu
+    from ..functions.hashing import md5_int60
+
+    c = corpus(spark, sf_dir)
+    dsir = cu.dsir_weights(c, F.col("lang") == "en").select(
+        "doc_id", "avg_bits_milli"
+    )
+    sh = dd.exploded_shingles(c)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
+    comps = dd.connected_components(c.select("doc_id"), pairs)
+
+    emb = load(spark, sf_dir, "embeddings")
+    plant = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    evecs = (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(plant)
+        .select(
+            "vec_id",
+            "label",
+            sim.quantize(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("qvec"),
+        )
+    )
+    outv = sim.centroid_outlier_verdicts(evecs).select(
+        F.col("vec_id").alias("doc_id"), "is_outlier"
+    )
+
+    h = md5_int60(F.col("component").cast("string")) % 10
+    avg = F.coalesce(
+        F.col("avg_bits_milli"), F.lit(_V4_DSIR_NONE)
+    ).cast("long")
+    dsir_ok = avg > _V4_DSIR_MIN
+    is_dup = F.col("component") != F.col("doc_id")
+    return (
+        comps.join(dsir, "doc_id", "left")
+        .join(outv, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+            .alias("split"),
+            avg.alias("dsir_avg_milli"),
+            dsir_ok.alias("dsir_ok"),
+            is_dup.alias("is_dup"),
+            "is_outlier",
+            (dsir_ok & ~is_dup & ~F.col("is_outlier")).alias("keep"),
+        )
+    )
