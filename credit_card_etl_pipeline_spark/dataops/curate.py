@@ -399,16 +399,16 @@ def dsir_weights(
         )
         .persist()
     )
-    raw = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cr")
-    )
-    tgt = grams.where(F.col("is_target")).groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("ct")
-    )
-    model = raw.join(tgt, "bucket", "left").select(
-        "bucket",
-        "cr",
-        F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+    # BOTH models in one aggregation pass: the raw count and the
+    # target-conditional count share the bucket shuffle (a separate
+    # target fit + left join would shuffle the gram stream twice for
+    # identical values — buckets with no target grams get ct = 0
+    # either way).
+    model = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
     )
     totals = model.agg(
         F.sum("cr").cast("long").alias("tr"),

@@ -4490,9 +4490,14 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier pass is map-only after a broadcast — nothing quadratic,
     nothing driver-side."""
     from ..dataops import curate as cu
+    from ..functions import caching
     from ..functions.hashing import md5_int60
 
-    c = corpus(spark, sf_dir)
+    # Three consumers embed the corpus plan (DSIR gram explode, shingle
+    # explode, component vertices) — truncate it once so Catalyst
+    # doesn't re-optimize the union per branch (the v2 lesson).
+    c = corpus(spark, sf_dir).localCheckpoint(eager=True)
+    caching.track(c)
     dsir = cu.dsir_weights(c, F.col("lang") == "en").select(
         "doc_id", "avg_bits_milli"
     )
