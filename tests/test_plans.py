@@ -542,3 +542,31 @@ def test_semantic_dedup_plans_no_cartesian(spark):
     p2 = _plan(dedup_semantic_hierarchical(spark, SF))
     assert "CartesianProduct" not in p2
     assert "BroadcastHashJoin" in p2  # codebook join
+
+
+def test_r7_operator_plans_broadcast_only(spark):
+    # Round-7 operators: the model/centroid joins must broadcast and
+    # nothing may fall back to SortMergeJoin or a cartesian product.
+    from credit_card_etl_pipeline_spark import queries as q
+
+    for name in (
+        "dsir_importance_weights",
+        "ann_binary_hamming",
+        "embeddings_outlier_prune",
+    ):
+        plan = _plan(q.QUERIES[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_binary_hamming_coarse_stage_is_codegen(spark):
+    # The Hamming stage must be pure JVM expression work on the packed
+    # words — no Python evaluation anywhere in the plan.
+    from credit_card_etl_pipeline_spark import queries as q
+
+    plan = _plan(q.QUERIES["ann_binary_hamming"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the packing + XOR + bit_count all fold into plain projections
+    assert "bit_count" in plan
