@@ -435,6 +435,142 @@ def dsir_weights(
     )
 
 
+def dsir_fit(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Fit ONLY the DSIR models (the offline half of the production
+    split): returns the bounded ``(bucket, cr, ct, tr, tt)`` frame —
+    ≤ ``n_buckets`` rows with the scalar totals attached — ready to
+    broadcast into any scoring join, including a stream-static one.
+    Same arithmetic as :func:`dsir_weights` (which fuses fit and score
+    over one shared gram explode for the batch-only path)."""
+    from ..functions.hashing import md5_int60
+
+    grams = df.select(
+        target_pred.alias("is_target"),
+        F.explode(bigrams(F.col(text_col))).alias("gram"),
+    ).select(
+        "is_target", (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+    )
+    model = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    return model.crossJoin(F.broadcast(totals))
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents against a FITTED model frame (from
+    :func:`dsir_fit`): per-gram-occurrence ``(id, bits)`` rows via one
+    broadcast join — map-only, so it runs unchanged on batch AND
+    Structured Streaming frames (the online half of the split; the
+    caller aggregates per doc in whatever mode its sink needs)."""
+    from ..functions.hashing import md5_int60
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(bigrams(F.col(text_col))).alias("gram"),
+    ).select(
+        id_col, (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+    )
+    bits_raw = F.floor(F.log2(F.col("tr") + n_buckets)) - F.floor(
+        F.log2(F.col("cr") + 1)
+    )
+    bits_tgt = F.floor(F.log2(F.col("tt") + n_buckets)) - F.floor(
+        F.log2(F.col("ct") + 1)
+    )
+    return grams.join(F.broadcast(model), "bucket").select(
+        id_col, (bits_raw - bits_tgt).cast("long").alias("bits")
+    )
+
+
+def gram_distribution_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Corpus drift detection between two snapshots (the monitoring
+    step of a continuously-crawled training corpus): hashed-bigram
+    distributions of a reference and a new snapshot compared bucket by
+    bucket, with the global total-variation distance attached.
+
+    Exact integer arithmetic: per-bucket shares in truncated ppm
+    (``c * 1e6 div T``, identical truncation both engines, zero-total
+    sides guarded to 0), per-bucket ``delta_ppm = |share_new -
+    share_ref|``, and ``tv_ppm = Σ delta div 2`` — the classic TV
+    distance in parts-per-million, hash-stable across engines.
+
+    Scale shape: one side-tagged gram explode feeds ONE combined
+    aggregation onto the bounded bucket domain (≤ ``n_buckets`` rows),
+    totals and the TV scalar ride 1-row broadcasts — however large the
+    snapshots, only the fixed-size distribution table ever shuffles
+    after the explode.
+    """
+    from ..functions.hashing import md5_int60
+
+    def side(df: DataFrame, is_new: bool) -> DataFrame:
+        return df.select(
+            F.lit(is_new).alias("is_new"),
+            F.explode(bigrams(F.col(text_col))).alias("gram"),
+        ).select(
+            "is_new", (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+        )
+
+    tagged = side(ref, False).unionByName(side(new, True))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_new"),
+    )
+    totals = counts.agg(
+        F.sum("c_ref").cast("long").alias("tr"),
+        F.sum("c_new").cast("long").alias("tn"),
+    )
+    shares = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_ref",
+        "c_new",
+        F.expr(
+            "CASE WHEN tr = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(c_ref * 1000000 div tr AS BIGINT) END"
+        ).alias("share_ref_ppm"),
+        F.expr(
+            "CASE WHEN tn = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(c_new * 1000000 div tn AS BIGINT) END"
+        ).alias("share_new_ppm"),
+    )
+    shares = shares.withColumn(
+        "delta_ppm",
+        F.abs(F.col("share_new_ppm") - F.col("share_ref_ppm")).cast("long"),
+    )
+    tv = shares.agg(
+        F.expr("CAST(sum(delta_ppm) div 2 AS BIGINT)").alias("tv_ppm")
+    )
+    return shares.crossJoin(F.broadcast(tv))
+
+
 # ------------------------------------------------------------------
 # Boilerplate line removal
 # ------------------------------------------------------------------

@@ -399,6 +399,86 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Corpus drift detection (two-snapshot TV distance)
+# ------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH sides AS (
+    SELECT FALSE AS is_new, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT TRUE,
+           CASE WHEN doc_id % 10 = 1
+                THEN text || ' drift drift drift drift' ELSE text END
+    FROM documents WHERE doc_id % 2 = 1
+),
+w AS (
+    SELECT is_new, string_split({_NORM_SQL}, ' ') AS toks FROM sides
+),
+grams AS (
+    SELECT is_new,
+           CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))
+                AS BIGINT) % {_DSIR_B} AS bucket
+    FROM (SELECT is_new, toks FROM w WHERE len(toks) >= 2),
+         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+counts AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_ref,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_new
+    FROM grams GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(sum(c_ref) AS BIGINT) AS tr,
+           CAST(sum(c_new) AS BIGINT) AS tn
+    FROM counts
+),
+shares AS (
+    SELECT bucket, c_ref, c_new,
+           CASE WHEN tr = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(c_ref * 1000000 // tr AS BIGINT)
+           END AS share_ref_ppm,
+           CASE WHEN tn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(c_new * 1000000 // tn AS BIGINT)
+           END AS share_new_ppm
+    FROM counts CROSS JOIN tot
+),
+d AS (
+    SELECT *, CAST(abs(share_new_ppm - share_ref_ppm) AS BIGINT)
+                  AS delta_ppm
+    FROM shares
+),
+tv AS (SELECT CAST(sum(delta_ppm) // 2 AS BIGINT) AS tv_ppm FROM d)
+SELECT bucket, c_ref, c_new, share_ref_ppm, share_new_ppm, delta_ppm,
+       tv_ppm
+FROM d CROSS JOIN tv
+"""
+
+
+@query("corpus_drift_tv", _DRIFT_ORACLE)
+def corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring: hashed-bigram distributions of two
+    snapshots (even docs = reference, odd docs = new, with a planted
+    drift phrase in 10% of the new side so the statistic is
+    non-vacuous) compared per bucket plus the global total-variation
+    distance in exact ppm.  One tagged explode, one aggregation onto
+    the bounded bucket domain, 1-row broadcasts for totals/TV — see
+    dataops.curate.gram_distribution_drift."""
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0).select("text")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.col("text"), F.lit(" drift drift drift drift")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return cu.gram_distribution_drift(ref, new)
+
+
+# ------------------------------------------------------------------
 # Training-mix weighted sampling
 # ------------------------------------------------------------------
 

@@ -1227,3 +1227,60 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+# ====================================================================
+# Streaming DSIR filter (offline model fit, online stream scoring)
+# ====================================================================
+
+def _stream_dsir_oracle() -> str:
+    """The streaming scorer must land EXACTLY the batch DSIR answer
+    (the stream replays the same corpus once) — reuse its oracle."""
+    from .curate_queries import _DSIR_ORACLE
+
+    return _DSIR_ORACLE
+
+
+@query("stream_dsir_filter", _stream_dsir_oracle())
+def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection in its production deployment shape: the
+    hashed-gram models are fit OFFLINE on the batch corpus
+    (dataops.curate.dsir_fit — a bounded ≤4096-row frame), then the
+    documents STREAM is scored against the broadcast model
+    (dsir_score: explode + stream-static broadcast join, map-only)
+    with a complete-mode per-doc aggregate snapshotting the verdict
+    ledger.  End state must hash-match the batch dsir_importance_
+    weights oracle — the stream == batch contract for model-scored
+    ingestion.  At 100 TB the model refreshes offline on a cadence
+    while the scorer never re-shuffles the stream."""
+    import tempfile
+
+    from ..dataops import curate as cu
+    from ..streaming.windows import documents_stream
+
+    name = f"stream_dsir_{next(_stateful_run_counter)}"
+    model = cu.dsir_fit(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    per_gram = cu.dsir_score(documents_stream(spark, sf_dir), model)
+    ledger = per_gram.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("bits").cast("long").alias("dsir_bits"),
+        F.expr("CAST(sum(bits) * 1000 div count(1) AS BIGINT)").alias(
+            "avg_bits_milli"
+        ),
+        (F.expr("sum(bits) * 1000 div count(1)") > 0).alias("keep"),
+    )
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dsir_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)

@@ -305,3 +305,62 @@ def test_dsir_weights_short_docs_absent(spark):
         for r in cu.dsir_weights(df, F.col("lang") == "en").collect()
     }
     assert ids == {3}
+
+
+def test_gram_drift_identical_snapshots_zero_tv(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = cu.gram_distribution_drift(
+        df.select("text"), df.select("text")
+    ).collect()
+    assert rows and all(r.tv_ppm == 0 and r.delta_ppm == 0 for r in rows)
+    # counts equal on every bucket
+    assert all(r.c_ref == r.c_new for r in rows)
+
+
+def test_gram_drift_detects_planted_shift_and_guards_empty(spark):
+    ref = spark.createDataFrame(
+        [(1, "aa bb aa bb aa bb")], "doc_id long, text string"
+    ).select("text")
+    new = spark.createDataFrame(
+        [(1, "cc dd cc dd cc dd")], "doc_id long, text string"
+    ).select("text")
+    rows = cu.gram_distribution_drift(ref, new).collect()
+    # disjoint vocabularies: TV = 1.0 (1e6 ppm, up to truncation)
+    assert rows[0].tv_ppm >= 999_990
+    empty = ref.where("text = 'nope'")
+    rows2 = cu.gram_distribution_drift(ref, empty).collect()
+    # zero-total side guarded: shares read 0, no divide error
+    assert all(r.share_new_ppm == 0 for r in rows2)
+
+
+def test_dsir_fit_score_matches_fused_weights(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "en", "the quick brown fox sleeps all day long"),
+            (3, "de", "der schnelle braune fuchs springt sehr hoch"),
+            (4, "zh", "one two three four five six seven"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pred = F.col("lang") == "en"
+    fused = {
+        r.doc_id: (r.n_grams, r.dsir_bits)
+        for r in cu.dsir_weights(df, pred).collect()
+    }
+    model = cu.dsir_fit(df, pred)
+    split = (
+        cu.dsir_score(df, model)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bits").cast("long").alias("b"),
+        )
+        .collect()
+    )
+    assert {r.doc_id: (r.n, r.b) for r in split} == fused
