@@ -237,6 +237,59 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     return F.element_at(F.array_sort(entries), 1)["cell"]
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """query → its nprobe nearest cells (small: |queries| × nprobe
+    rows), ready to broadcast into the cell join."""
+    dots = F.array(
+        *[
+            F.struct(
+                (-_dot_lit(F.col(vec_col), c)).alias("negdot"),
+                F.lit(i).cast("long").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qnorm"),
+        F.slice(F.array_sort(dots), 1, nprobe).alias("__cells"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        F.explode(F.col("__cells.cell")).alias("cell"),
+    )
+
+
+def _score_cell_join(cand: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Exact integer re-scoring of candidates inside the probed cells."""
+    scored = cand.join(F.broadcast(q), "cell").where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("qv"), F.col("cvec"))
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -256,44 +309,42 @@ def ivf_topk(
         _norm2(F.col(vec_col)).alias("cnorm"),
         assign_cluster(F.col(vec_col), centroids).alias("cell"),
     )
-    # query → its nprobe nearest cells (small: |queries| × nprobe rows)
-    dots = F.array(
-        *[
-            F.struct(
-                (-_dot_lit(F.col(vec_col), c)).alias("negdot"),
-                F.lit(i).cast("long").alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    q = _probe_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm2(F.col(vec_col)).alias("qnorm"),
-        F.slice(F.array_sort(dots), 1, nprobe).alias("__cells"),
-    ).select(
-        "query_id",
-        "qv",
-        "qnorm",
-        F.explode(F.col("__cells.cell")).alias("cell"),
+    return _score_cell_join(cand, q, k)
+
+
+def ivf_probe_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cell_col: str = "cell",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a MATERIALIZED IVF index: same semantics as
+    :func:`ivf_topk`, but the candidate side is a standing table whose
+    cell assignment was computed at index-build time (e.g. parquet
+    partitioned by ``cell_col``).  This is the serving shape at 100 TB:
+    the index is built once offline, incoming batches carry only
+    |batch| × nprobe probe rows, and with a cell-partitioned layout the
+    scan touches only the probed cells' partitions (dynamic partition
+    pruning from the broadcast probe side) instead of re-assigning the
+    whole corpus per query batch."""
+    cand = index.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm2(F.col(vec_col)).alias("cnorm"),
+        F.col(cell_col).cast("long").alias("cell"),
     )
-    scored = cand.join(F.broadcast(q), "cell").where(
-        F.col("cand_id") != F.col("query_id")
+    q = _probe_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
-    scored = scored.select(
-        "query_id",
-        "cand_id",
-        (
-            _dot(F.col("qv"), F.col("cvec"))
-            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long"))
-    )
+    return _score_cell_join(cand, q, k)
 
 
 # ------------------------------------------------------------------

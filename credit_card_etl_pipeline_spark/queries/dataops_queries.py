@@ -707,7 +707,10 @@ cent{i} AS (
 )"""
 
 
-_IVF_ORACLE = f"""
+#: Shared fit + corpus-assignment prefix (vecs → normed → unrolled
+#: k-means → final centroids → per-vector cell): reused verbatim by the
+#: inline-IVF oracle and the persisted-index probe oracle.
+_IVF_FIT_SQL = f"""
 WITH vecs AS (
     SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
 ),
@@ -732,7 +735,9 @@ cand AS (
                                            c.cell ASC) AS rn
         FROM normed n CROSS JOIN centf c
     ) WHERE rn = 1
-),
+)"""
+
+_IVF_ORACLE = f"""{_IVF_FIT_SQL},
 qprobe AS (
     SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell FROM (
         SELECT n.vec_id, n.v, n.n2, c.cell,
@@ -771,6 +776,73 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantized(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") % 100 == 0)
     return sim.ivf_topk(vecs, queries, centroids, k=5, nprobe=2)
+
+
+# ------------------------------------------------------------------
+# Persisted IVF index + incremental batch probe
+# ------------------------------------------------------------------
+
+_IVF_PROBE_ORACLE = f"""{_IVF_FIT_SQL},
+newb AS (
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(v)),
+               i -> CASE WHEN i = 1 THEN v[i] + 250 ELSE v[i] END) AS v
+    FROM vecs WHERE vec_id % 50 = 0
+),
+newn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM newb),
+qprobe AS (
+    SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell FROM (
+        SELECT n.vec_id, n.v, n.n2, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_dot_product(n.v, c.c) DESC,
+                                           c.cell ASC) AS rn
+        FROM newn n CROSS JOIN centf c
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           list_dot_product(q.qv, c.v)
+               / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM qprobe q JOIN cand c ON c.cell = q.cell AND c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_persisted_probe", _IVF_PROBE_ORACLE)
+def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN SERVING shape: the IVF index is MATERIALIZED — corpus
+    vectors with their cell assignment written as parquet partitioned
+    by cell — and an incoming batch (perturbed copies of every 50th
+    vector, ids +1e6) probes the standing table with nprobe=2, exact
+    integer re-scoring inside the probed cells.  At 100 TB the index
+    builds once offline; each batch's probe broadcasts |batch|×nprobe
+    rows and the cell-partitioned layout lets the scan prune to the
+    probed cells (dynamic partition pruning) instead of re-assigning
+    the corpus per batch.  Timing includes the index write+read-back —
+    the materialization IS the operator (hypertable convention)."""
+    import tempfile
+
+    centroids = _ivf_codebook(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    vecs.withColumn(
+        "cell", sim.assign_cluster(F.col("qvec"), centroids)
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+    newb = vecs.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("qvec"),
+            lambda x, i: F.when(i == 0, x + 250).otherwise(x),
+        ).alias("qvec"),
+    )
+    return sim.ivf_probe_index(idx, newb, centroids, k=5, nprobe=2)
 
 
 # ------------------------------------------------------------------

@@ -620,3 +620,38 @@ def test_leakage_safe_split_coassigns_planted_duplicates(spark, sf_dir):
     assert n > 0
     leaked = joined.where(F.col("split") != F.col("dup_split")).count()
     assert leaked == 0
+
+
+def test_ivf_probe_index_equals_inline_topk(spark, tmp_path):
+    import numpy as np
+
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        ivf_fit,
+        ivf_probe_index,
+        ivf_topk,
+        assign_cluster,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select("vec_id", quantize(F.col("embedding")).alias("qvec"))
+    centroids = ivf_fit(q, k=4, iters=2)
+    queries = q.where(F.col("vec_id") % 15 == 0)
+
+    inline = sorted(
+        map(tuple, ivf_topk(q, queries, centroids, k=5, nprobe=2).collect())
+    )
+    # materialize the index as cell-partitioned parquet and probe it
+    path = str(tmp_path / "ivf_index")
+    q.withColumn("cell", assign_cluster(F.col("qvec"), centroids)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+    probed = sorted(
+        map(
+            tuple,
+            ivf_probe_index(idx, queries, centroids, k=5, nprobe=2).collect(),
+        )
+    )
+    assert probed == inline
