@@ -516,6 +516,133 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Token-budget corpus allocation (largest-remainder quotas + greedy
+# hash-ordered fill)
+# ------------------------------------------------------------------
+
+#: Total token budget for the selection demo.  Small enough that the
+#: per-source quotas BITE at sf0.01 (sources get partial fills).
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM documents
+),
+totals AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+    FROM toks GROUP BY source
+),
+grand AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM totals),
+alloc AS (
+    SELECT source, t,
+           CAST({_BUDGET_TOKENS} * t // tt AS BIGINT) AS base,
+           CAST({_BUDGET_TOKENS} * t % tt AS BIGINT) AS rem,
+           CAST({_BUDGET_TOKENS} - sum({_BUDGET_TOKENS} * t // tt)
+                    OVER () AS BIGINT) AS leftover
+    FROM totals CROSS JOIN grand
+),
+quota AS (
+    SELECT source, t,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                            <= leftover
+                       THEN 1 ELSE 0 END AS quota_tokens
+    FROM alloc
+),
+filled AS (
+    SELECT k.doc_id, k.source, k.n_tokens,
+           CAST(sum(k.n_tokens) OVER (PARTITION BY k.source
+                                      ORDER BY k.h, k.doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tokens,
+           q.quota_tokens
+    FROM toks k JOIN quota q USING (source)
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(quota_tokens AS BIGINT) AS quota_tokens,
+       (cum_tokens <= quota_tokens) AS selected
+FROM filled
+"""
+
+
+@query("corpus_token_budget_fill", _BUDGET_ORACLE)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: a global budget is split across
+    sources proportionally to their token mass with LARGEST-REMAINDER
+    rounding (quotas sum to the budget EXACTLY — the cents-proration
+    rule applied to tokens), then each source fills greedily in
+    deterministic md5-hash order until its running token prefix-sum
+    exceeds the quota.  This is the budget-based third leg of the
+    sampling family (weighted_mix = epoch-based, stratified sample =
+    count-based).  Shape: one source aggregation (+1-row grand total
+    broadcast), the |sources|-row quota table broadcast back, and ONE
+    per-source window for the prefix sum — two keyed shuffles at any
+    scale.  Int64 bound: budget × source_tokens < 2^63 (switch the
+    product to DECIMAL past ~1e6 budget × 1e12 tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    from ..dataops.text import normalize_text
+    from ..functions.hashing import md5_int60
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        md5_int60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("t")
+    )
+    grand = totals.agg(F.sum("t").cast("long").alias("tt"))
+    alloc = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "t",
+        F.expr(f"CAST({_BUDGET_TOKENS} * t div tt AS BIGINT)").alias("base"),
+        F.expr(f"CAST({_BUDGET_TOKENS} * t % tt AS BIGINT)").alias("rem"),
+    )
+    wsum = Window.partitionBy()
+    wrank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    quota = alloc.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrank)
+                <= _BUDGET_TOKENS - F.sum("base").over(wsum),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    wfill = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = toks.join(F.broadcast(quota), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(wfill).cast("long").alias("cum_tokens"),
+        "quota_tokens",
+    )
+    return filled.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        "quota_tokens",
+        (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
+    )
+
+
+# ------------------------------------------------------------------
 # Sequence packing
 # ------------------------------------------------------------------
 

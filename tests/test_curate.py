@@ -364,3 +364,24 @@ def test_dsir_fit_score_matches_fused_weights(spark):
         .collect()
     )
     assert {r.doc_id: (r.n, r.b) for r in split} == fused
+
+
+def test_token_budget_quotas_sum_exactly(spark):
+    # largest-remainder property: per-source quotas sum to the budget
+    # exactly, and the greedy fill never exceeds a source's quota.
+    from credit_card_etl_pipeline_spark import queries as q
+
+    out = q.QUERIES["corpus_token_budget_fill"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    quotas = {}
+    for r in out:
+        quotas[r.source] = r.quota_tokens
+    from credit_card_etl_pipeline_spark.queries.curate_queries import (
+        _BUDGET_TOKENS,
+    )
+
+    assert sum(quotas.values()) == _BUDGET_TOKENS
+    for r in out:
+        if r.selected:
+            assert r.cum_tokens <= r.quota_tokens

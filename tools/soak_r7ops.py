@@ -137,6 +137,53 @@ def main() -> int:
     )
     print(json.dumps(out[-1]), flush=True)
 
+    # --- corpus drift between two halves of the inflated corpus
+    ref = fact.where(F.col("doc_id") % 2 == 0).select("text")
+    new = fact.where(F.col("doc_id") % 2 == 1).select("text")
+    t0 = time.time()
+    drows = cu.gram_distribution_drift(ref, new).count()
+    out.append(
+        {
+            "op": "gram_distribution_drift",
+            "mult": args.mult,
+            "docs": n_docs,
+            "buckets": drows,
+            "sec": round(time.time() - t0, 2),
+        }
+    )
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- persisted IVF index build + incremental probe (index write
+    # is part of the build cost; the probe is the serving-path cost)
+    import tempfile
+
+    k = max(8, n_vecs // 1000)
+    cents = sim.ivf_fit(qvecs, k=k, iters=2)
+    path = tempfile.mkdtemp(prefix="soak_ivf_") + "/index"
+    t0 = time.time()
+    qvecs.withColumn(
+        "cell", sim.assign_cluster(F.col("qvec"), cents)
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    build_s = round(time.time() - t0, 2)
+    idx = spark.read.parquet(path)
+    batch = qvecs.where(F.col("vec_id") % 199 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "qvec"
+    )
+    t0 = time.time()
+    n_hits = sim.ivf_probe_index(idx, batch, cents, k=5, nprobe=2).count()
+    out.append(
+        {
+            "op": "ivf_persisted_probe",
+            "mult": args.mult,
+            "vectors": n_vecs,
+            "k": k,
+            "build_sec": build_s,
+            "probe_rows": n_hits,
+            "probe_sec": round(time.time() - t0, 2),
+        }
+    )
+    print(json.dumps(out[-1]), flush=True)
+
     return 0
 
 
