@@ -899,3 +899,81 @@ def events_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("2 * n div med2").cast("long").alias("x_median_key"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Behavioral drift per day (event-type mix vs corpus baseline)
+# ------------------------------------------------------------------
+
+_DAILY_DRIFT_ORACLE = """
+WITH ev AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type
+    FROM events
+),
+cnt AS (
+    SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM ev GROUP BY day, event_type
+),
+days AS (SELECT day, CAST(sum(n) AS BIGINT) AS td FROM cnt GROUP BY day),
+types AS (
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS ct FROM cnt
+    GROUP BY event_type
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM types),
+grid AS (
+    SELECT d.day, d.td, ty.event_type, ty.ct, tot.t
+    FROM days d CROSS JOIN types ty CROSS JOIN tot
+),
+shares AS (
+    SELECT day, td, event_type,
+           CAST(COALESCE(c.n, 0) * 1000000 // td AS BIGINT) AS day_ppm,
+           CAST(ct * 1000000 // t AS BIGINT) AS base_ppm
+    FROM grid g LEFT JOIN cnt c USING (day, event_type)
+)
+SELECT day,
+       CAST(max(td) AS BIGINT) AS n_events,
+       CAST(sum(abs(day_ppm - base_ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM shares GROUP BY day
+"""
+
+
+@query("events_daily_drift", _DAILY_DRIFT_ORACLE)
+def events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift monitoring: each day's event-type mix compared
+    to the corpus-wide baseline as an exact total-variation distance in
+    ppm — the ops-side counterpart of corpus_drift_tv (which watches
+    the TEXT distribution; this watches the BEHAVIOR distribution).
+    One fact-sized aggregation; everything after operates on the
+    bounded (days × types) grid with 1-row broadcast totals, so the
+    anomaly ledger costs one shuffle at any scale.  Absent types count
+    at share 0 via the dense grid — a day missing a type IS drift."""
+    ev = load(spark, sf_dir, "events")
+    cnt = (
+        ev.select(event_micros(ev).alias("us"), "event_type")
+        .select(
+            F.expr("CAST(us div 86400000000 AS BIGINT)").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    days = cnt.groupBy("day").agg(F.sum("n").cast("long").alias("td"))
+    types = cnt.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("ct")
+    )
+    tot = types.agg(F.sum("ct").cast("long").alias("t"))
+    grid = days.crossJoin(F.broadcast(types)).crossJoin(F.broadcast(tot))
+    shares = grid.join(cnt, ["day", "event_type"], "left").select(
+        "day",
+        "td",
+        F.expr(
+            "CAST(COALESCE(n, 0) * 1000000 div td AS BIGINT)"
+        ).alias("day_ppm"),
+        F.expr("CAST(ct * 1000000 div t AS BIGINT)").alias("base_ppm"),
+    )
+    return shares.groupBy("day").agg(
+        F.max("td").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(sum(abs(day_ppm - base_ppm)) div 2 AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
