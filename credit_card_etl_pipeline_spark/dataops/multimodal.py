@@ -320,3 +320,41 @@ def decode_audio_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, _AUDIO_SCHEMA)
+
+
+def dhash64(width: int, height: int, gray: bytes) -> tuple[int, list[int]]:
+    """Difference hash of a decoded grayscale image: 2x2 area-mean
+    downsample to a 9-wide x 8-tall grid (width/height must be 18x16),
+    one gradient bit per adjacent column pair (m[r][c] > m[r][c+1]),
+    64 bits packed little-endian by k = r*8 + c into a signed int64
+    (bit 63 two's-complement) plus four 16-bit band keys for LSH-style
+    candidate blocking.  Pure integer arithmetic — truncating division
+    for the mean — so a SQL oracle can recompute it bit-for-bit from
+    a pixel formula."""
+    if (width, height) != (18, 16):
+        raise ValueError(f"dhash64 expects 18x16, got {width}x{height}")
+    m = [
+        [
+            (
+                gray[(2 * r) * 18 + 2 * c]
+                + gray[(2 * r) * 18 + 2 * c + 1]
+                + gray[(2 * r + 1) * 18 + 2 * c]
+                + gray[(2 * r + 1) * 18 + 2 * c + 1]
+            )
+            // 4
+            for c in range(9)
+        ]
+        for r in range(8)
+    ]
+    bits = [
+        1 if m[r][c] > m[r][c + 1] else 0
+        for r in range(8)
+        for c in range(8)
+    ]
+    word = sum(b << k for k, b in enumerate(bits))
+    if word >= 1 << 63:
+        word -= 1 << 64
+    bands = [
+        sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)
+    ]
+    return word, bands

@@ -4618,3 +4618,151 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsir_ok & ~is_dup & ~F.col("is_outlier")).alias("keep"),
         )
     )
+
+
+# ====================================================================
+# Image near-dup detection: real codec -> dHash -> banded Hamming
+# ====================================================================
+
+_DHASH_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id // 50 AS g FROM documents WHERE doc_id % 10 = 0
+),
+px AS (
+    SELECT doc_id, u.i AS i,
+           CASE WHEN doc_id % 100 = 10 AND u.i = doc_id % 288
+                THEN ((g * 31 + u.i * 7) % 256 + 64) % 256
+                ELSE (g * 31 + u.i * 7) % 256 END AS v
+    FROM d, UNNEST(generate_series(0, 287)) AS u(i)
+),
+m AS (
+    SELECT doc_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+           CAST(sum(v) // 4 AS BIGINT) AS m
+    FROM px GROUP BY doc_id, (i // 18) // 2, (i % 18) // 2
+),
+b AS (
+    SELECT doc_id, r, c,
+           CASE WHEN m > lead(m) OVER (PARTITION BY doc_id, r ORDER BY c)
+                THEN 1 ELSE 0 END AS bit
+    FROM m
+),
+bits AS (SELECT doc_id, r * 8 + c AS k, bit FROM b WHERE c < 8),
+words AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN k < 63
+                         THEN CAST(bit AS HUGEINT)
+                              * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                         WHEN bit = 1
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE 0 END) AS BIGINT) AS word
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, CAST(k // 16 AS BIGINT) AS band_idx,
+           CAST(sum(bit * (CAST(1 AS BIGINT)
+                           << CAST(k % 16 AS INTEGER))) AS BIGINT)
+               AS band_val
+    FROM bits GROUP BY doc_id, k // 16
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands a JOIN bands b2
+      ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+         AND a.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(wa.word, wb.word)) AS BIGINT) AS hamming
+FROM cand c
+JOIN words wa ON wa.doc_id = c.doc_a
+JOIN words wb ON wb.doc_id = c.doc_b
+WHERE bit_count(xor(wa.word, wb.word)) <= 6
+"""
+
+
+@query("multimodal_image_dhash_neardup", _DHASH_ORACLE)
+def multimodal_image_dhash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE near-dup detection through the REAL codec path: per
+    selected doc a deterministic 18x16 grayscale image (identical
+    within each doc_id//50 group; some members get a one-pixel bump)
+    is encoded to an actual PNG and decoded back (dataops/png.py),
+    then dHash'd — 2x2 area-mean downsample to 9x8, 64 column-gradient
+    bits packed into ONE int64 (dataops.multimodal.dhash64) — inside
+    Arrow-batched mapInPandas.  Candidates come from 16-bit band
+    blocking on the hash (the LSH-for-Hamming shape: near-dup words
+    agree on >=1 of 4 bands), verified with bit_count(XOR) <= 6 —
+    never all-pairs, and everything after the decode is JVM-side.
+    The oracle recomputes pixels analytically from the formula, so any
+    codec, downsample, or packing bug breaks the hash.  At 100 TB:
+    decode+hash is the map-only expensive pass (run once, store the
+    8-byte hash); blocking joins bound candidate generation exactly
+    like text LSH."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import png as pngc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words, bidx, bval = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                g = i64 // 50
+                pixels = bytearray(
+                    (g * 31 + i * 7) % 256 for i in range(288)
+                )
+                if i64 % 100 == 10:
+                    j0 = i64 % 288
+                    pixels[j0] = (pixels[j0] + 64) % 256
+                enc = pngc.encode_png(18, 16, 1, bytes(pixels))
+                w, h, gray = mm.decode_image_gray(enc)
+                word, bands = mm.dhash64(w, h, gray)
+                for j, bv in enumerate(bands):
+                    ids.append(i64)
+                    words.append(word)
+                    bidx.append(j)
+                    bval.append(bv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "word": words,
+                    "band_idx": bidx,
+                    "band_val": bval,
+                }
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    feats = docs.mapInPandas(
+        run, "doc_id long, word long, band_idx long, band_val long"
+    )
+    left = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("word").alias("wa"),
+        "band_idx",
+        "band_val",
+    )
+    right = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("word").alias("wb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "wa", "wb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("wa").bitwiseXOR(F.col("wb")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 6)

@@ -655,3 +655,37 @@ def test_ivf_probe_index_equals_inline_topk(spark, tmp_path):
         )
     )
     assert probed == inline
+
+
+def test_dhash64_known_pattern_and_perturbation():
+    from credit_card_etl_pipeline_spark.dataops.multimodal import dhash64
+    from credit_card_etl_pipeline_spark.dataops import png as pngc
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        decode_image_gray,
+    )
+
+    # strict left-to-right gradient: every m[r][c] < m[r][c+1] → all
+    # bits 0 → word 0, all bands 0
+    inc = bytes(min(255, (i % 18) * 14) for i in range(288))
+    word, bands = dhash64(18, 16, inc)
+    assert word == 0 and bands == [0, 0, 0, 0]
+
+    # reversed gradient → every bit 1 → word = -1 (all 64 bits set)
+    dec = bytes(min(255, (17 - i % 18) * 14) for i in range(288))
+    word2, bands2 = dhash64(18, 16, dec)
+    assert word2 == -1 and bands2 == [0xFFFF] * 4
+
+    # round-trip through the real PNG codec preserves the hash
+    enc = pngc.encode_png(18, 16, 1, dec)
+    w, h, gray = decode_image_gray(enc)
+    assert dhash64(w, h, gray) == (word2, bands2)
+
+    # a single-pixel bump flips at most 2 gradient bits
+    bumped = bytearray(dec)
+    bumped[40] = (bumped[40] + 64) % 256
+    word3, _ = dhash64(18, 16, bytes(bumped))
+    assert bin((word3 ^ word2) & ((1 << 64) - 1)).count("1") <= 2
+
+    # dimension contract is enforced
+    with pytest.raises(ValueError):
+        dhash64(16, 16, bytes(256))
