@@ -358,3 +358,20 @@ def dhash64(width: int, height: int, gray: bytes) -> tuple[int, list[int]]:
         sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)
     ]
     return word, bands
+
+
+def gradient_fingerprint64(values: list[int]) -> tuple[int, list[int]]:
+    """64 gradient bits over a 65-value sequence (bit k = values[k] >
+    values[k+1]), packed like :func:`dhash64` into a signed int64 word
+    plus four 16-bit band keys — the shared fingerprint shape for
+    1-D signals (audio frame energies) and any ordered feature run."""
+    if len(values) != 65:
+        raise ValueError(f"gradient_fingerprint64 expects 65 values, got {len(values)}")
+    bits = [1 if values[k] > values[k + 1] else 0 for k in range(64)]
+    word = sum(b << k for k, b in enumerate(bits))
+    if word >= 1 << 63:
+        word -= 1 << 64
+    bands = [
+        sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)
+    ]
+    return word, bands

@@ -4766,3 +4766,153 @@ def multimodal_image_dhash_neardup(
         .cast("long")
         .alias("hamming"),
     ).where(F.col("hamming") <= 6)
+
+
+# ====================================================================
+# Audio near-dup detection: real WAV codec -> energy fingerprint ->
+# banded Hamming
+# ====================================================================
+
+_AUDIO_FP_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id // 50 AS g FROM documents WHERE doc_id % 10 = 5
+),
+smp AS (
+    SELECT doc_id, u.i AS i,
+           ((g * 37 + u.i * (11 + g % 7)) % 2048) - 1024
+           + CASE WHEN doc_id % 100 = 35 AND u.i = doc_id % 2080
+                  THEN 500 ELSE 0 END AS v
+    FROM d, UNNEST(generate_series(0, 2079)) AS u(i)
+),
+en AS (
+    SELECT doc_id, CAST(i // 32 AS BIGINT) AS f,
+           CAST(sum(abs(v)) AS BIGINT) AS e
+    FROM smp GROUP BY doc_id, i // 32
+),
+b AS (
+    SELECT doc_id, f,
+           CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY f)
+                THEN 1 ELSE 0 END AS bit
+    FROM en
+),
+bits AS (SELECT doc_id, f AS k, bit FROM b WHERE f < 64),
+words AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN k < 63
+                         THEN CAST(bit AS HUGEINT)
+                              * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                         WHEN bit = 1
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE 0 END) AS BIGINT) AS word
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, CAST(k // 16 AS BIGINT) AS band_idx,
+           CAST(sum(bit * (CAST(1 AS BIGINT)
+                           << CAST(k % 16 AS INTEGER))) AS BIGINT)
+               AS band_val
+    FROM bits GROUP BY doc_id, k // 16
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands a JOIN bands b2
+      ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+         AND a.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(wa.word, wb.word)) AS BIGINT) AS hamming
+FROM cand c
+JOIN words wa ON wa.doc_id = c.doc_a
+JOIN words wb ON wb.doc_id = c.doc_b
+WHERE bit_count(xor(wa.word, wb.word)) <= 6
+"""
+
+
+@query("multimodal_audio_fingerprint_neardup", _AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO near-dup detection through the REAL codec: per selected
+    doc a deterministic 2080-sample 16-bit PCM signal (identical
+    within each doc_id//50 group; some members get a one-sample spike)
+    round-trips through an actual RIFF/WAVE encode+decode
+    (dataops/wav.py), then fingerprints — 65 frame energies
+    (Σ|s| per 32-sample frame), 64 energy-gradient bits packed into
+    ONE int64 (multimodal.gradient_fingerprint64).  Same banded-
+    Hamming candidate blocking + bit_count verify as the image dHash
+    path — the per-modality fingerprint changes, the scale shape does
+    not.  Oracle recomputes the signal analytically: codec, framing,
+    or packing bugs break the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import wav as wavc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words, bidx, bval = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                g = i64 // 50
+                sig = [
+                    ((g * 37 + i * (11 + g % 7)) % 2048) - 1024
+                    for i in range(2080)
+                ]
+                if i64 % 100 == 35:
+                    sig[i64 % 2080] += 500
+                rate, _, back = wavc.decode_wav(
+                    wavc.encode_wav(16000, sig)
+                )
+                energies = [
+                    sum(abs(s) for s in back[32 * f : 32 * (f + 1)])
+                    for f in range(65)
+                ]
+                word, bands = mm.gradient_fingerprint64(energies)
+                for j, bv in enumerate(bands):
+                    ids.append(i64)
+                    words.append(word)
+                    bidx.append(j)
+                    bval.append(bv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "word": words,
+                    "band_idx": bidx,
+                    "band_val": bval,
+                }
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+    )
+    feats = docs.mapInPandas(
+        run, "doc_id long, word long, band_idx long, band_val long"
+    )
+    left = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("word").alias("wa"),
+        "band_idx",
+        "band_val",
+    )
+    right = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("word").alias("wb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "wa", "wb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("wa").bitwiseXOR(F.col("wb")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 6)

@@ -689,3 +689,22 @@ def test_dhash64_known_pattern_and_perturbation():
     # dimension contract is enforced
     with pytest.raises(ValueError):
         dhash64(16, 16, bytes(256))
+
+
+def test_gradient_fingerprint64_contract():
+    from credit_card_etl_pipeline_spark.dataops.multimodal import (
+        gradient_fingerprint64,
+    )
+
+    # strictly increasing → all bits 0; strictly decreasing → all 1
+    assert gradient_fingerprint64(list(range(65))) == (0, [0, 0, 0, 0])
+    w, bands = gradient_fingerprint64(list(range(65, 0, -1)))
+    assert w == -1 and bands == [0xFFFF] * 4
+    # a single spike on a rising run flips exactly one gradient bit
+    # (k=10 turns 1; k=9 stays 0 since 9 > 1000 is still false)
+    vals = list(range(65))
+    vals[10] = 1000
+    w2, _ = gradient_fingerprint64(vals)
+    assert bin(w2 & ((1 << 64) - 1)).count("1") == 1
+    with pytest.raises(ValueError):
+        gradient_fingerprint64(list(range(64)))
