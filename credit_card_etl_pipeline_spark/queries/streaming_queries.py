@@ -1321,3 +1321,91 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+# ====================================================================
+# Streaming behavioral drift (stream the fact agg, finish on the grid)
+# ====================================================================
+
+def _stream_drift_oracle() -> str:
+    """End state must equal the batch daily-drift ledger exactly."""
+    from .events_queries import _DAILY_DRIFT_ORACLE
+
+    return _DAILY_DRIFT_ORACLE
+
+
+@query("stream_daily_drift", _stream_drift_oracle())
+def stream_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift monitoring as a STREAMING composition: the
+    only fact-sized work — the (day, event_type) count aggregation —
+    runs inside the stream (complete mode, availableNow), and the
+    bounded-grid TV arithmetic (days × types, 1-row totals) finishes
+    batch-side on the landed counts, matching events_daily_drift's
+    oracle bit-for-bit.  The production shape for continuous
+    monitoring: state is bounded by days×types, and the expensive
+    pass never leaves the stream."""
+    import os
+    import tempfile
+
+    from ..functions.eventtime import event_micros
+    from ..streaming.windows import events_stream
+
+    name = f"stream_drift_{next(_stateful_run_counter)}"
+    ev = events_stream(spark, sf_dir)
+    cnt = (
+        ev.select(event_micros(ev).alias("us"), "event_type")
+        .select(
+            F.expr("CAST(us div 86400000000 AS BIGINT)").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        src_bytes = 0
+    state_parts = max(8, min(int(prev_parts), src_bytes // (64 << 20)))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+        q = (
+            cnt.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="drift_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # snapshot the memory-sink table once: three consumers re-reference
+    # it (days, types, and the grid join), and a streaming memory
+    # relation re-referenced in a self-join trips analyzer ambiguity
+    landed = spark.table(name).localCheckpoint(eager=True)
+    days = landed.groupBy("day").agg(F.sum("n").cast("long").alias("td"))
+    types = landed.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("ct")
+    )
+    tot = types.agg(F.sum("ct").cast("long").alias("t"))
+    grid = days.crossJoin(F.broadcast(types)).crossJoin(F.broadcast(tot))
+    shares = grid.join(landed, ["day", "event_type"], "left").select(
+        "day",
+        "td",
+        F.expr(
+            "CAST(COALESCE(n, 0) * 1000000 div td AS BIGINT)"
+        ).alias("day_ppm"),
+        F.expr("CAST(ct * 1000000 div t AS BIGINT)").alias("base_ppm"),
+    )
+    return shares.groupBy("day").agg(
+        F.max("td").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(sum(abs(day_ppm - base_ppm)) div 2 AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
