@@ -2090,3 +2090,73 @@ def lineitem_prorate_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
         ).alias("alloc_cents"),
     )
+
+
+# ====================================================================
+# VARIANT semi-structured type (Spark 4 open-format variant)
+# ====================================================================
+
+_VARIANT_ORACLE = """
+WITH built AS (
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           user_id
+    FROM events
+),
+doc AS (
+    SELECT event_id, k,
+           '{"id": ' || CAST(event_id AS VARCHAR)
+           || ', "vals": [' || CAST(k AS VARCHAR) || ', '
+           || CAST(k * 2 AS VARCHAR)
+           || '], "u": {"uid": ' || CAST(user_id AS VARCHAR) || '}}'
+               AS j
+    FROM built
+)
+SELECT event_id, k,
+       CAST(json_extract_string(j, '$.vals[1]') AS BIGINT) AS second_val,
+       CAST(json_extract_string(j, '$.u.uid') AS BIGINT) AS uid,
+       CAST(json_extract_string(j, '$.missing.path') AS BIGINT)
+           AS absent_val
+FROM doc
+"""
+
+
+@query("events_variant_extract", _VARIANT_ORACLE)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type end-to-end: the same nested document
+    json_props_extract parses with a full struct schema here flows
+    through ``parse_json`` → VARIANT → ``variant_get`` path extraction
+    (array index, nested field) — the schema-on-read shape for
+    semi-structured corpora where declaring the full struct up front
+    is impossible.  ``try_variant_get`` on a missing path returns NULL
+    on both engines (DuckDB twin: json_extract).  All JVM-side; the
+    VARIANT binary encoding never crosses to Python."""
+    from . import load
+
+    events = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    built = events.select(
+        "event_id",
+        k.alias("k"),
+        F.concat(
+            F.lit('{"id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "vals": ['),
+            k.cast("string"),
+            F.lit(", "),
+            (k * 2).cast("string"),
+            F.lit('], "u": {"uid": '),
+            F.col("user_id").cast("string"),
+            F.lit("}}"),
+        ).alias("doc"),
+    )
+    v = F.parse_json(F.col("doc"))
+    return built.select(
+        "event_id",
+        "k",
+        F.variant_get(v, "$.vals[1]", "bigint").alias("second_val"),
+        F.variant_get(v, "$.u.uid", "bigint").alias("uid"),
+        F.try_variant_get(v, "$.missing.path", "bigint").alias(
+            "absent_val"
+        ),
+    )
