@@ -722,3 +722,45 @@ def ingest_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.source").alias("source"),
         F.col("meta.score").alias("score"),
     )
+
+
+_stream_ds_counter = iter(range(1_000_000))
+
+
+@query("stream_ingest_datasource", _INGEST_ORACLE)
+def stream_ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ingest as a STREAMING Python Data Source (Spark 4
+    SimpleDataSourceStreamReader): the statement directory is tailed
+    file-by-file — each micro-batch delivers one file's lines, offsets
+    count files consumed, and readBetweenOffsets makes checkpoint
+    replays exact.  The landed line stream feeds the identical
+    parse-union, checked against the SAME pinned expected table — so
+    batch reader, mapInPandas path, and streaming reader are proven
+    feed-equivalent.  The production shape for continuous statement
+    arrival: new files become micro-batches with no batch re-scan."""
+    import tempfile
+
+    from ..sources.datasource import BankStatementDataSource
+
+    spark.dataSource.register(BankStatementDataSource)
+    name = f"stream_ingest_ds_{next(_stream_ds_counter)}"
+    lines = (
+        spark.readStream.format("bank_statement")
+        .option("path", str(_FIXTURE_DIR))
+        .load()
+    )
+    q = (
+        lines.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ingest_ds_ckpt_")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.table(name).localCheckpoint(eager=True)
+    return _parsed_canonical_union(landed)

@@ -90,3 +90,47 @@ class BankStatementDataSource(DataSource):
 
     def reader(self, schema) -> BankStatementReader:
         return BankStatementReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "BankStatementStreamReader":
+        return BankStatementStreamReader(self.options)
+
+
+# ------------------------------------------------------------------
+# Streaming reader (Spark 4 SimpleDataSourceStreamReader): the
+# file-arrival tail — each micro-batch delivers the next statement
+# file's lines; offsets are "files consumed so far", so replays
+# (readBetweenOffsets) are exact and checkpoint-recoverable.
+# ------------------------------------------------------------------
+
+try:  # pyspark >= 4
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    SimpleDataSourceStreamReader = object
+
+
+class BankStatementStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._batch = BankStatementReader(options)
+
+    def _files(self) -> list[_FilePartition]:
+        return list(self._batch.partitions())
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        # rows are prefetched driver-side, probed with next() on empty
+        # batches, and pickled to executors: a LIST ITERATOR satisfies
+        # all three (a generator cannot pickle; a bare list cannot next())
+        files = self._files()
+        i = int(start["i"])
+        if i >= len(files):
+            return iter([]), start
+        return iter(list(self._batch.read(files[i]))), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        out: list[tuple] = []
+        for i in range(int(start["i"]), min(int(end["i"]), len(files))):
+            out.extend(self._batch.read(files[i]))
+        return iter(out)

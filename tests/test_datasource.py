@@ -39,3 +39,33 @@ def test_datasource_matches_mapinpandas_feed(spark, tmp_path):
     # mapInPandas path uses file:// URIs; compare on basename
     assert key(via_ds) == key(via_fn)
     assert len(via_ds) > 0
+
+
+def test_stream_reader_offsets_and_replay_parity():
+    # pure-python contract: batches advance one file per read(); a
+    # checkpoint replay (readBetweenOffsets) over the full range must
+    # reproduce exactly the union of the per-batch reads.
+    from credit_card_etl_pipeline_spark.queries.etl_queries import (
+        _FIXTURE_DIR,
+    )
+    from credit_card_etl_pipeline_spark.sources.datasource import (
+        BankStatementStreamReader,
+    )
+
+    r = BankStatementStreamReader({"path": str(_FIXTURE_DIR)})
+    off = r.initialOffset()
+    assert off == {"i": 0}
+    batches, offsets = [], [off]
+    while True:
+        rows, nxt = r.read(offsets[-1])
+        rows = list(rows)
+        if nxt == offsets[-1]:
+            assert rows == []
+            break
+        batches.append(rows)
+        offsets.append(nxt)
+    assert len(batches) >= 4  # one per routed fixture file
+    replay = list(r.readBetweenOffsets(offsets[0], offsets[-1]))
+    assert replay == [row for b in batches for row in b]
+    # partial replay: a single middle batch
+    assert list(r.readBetweenOffsets(offsets[1], offsets[2])) == batches[1]
