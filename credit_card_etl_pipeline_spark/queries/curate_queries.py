@@ -1334,3 +1334,112 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         typical.alias("typicality_ok"),
         (novel & typical).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------
+# Corpus novelty saturation (unique-gram growth curve)
+# ------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
+         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+),
+owners AS (
+    SELECT gram, CAST(min(doc_id) AS BIGINT) AS owner FROM grams
+    GROUP BY gram
+),
+per_doc AS (
+    SELECT d.doc_id,
+           CAST(count(o.gram) AS BIGINT) AS new_grams
+    FROM (SELECT DISTINCT doc_id FROM grams) d
+    LEFT JOIN owners o ON o.owner = d.doc_id
+    GROUP BY d.doc_id
+),
+tot AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+    FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams, t.n_distinct, p.new_grams,
+       CAST(sum(p.new_grams) OVER (ORDER BY t.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_unique_grams,
+       CAST(p.new_grams * 1000000 // t.n_grams AS BIGINT)
+           AS novelty_ppm
+FROM tot t JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("corpus_novelty_curve", _NOVELTY_ORACLE)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation bookkeeping: in doc_id (crawl) order, how
+    many bigrams does each document contribute that NO earlier doc
+    contains — the marginal-diversity curve that tells a crawl
+    operator when additional volume stops adding new content.  Each
+    gram's first owner is its min doc_id (one gram-keyed aggregation —
+    never a doc×doc comparison); per-doc novelty joins back and a
+    running sum renders the cumulative unique-gram curve.  novelty_ppm
+    = new grams per million occurrences in the doc — the per-doc
+    marginal value signal.  The global ordered window runs over one
+    row per doc (bounded), not over gram occurrences."""
+    from ..dataops.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    from ..functions import caching
+
+    grams = caching.track(grams.persist())
+    owners = grams.groupBy("gram").agg(
+        F.min("doc_id").cast("long").alias("owner")
+    )
+    per_doc = owners.groupBy(F.col("owner").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_grams")
+    )
+    tot = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+    )
+    joined = tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.coalesce(F.col("new_grams"), F.lit(0)).cast("long").alias(
+            "new_grams"
+        ),
+    )
+    summed = cu.distributed_prefix_sum(
+        joined,
+        order_col="doc_id",
+        value_col="new_grams",
+        out_col="cum_unique_grams",
+        exclusive=False,
+    )
+    return summed.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "new_grams",
+        "cum_unique_grams",
+        F.expr("CAST(new_grams * 1000000 div n_grams AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    )
