@@ -868,3 +868,88 @@ def centroid_outlier_verdicts(
             "is_outlier"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# Top principal component (grid-exact power iteration)
+# ------------------------------------------------------------------
+
+#: Fixed-point scale for the iterated direction vector.
+PC_SCALE = 1 << 20
+
+
+def top_pc(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    iters: int = 3,
+    scale: int = PC_SCALE,
+) -> list[int]:
+    """Dominant principal direction of a (quantized) embedding corpus
+    by power iteration in EXACT integer arithmetic — the estimation
+    step of all-but-the-top / whitening embedding post-processing.
+
+    Determinism recipe (the ivf_fit playbook applied to eigenvectors):
+    vectors are centered on the truncating-division milli-mean; each
+    iteration computes per-vector projections ``s = xc·v`` (exact
+    int64), truncates them back to the milli domain (``div scale`` —
+    toward zero on every engine), accumulates ``u_d = Σ xc_d·s'``
+    (order-independent integer sums), and renormalizes by max-abs:
+    ``v' = u·scale div max|u|``.  No sqrt, no floats, so the whole
+    iteration unrolls into a SQL oracle bit-for-bit.
+
+    Driver state is ONE 64-long vector per iteration (plus the 64-long
+    centroid) — bounded like the IVF codebook collects.  Per iteration
+    the corpus does one map pass (projections) and one (dim)-keyed
+    aggregation onto |dims| rows.  Int64 bound: |xc|·(|s| div scale)·n
+    — holds past 1e11 vectors at milli quantization."""
+    spark = df.sparkSession
+
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("c")
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    center = [int(r["c"]) for r in stats]
+    dim = len(center)
+    c_lit = F.array(*[F.lit(c).cast("long") for c in center])
+    xc = df.select(
+        F.col(id_col),
+        F.zip_with(F.col(vec_col), c_lit, lambda x, c: x - c).alias("xc"),
+    )
+
+    v = [scale] + [0] * (dim - 1)
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        proj = xc.select(
+            "xc",
+            F.aggregate(
+                F.zip_with(F.col("xc"), v_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        ).select("xc", F.expr(f"CAST(s div {scale} AS BIGINT)").alias("sp"))
+        u_rows = (
+            proj.select(F.posexplode("xc").alias("pos", "x"), "sp")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("sp")).cast("long").alias("u"))
+            .orderBy("pos")
+            .collect()
+        )
+        u = [0] * dim
+        for r in u_rows:
+            u[int(r["pos"])] = int(r["u"])
+        m = max(abs(x) for x in u)
+        if m == 0:  # fully degenerate corpus: all centered vectors 0
+            v = [0] * dim
+            break
+        # truncate toward zero (matches Spark div / DuckDB //)
+        v = [
+            (abs(x) * scale // m) * (1 if x >= 0 else -1) for x in u
+        ]
+    return v

@@ -5040,3 +5040,75 @@ def multimodal_video_dhash_neardup(
         )
         .where(F.col("n_matching_frames") >= 3)
     )
+
+
+# ====================================================================
+# Top principal component (power iteration, ABTT estimation step)
+# ====================================================================
+
+_PC = sim.PC_SCALE
+
+
+def _pc_iteration_sql(i: int) -> str:
+    return f"""
+s{i} AS (
+    SELECT xc.vec_id, CAST(sum(xc.x * p.vv) AS BIGINT) AS s
+    FROM xc JOIN v{i - 1} p ON p.d = xc.d GROUP BY xc.vec_id
+),
+sp{i} AS (SELECT vec_id, CAST(s // {_PC} AS BIGINT) AS sp FROM s{i}),
+u{i} AS (
+    SELECT xc.d, CAST(sum(xc.x * sp.sp) AS BIGINT) AS u
+    FROM xc JOIN sp{i} sp ON sp.vec_id = xc.vec_id GROUP BY xc.d
+),
+m{i} AS (SELECT max(abs(u)) AS m FROM u{i}),
+v{i} AS (
+    SELECT d,
+           CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                WHEN u >= 0
+                THEN CAST(CAST(abs(u) AS HUGEINT) * {_PC} // m AS BIGINT)
+                ELSE -CAST(CAST(abs(u) AS HUGEINT) * {_PC} // m AS BIGINT)
+           END AS vv
+    FROM u{i} CROSS JOIN m{i}
+)"""
+
+
+_TOP_PC_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, {_IVF_DIM})) AS d),
+cent AS (
+    SELECT dims.d AS d, CAST(sum(v[dims.d]) // count(*) AS BIGINT) AS c
+    FROM vecs CROSS JOIN dims GROUP BY dims.d
+),
+xc AS (
+    SELECT vec_id, dims.d AS d,
+           CAST(v[dims.d] AS BIGINT) - c.c AS x
+    FROM vecs CROSS JOIN dims JOIN cent c ON c.d = dims.d
+),
+v0 AS (
+    SELECT d, CASE WHEN d = 1 THEN CAST({_PC} AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS vv
+    FROM dims
+),{",".join(_pc_iteration_sql(i) for i in range(1, 4))}
+SELECT CAST(d AS BIGINT) AS dim, CAST(vv AS BIGINT) AS v_scaled FROM v3
+"""
+
+
+@query("embeddings_top_pc", _TOP_PC_ORACLE)
+def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by
+    3-round power iteration in exact integer arithmetic — the
+    estimation step of all-but-the-top / whitening post-processing
+    (remove the common direction before similarity search).  The
+    centered corpus does one projection map pass + one dim-keyed
+    aggregation per round; driver state is one 64-long vector per
+    round (the ivf_fit bounded-collect pattern); max-abs
+    renormalization replaces sqrt so the whole iteration unrolls into
+    the DuckDB oracle bit-for-bit — see dataops.similarity.top_pc."""
+    vecs = _quantized(spark, sf_dir)
+    v = sim.top_pc(vecs, iters=3)
+    return spark.createDataFrame(
+        [(i + 1, int(x)) for i, x in enumerate(v)],
+        "dim long, v_scaled long",
+    )

@@ -708,3 +708,27 @@ def test_gradient_fingerprint64_contract():
     assert bin(w2 & ((1 << 64) - 1)).count("1") == 1
     with pytest.raises(ValueError):
         gradient_fingerprint64(list(range(64)))
+
+
+def test_top_pc_finds_planted_direction(spark):
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        PC_SCALE,
+        top_pc,
+    )
+
+    # vectors spread along axis 2 with small noise on axis 0: the
+    # dominant direction must land on axis 2 (|v[2]| = PC_SCALE).
+    rows = [
+        (i, [((i % 3) - 1) * 5, 0, (i - 10) * 400, 0]) for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+    v = top_pc(df, iters=3)
+    assert abs(v[2]) == PC_SCALE
+    assert all(abs(x) < PC_SCALE // 100 for j, x in enumerate(v) if j != 2)
+
+    # degenerate corpus (all identical): centered vectors are 0 → zero
+    # vector, no crash
+    same = spark.createDataFrame(
+        [(i, [7, 7, 7, 7]) for i in range(5)], "vec_id long, qvec array<long>"
+    )
+    assert top_pc(same, iters=2) == [0, 0, 0, 0]
