@@ -953,3 +953,71 @@ def top_pc(
             (abs(x) * scale // m) * (1 if x >= 0 else -1) for x in u
         ]
     return v
+
+
+def abtt_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    v_scaled: list[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    k: int = 5,
+    v_shrink: int = 1 << 10,
+) -> DataFrame:
+    """All-but-the-top CORRECTED retrieval: cosine similarity with the
+    common (top principal) direction removed from every centered
+    vector, computed without ever materializing the corrected vectors.
+
+    Algebra (exact integers until the final double division):
+    with ``w = v div v_shrink`` (the :func:`top_pc` direction shrunk
+    so products stay in int64) and per-vector ``aw = a·w``,
+    ``num(a,b) = (a·b)(w·w) − aw·bw`` and ``den(a) = (a·a)(w·w) − aw²``
+    — the corrected cosine is ``num / sqrt(den_a · den_b)``.  Inputs
+    must be CENTERED (same truncating mean as the fit); vectors lying
+    entirely along the removed direction get den = 0 and are skipped
+    (they carry no corrected signal).
+
+    Scale shape identical to :func:`cosine_topk`: per-vector scalars
+    (aw, den) ride the one candidate pass, queries broadcast, ranking
+    windows partition per query."""
+    w = [_trunc_div(x, v_shrink) for x in v_scaled]
+    ww = sum(x * x for x in w)
+    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+
+    def enrich(frame: DataFrame, prefix: str) -> DataFrame:
+        aw = _dot(F.col(vec_col), w_lit)
+        return frame.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}v"),
+            aw.alias(f"{prefix}w"),
+            (_norm2(F.col(vec_col)) * ww - aw * aw).alias(f"{prefix}den"),
+        )
+
+    cand = enrich(df, "cand").where(F.col("candden") > 0)
+    q = enrich(queries, "query").where(F.col("queryden") > 0)
+    scored = cand.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        (
+            (_dot(F.col("queryv"), F.col("candv")) * ww
+             - F.col("queryw") * F.col("candw"))
+            / F.sqrt(
+                F.col("queryden").cast("double")
+                * F.col("candden").cast("double")
+            )
+        ).alias("corrected_cosine"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("corrected_cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "corrected_cosine",
+            F.col("rank").cast("long"),
+        )
+    )

@@ -5112,3 +5112,96 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, int(x)) for i, x in enumerate(v)],
         "dim long, v_scaled long",
     )
+
+
+# ====================================================================
+# ABTT-corrected retrieval (apply the top-PC correction)
+# ====================================================================
+
+#: top_pc memo per corpus (bounded 64-long vector; codebook-cache
+#: rationale — the fit is a pure function of the corpus).
+_TOP_PC_CACHE: dict[str, list[int]] = {}
+
+
+def _top_pc_cached(spark: SparkSession, sf_dir: str) -> list[int]:
+    if sf_dir not in _TOP_PC_CACHE:
+        _TOP_PC_CACHE[sf_dir] = sim.top_pc(
+            _quantized(spark, sf_dir), iters=3
+        )
+    return _TOP_PC_CACHE[sf_dir]
+
+
+# the shared fit prefix: everything up to v3 from the top-PC oracle
+_PC_PREFIX = _TOP_PC_ORACLE.split("\nSELECT CAST(d AS BIGINT)")[0]
+
+_ABTT_ORACLE = f"""{_PC_PREFIX},
+w AS (SELECT d, CAST(vv // 1024 AS BIGINT) AS wv FROM v3),
+ww AS (SELECT CAST(sum(wv * wv) AS BIGINT) AS ww FROM w),
+pv AS (
+    SELECT xc.vec_id,
+           CAST(sum(xc.x * w.wv) AS BIGINT) AS aw,
+           CAST(sum(xc.x * xc.x) AS BIGINT) AS n2
+    FROM xc JOIN w ON w.d = xc.d GROUP BY xc.vec_id
+),
+den AS (
+    SELECT vec_id, aw, CAST(n2 * ww - aw * aw AS BIGINT) AS den
+    FROM pv CROSS JOIN ww
+),
+qs AS (SELECT * FROM den WHERE vec_id % 100 = 0 AND den > 0),
+cs AS (SELECT * FROM den WHERE den > 0),
+pd AS (
+    SELECT xq.vec_id AS query_id, xd.vec_id AS cand_id,
+           CAST(sum(xq.x * xd.x) AS BIGINT) AS ab
+    FROM xc xq JOIN xc xd ON xq.d = xd.d
+    WHERE xq.vec_id % 100 = 0 AND xd.vec_id <> xq.vec_id
+    GROUP BY xq.vec_id, xd.vec_id
+),
+scored AS (
+    SELECT p.query_id, p.cand_id,
+           (p.ab * ww.ww - q.aw * c.aw)
+               / sqrt(CAST(q.den AS DOUBLE) * CAST(c.den AS DOUBLE))
+               AS corrected_cosine
+    FROM pd p
+    JOIN qs q ON q.vec_id = p.query_id
+    JOIN cs c ON c.vec_id = p.cand_id
+    CROSS JOIN ww
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY corrected_cosine DESC,
+                                          cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, corrected_cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_abtt_corrected_topk", _ABTT_ORACLE)
+def ann_abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top APPLIED: top-5 retrieval under cosine with the
+    corpus's common direction removed — the post-processing that
+    recovers anisotropy-buried similarity signal.  The correction
+    never materializes corrected vectors: per-vector scalars
+    ``aw = a·w`` and ``den = (a·a)(w·w) − aw²`` ride the one candidate
+    pass and the pairwise score is ``(a·b)(w·w) − aw·bw`` over
+    ``sqrt(den_a·den_b)`` — exact integers to the final division.
+    The direction comes from the memoized exact power iteration
+    (embeddings_top_pc); the oracle re-derives it CTE-for-CTE and
+    scores the same pairs.  See dataops.similarity.abtt_topk."""
+    vecs = _quantized(spark, sf_dir)
+    v3 = _top_pc_cached(spark, sf_dir)
+    stats = (
+        vecs.select(F.posexplode("qvec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("c"))
+        .orderBy("pos")
+        .collect()
+    )
+    c_lit = F.array(*[F.lit(int(r["c"])).cast("long") for r in stats])
+    xc = vecs.select(
+        "vec_id",
+        F.zip_with(F.col("qvec"), c_lit, lambda x, c: x - c).alias("qvec"),
+    )
+    queries = xc.where(F.col("vec_id") % 100 == 0)
+    return sim.abtt_topk(xc, queries, v3, k=5)
