@@ -570,3 +570,21 @@ def test_binary_hamming_coarse_stage_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
     # the packing + XOR + bit_count all fold into plain projections
     assert "bit_count" in plan
+
+
+def test_r7_late_additions_no_smj_or_cartesian(spark):
+    # drift / budget / novelty / ABTT: bounded-side joins must ride
+    # broadcasts (BNLJ for the 1-row totals is fine); never a
+    # SortMergeJoin or an unbroadcast CartesianProduct.
+    from credit_card_etl_pipeline_spark import queries as q
+
+    for name in (
+        "corpus_drift_tv",
+        "events_daily_drift",
+        "corpus_token_budget_fill",
+        "corpus_novelty_curve",
+        "ann_abtt_corrected_topk",
+    ):
+        plan = _plan(q.QUERIES[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
