@@ -5205,3 +5205,81 @@ def ann_abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = xc.where(F.col("vec_id") % 100 == 0)
     return sim.abtt_topk(xc, queries, v3, k=5)
+
+
+# ====================================================================
+# Recall@5 for the binary-Hamming two-stage path
+# ====================================================================
+
+_HAMMING_RECALL_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+enc AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2, {_PACK_SQL} AS w
+    FROM vecs
+),
+queries AS (SELECT * FROM enc WHERE vec_id % 100 = 0),
+exact_ranked AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v)
+                            / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))
+                            DESC, c.vec_id) AS rank
+        FROM queries q JOIN enc c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+),
+coarse AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(bit_count(xor(q.w, c.w)) AS BIGINT) AS hamming,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN enc c ON c.vec_id <> q.vec_id
+),
+s1 AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, cand_id) AS rk1
+    FROM coarse
+),
+ham_ranked AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM s1 WHERE rk1 <= 32
+    ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(h.cand_id) AS BIGINT) AS n_hits,
+       count(h.cand_id) / 5.0 AS recall_at_5
+FROM exact_ranked e
+LEFT JOIN ham_ranked h
+  ON h.query_id = e.query_id AND h.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_hamming_recall_at_5", _HAMMING_RECALL_ORACLE)
+def ann_hamming_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric for the binary-quantization path: per-query
+    recall@5 of the two-stage Hamming search (32-candidate coarse
+    stage + exact rescore) against the exact brute force — the
+    justify-the-approximation measurement, same contract as
+    ann_recall_at_5 for LSH.  8 bytes per candidate through stage 1;
+    recall loss only where true neighbours fall outside the coarse
+    Hamming horizon."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    exact = sim.cosine_topk(vecs, queries, k=5).select("query_id", "cand_id")
+    approx = (
+        sim.ann_hamming_topk(vecs, queries, k=5, m=32)
+        .select("query_id", "cand_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("__hit").cast("long").alias("n_hits"),
+        (F.count("__hit") / 5.0).alias("recall_at_5"),
+    )
