@@ -1409,3 +1409,80 @@ def stream_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(abs(day_ppm - base_ppm)) div 2 AS BIGINT)"
         ).alias("tv_ppm"),
     )
+
+
+# ====================================================================
+# Streaming image fingerprinting (real codec work in-stream)
+# ====================================================================
+
+def _stream_dhash_oracle() -> str:
+    """Per-doc fingerprint words, recomputed analytically — the words
+    CTE of the batch image-dHash oracle with doc_id carried out."""
+    from .dataops_queries import _DHASH_ORACLE
+
+    # the prefix ends mid-CTE-list ("..., words AS (...),"): strip the
+    # trailing comma before appending the final SELECT
+    prefix = _DHASH_ORACLE.split("\nbands AS (")[0].rstrip().rstrip(",")
+    return f"""{prefix}
+SELECT doc_id, word FROM words
+"""
+
+
+@query("stream_image_dhash", _stream_dhash_oracle())
+def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal hash pass under Structured Streaming: the
+    documents stream filters to the image-bearing ids, each micro-batch
+    runs the REAL PNG encode→decode→dHash inside Arrow-batched
+    mapInPandas (the identical per-item work as the batch
+    multimodal_image_dhash_neardup), and the landed per-doc fingerprint
+    words must hash-match the analytic oracle.  The continuous-ingest
+    shape for media: hash on arrival (map-only, no stream state), match
+    against the standing index downstream."""
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import multimodal as mmod
+    from ..dataops import png as pngc
+    from ..streaming.windows import documents_stream
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words = [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                g = i64 // 50
+                pixels = bytearray(
+                    (g * 31 + i * 7) % 256 for i in range(288)
+                )
+                if i64 % 100 == 10:
+                    j0 = i64 % 288
+                    pixels[j0] = (pixels[j0] + 64) % 256
+                enc = pngc.encode_png(18, 16, 1, bytes(pixels))
+                w, h, gray = mmod.decode_image_gray(enc)
+                word, _ = mmod.dhash64(w, h, gray)
+                ids.append(i64)
+                words.append(word)
+            yield pd.DataFrame({"doc_id": ids, "word": words})
+
+    name = f"stream_dhash_{next(_stateful_run_counter)}"
+    stream = (
+        documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .mapInPandas(run, "doc_id long, word long")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sdhash_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
