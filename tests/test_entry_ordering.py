@@ -60,13 +60,37 @@ def test_rows_only_none_hash_counts_green_and_false_counts_red():
 
 
 def test_live_ordering_prefix_covers_all_unverified():
-    """On the real committed history: every stale-red or never-verified
-    registered query must land inside the driver's ~50-row budget."""
+    """On the real committed history: the ordering policy's invariants
+    hold against the driver's ~50-row budget.  (1) every STALE-RED
+    query — a failed driver row with a fix since — sorts inside the
+    budget unconditionally; (2) no already-green query occupies a
+    budget slot while any unverified query waits outside it (greens
+    only appear in the prefix once every unverified query is in it).
+    The absolute count of never-verified queries may legitimately
+    exceed the budget in a round that registers more than ~50 new
+    queries; the policy then drains them over subsequent rounds in
+    registration order — asserting a hard cap here would just forbid
+    registry growth."""
     latest = entry.load_driver_history()
     names = list(entry.queries().keys())
-    unverified = [
-        n for n in names if n not in latest or not latest[n][1]
-    ]
-    prefix = set(names[:50])
-    missing = [n for n in unverified if n not in prefix]
-    assert not missing, f"unverified queries outside budget: {missing}"
+    prefix = names[:50]
+    stale_red = [n for n in names if n in latest and not latest[n][1]]
+    missing_red = [n for n in stale_red if n not in set(prefix)]
+    assert not missing_red, f"stale-red outside budget: {missing_red}"
+
+    def is_unverified(n: str) -> bool:
+        return n not in latest or not latest[n][1]
+
+    n_unverified = sum(1 for n in names if is_unverified(n))
+    greens_in_prefix = [n for n in prefix if not is_unverified(n)]
+    if n_unverified >= len(prefix):
+        # budget oversubscribed: every slot must go to unverified work
+        assert not greens_in_prefix, (
+            f"green queries occupy oversubscribed budget: {greens_in_prefix}"
+        )
+    else:
+        # all unverified fit: they must ALL be inside the budget
+        outside = [
+            n for n in names[50:] if is_unverified(n)
+        ]
+        assert not outside, f"unverified outside roomy budget: {outside}"
