@@ -21,6 +21,7 @@ this package populates ``QUERIES``/``ORACLES``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +100,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     guard, not a scale crutch.
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if os.environ.get("SPARK_GRAFT_NO_SCAN_SPREAD"):
+        # tools/shuffle_audit.py disables the spread so measured shuffle
+        # bytes are the ALGORITHM's data movement, not the local-corpus
+        # parallelism guard (narrow chains then run single-core: fine
+        # for byte accounting, wrong for wall-clock).
+        return df
     parallelism = spark.sparkContext.defaultParallelism
     # the rdd conversion that exposes the scan's partition count isn't
     # free — memoize the per-table verdict (corpus files are immutable

@@ -1,0 +1,212 @@
+"""Runtime shuffle/spill audit: MEASURED bytes moved per query.
+
+The plan audit (tools/plan_audit.py) checks node TYPES; this tool
+checks the thing that actually costs money at 100 TB — how many bytes
+each query shuffles, spills, and reads.  It runs every (batch)
+registered query into a noop sink with the Spark event log enabled,
+tags each query's jobs via ``setJobGroup``, then parses the event log
+and attributes per-task metrics (shuffle read/write bytes, memory/disk
+spill, input bytes) to the owning query.
+
+This turns docstring claims like "map-only", "one shuffle on the fact",
+and "signature shuffle moves 8 longs per doc" into recorded numbers:
+a map-only operator must show shuffle_write == 0; a bounded-aggregate
+op must show shuffle bytes ≪ input bytes.
+
+``input_bytes`` is informational only: the vectorized parquet reader's
+bytes-read accounting under-counts some AQE-reused and broadcast-built
+scan stages, so cross-query input comparisons should use the table
+sizes on disk.  The shuffle/spill numbers are the load-bearing ones
+(task-level counters, attribution verified: the ``_unattributed``
+bucket is empty on a full sweep).
+
+Streaming queries execute their jobs on stream-execution threads that
+do NOT inherit the caller's job group, so their metrics land in the
+"_unattributed" bucket — they are audited end-state-vs-batch in the
+oracle harness instead; the batch surface is what this tool measures.
+
+Usage:  python tools/shuffle_audit.py [--sf DIR] [--only a,b,c]
+Writes SHUFFLE_AUDIT.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+METRIC_KEYS = {
+    "shuffle_write_bytes": ("Shuffle Write Metrics", "Shuffle Bytes Written"),
+    "shuffle_read_bytes": ("Shuffle Read Metrics", "Remote Bytes Read"),
+    "shuffle_read_local_bytes": ("Shuffle Read Metrics", "Local Bytes Read"),
+    "input_bytes": ("Input Metrics", "Bytes Read"),
+    "output_bytes": ("Output Metrics", "Bytes Written"),
+}
+TOP_KEYS = {
+    "memory_spill_bytes": "Memory Bytes Spilled",
+    "disk_spill_bytes": "Disk Bytes Spilled",
+}
+
+
+def parse_event_log(path: str) -> dict[str, dict[str, int]]:
+    """event log -> {query_name: summed task metrics}."""
+    stage_to_group: dict[int, str] = {}
+    totals: dict[str, dict[str, int]] = {}
+    with open(path) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (ev.get("Properties") or {}).get(
+                    "spark.jobGroup.id", "_unattributed"
+                )
+                for si in ev.get("Stage Infos", []):
+                    # reused stages keep their first attribution
+                    stage_to_group.setdefault(si["Stage ID"], group)
+            elif kind == "SparkListenerTaskEnd":
+                group = stage_to_group.get(ev.get("Stage ID"), "_unattributed")
+                tm = ev.get("Task Metrics") or {}
+                acc = totals.setdefault(group, {})
+                for out, (sub, key) in METRIC_KEYS.items():
+                    v = (tm.get(sub) or {}).get(key, 0)
+                    acc[out] = acc.get(out, 0) + int(v or 0)
+                for out, key in TOP_KEYS.items():
+                    acc[out] = acc.get(out, 0) + int(tm.get(key, 0) or 0)
+    # fold local+remote shuffle read into one number (local[k] reads are
+    # all "local"; on a cluster the split matters, here the sum does)
+    for acc in totals.values():
+        acc["shuffle_read_bytes"] = acc.get("shuffle_read_bytes", 0) + acc.pop(
+            "shuffle_read_local_bytes", 0
+        )
+    return totals
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    log_dir = tempfile.mkdtemp(prefix="sg_eventlog_")
+    # Disable queries.load's single-row-group spread guard: with it on,
+    # every query carries one input-sized round-robin shuffle that is a
+    # LOCAL-corpus parallelism fix, not algorithmic movement.  Guard
+    # off, a map-only operator reads literal zero shuffle bytes.
+    os.environ["SPARK_GRAFT_NO_SCAN_SPREAD"] = "1"
+    from credit_card_etl_pipeline_spark.session import get_spark
+    from credit_card_etl_pipeline_spark import queries as q
+
+    spark = get_spark(
+        app_name="shuffle_audit",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+            # plain-text single-file log so the parser can stream it
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    sc = spark.sparkContext
+
+    names = list(q.QUERIES)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+    # Streaming queries run jobs on non-inheriting threads; skip them
+    # here (see module docstring).
+    names = [n for n in names if not n.startswith("stream_")]
+
+    errors: dict[str, str] = {}
+    wall: dict[str, float] = {}
+    for name in names:
+        sc.setJobGroup(name, name, interruptOnCancel=False)
+        t0 = time.time()
+        try:
+            q.QUERIES[name](spark, args.sf).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall[name] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 - sweep must finish
+            errors[name] = repr(exc)[:200]
+        finally:
+            # pyspark 4 dropped SparkContext.clearJobGroup; resetting the
+            # local property is the documented equivalent
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        print(f"SHUFAUDIT ran {name}", flush=True)
+    spark.stop()  # flushes the event log
+
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_*)
+    # containing events_* files; flatten to the actual log files.
+    logs = []
+    for p in glob.glob(os.path.join(log_dir, "*")):
+        if os.path.isdir(p):
+            logs.extend(
+                f
+                for f in glob.glob(os.path.join(p, "*"))
+                if os.path.basename(f).startswith("events")
+            )
+        else:
+            logs.append(p)
+    per_group: dict[str, dict[str, int]] = {}
+    for p in logs:
+        for g, acc in parse_event_log(p).items():
+            tgt = per_group.setdefault(g, {})
+            for k, v in acc.items():
+                tgt[k] = tgt.get(k, 0) + v
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+    queries_out = {
+        n: {**per_group.get(n, {}), "wall_sec": wall.get(n)}
+        for n in names
+        if n not in errors
+    }
+    zero_shuffle = sorted(
+        n
+        for n, m in queries_out.items()
+        if m.get("shuffle_write_bytes", 0) == 0
+        and m.get("shuffle_read_bytes", 0) == 0
+    )
+    summary = {
+        "sf": args.sf,
+        "n_queries": len(queries_out),
+        "errors": errors,
+        "zero_shuffle_queries": zero_shuffle,
+        "totals": {
+            k: sum(m.get(k, 0) for m in queries_out.values())
+            for k in (
+                "shuffle_write_bytes",
+                "shuffle_read_bytes",
+                "memory_spill_bytes",
+                "disk_spill_bytes",
+                "input_bytes",
+            )
+        },
+        "unattributed": per_group.get("_unattributed", {}),
+        "queries": queries_out,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SHUFFLE_AUDIT.json",
+    )
+    if not args.only:
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(f"wrote {out}")
+    keys = ["n_queries", "errors", "zero_shuffle_queries", "totals"]
+    if args.only:  # local iteration: show the per-query detail too
+        keys.append("queries")
+    print(json.dumps({k: summary[k] for k in keys}))
+    return 0 if not errors else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
