@@ -51,9 +51,14 @@ def run_etl(
     specs = specs if specs is not None else DEFAULT_BANK_SPECS
     lines = statement_lines(spark, data_dir, specs)
     # Each bank re-reads the line frame (header probe + data parse);
-    # caching stops repeated binaryFile decode passes.  Statement
+    # materializing stops repeated binaryFile decode passes.  A
+    # localCheckpoint (not persist) also truncates the plan, so every
+    # branch gets EXACT size stats and the per-file header joins plan
+    # as broadcasts instead of stats-less sort-merges.  Statement
     # corpora are small relative to cluster memory; spill is acceptable.
-    lines = lines.persist()
+    from ..functions import caching
+
+    lines = caching.track(lines.localCheckpoint(eager=True))
 
     frames: list[DataFrame] = []
     for spec in specs:

@@ -489,7 +489,19 @@ FROM (VALUES
 
 def _parsed_canonical_union(lines: DataFrame) -> DataFrame:
     """parse_bank per spec → unionByName → stable canonical projection
-    (shared by the mapInPandas and Python-DataSource ingest oracles)."""
+    (shared by the mapInPandas and Python-DataSource ingest oracles).
+
+    The line frame is localCheckpointed first: every bank branch embeds
+    it ≥3× (header-position aggregate, header-row collect, data join),
+    so without materialization the Python decode re-runs ~12× across
+    the 4-bank union — the decode is the expensive pass, run it ONCE.
+    The checkpoint also gives exact size stats, so the per-file
+    header-position joins plan as broadcasts instead of stats-less
+    sort-merges (see BENCH_HISTORY r7: the broadcast-HINT variant was
+    slower precisely because it re-ran the un-checkpointed scan)."""
+    from ..functions import caching
+
+    lines = caching.track(lines.localCheckpoint(eager=True))
     parts = [
         parsed
         for spec in DEFAULT_BANK_SPECS

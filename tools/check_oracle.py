@@ -66,6 +66,12 @@ STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _fingerprint(fn, oracle: str | None, sf: str) -> str:
     import inspect
 
+    # The @query decorator registers a WRAPPER defined in
+    # queries/__init__.py; without unwrapping, every fingerprint hashed
+    # the wrapper's source + __init__.py and query-body edits were
+    # invisible to --changed-only (found round 7: an etl_queries.py
+    # change produced "0 to run").
+    fn = inspect.unwrap(fn)
     parts = [sf, oracle or "<no-oracle>"]
     try:
         parts.append(inspect.getsource(fn))
