@@ -44,6 +44,28 @@ def event_time(df: DataFrame) -> DataFrame:
     )
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the per-trigger batch across the cluster.
+
+    With ``maxFilesPerTrigger=1`` every micro-batch is ONE file, and a
+    single-row-group parquet file scans as ONE task — so without this
+    exchange the whole downstream per-row compute (gram explodes, md5
+    hashing, decode UDFs) runs single-threaded no matter how many
+    cores the cluster has (measured: the DSIR stream scorer's addBatch
+    was 8.8 s single-task vs the same work ~2 s spread, sf0.1).  The
+    shuffle moved is bounded by the trigger's file cap — one file per
+    batch — so at any corpus scale this costs ≤ one file of exchange
+    and buys full-cluster parallelism on the expensive transforms.
+    The batch path's ``queries.load`` has the same guard; like its
+    ``SPARK_GRAFT_NO_SCAN_SPREAD``, set ``SPARK_GRAFT_NO_STREAM_SPREAD``
+    to measure the raw source shape in byte-accounting audits."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_STREAM_SPREAD"):
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events parquet (one-file-per-
     trigger keeps replays deterministic).
@@ -54,11 +76,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is taken from the actual parquet footer via a one-off batch
     read (driver-side metadata only, no data scan)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    return _spread(
+        spark,
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
+        .parquet(sf_dir),
     )
 
 
@@ -80,12 +103,14 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source readStream over the documents parquet."""
-    return (
+    """File-source readStream over the documents parquet (spread
+    across the cluster per trigger — see :func:`_spread`)."""
+    return _spread(
+        spark,
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
+        .parquet(sf_dir),
     )
 
 
