@@ -588,43 +588,41 @@ def remove_boilerplate_lines(
     document; the document is rebuilt with its remaining lines in
     original order.
 
-    Shape: one line explode with position, an exact two-level
-    count-distinct per line (partial-aggregatable; the hot set is tiny
-    — lines crossing a 50-doc threshold — so the anti-join broadcasts
-    under AQE), and a per-doc rebuild via ``array_sort(collect_list)``
-    bounded by document size.  Returns (id, n_lines, n_kept,
-    clean_text); docs whose every line was boilerplate come back
-    empty, not dropped."""
+    Shape: ONE aggregation pass detects the hot set — explode
+    deduplicated ``(line, id)`` pairs, exact two-level count-distinct
+    per line (partial-aggregatable; the hot set is tiny — lines
+    crossing a 50-doc threshold) — then the hot lines collapse to a
+    single array row that broadcast-crossJoins back, and every
+    document is rebuilt MAP-ONLY with ``F.filter`` over its own split
+    array (original order is free, nothing re-shuffles).  The earlier
+    shape shuffled full line text twice more (a posexplode'd anti-join
+    plus an ``array_sort(collect_list)`` rebuild keyed by doc) —
+    dropping both halved the stage at sf0.1 and removes the only
+    O(corpus-text) exchanges, leaving the line-distinct aggregate as
+    the single data-sized shuffle at any scale.  Returns (id, n_lines,
+    n_kept, clean_text); docs whose every line was boilerplate come
+    back empty, not dropped."""
     text = F.col(text_col)
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(text, "\n")).alias("idx", "line"),
-    )
     hot = (
-        lines.groupBy("line")
-        .agg(F.countDistinct(id_col).alias("__nd"))
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(text, "\n"))).alias("line"),
+        )
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nd"))
         .where(F.col("__nd") >= min_docs)
         .select("line")
     )
-    kept = lines.join(hot, "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s.getField("line"),
-            ),
-            "\n",
-        ).alias("clean_text"),
+    hot_arr = hot.agg(F.collect_list("line").alias("__hot"))
+    kept_arr = F.filter(
+        F.split(text, "\n"),
+        lambda l: ~F.array_contains(F.col("__hot"), l),
     )
-    totals = df.select(
-        F.col(id_col), F.size(F.split(text, "\n")).cast("long").alias("n_lines")
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    return df.crossJoin(F.broadcast(hot_arr)).select(
+        F.col(id_col),
+        F.size(F.split(text, "\n")).cast("long").alias("n_lines"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
+        F.array_join(kept_arr, "\n").alias("clean_text"),
     )
 
 

@@ -468,7 +468,21 @@ def substring_containment(
     through exact dedup, as with :func:`lsh_overflow_docs`.  Pass
     ``None`` for exhaustive semantics (small corpora / oracle checks).
 
+    The shingle table carries the 60-bit md5 of each shingle, never
+    the shingle TEXT: the frequency aggregate, the hot-anchor cap, and
+    the anchor join all shuffle 8-byte longs instead of n-gram strings
+    (the dominant exchange of this operator — the verify step already
+    re-checks candidates with a padded substring match, so a hash
+    bucket standing in for the string only risks EXTRA verified-away
+    candidates, and the cap is DEFINED on hash-bucket frequency —
+    identically in the SQL oracles — so both engines agree by
+    construction).  Per-doc shingles are deduplicated before the
+    aggregate (``array_distinct``), so frequency = number of docs
+    holding the shingle.
+
     Returns (contained_id, container_id, contained_tokens) pairs."""
+    from ..functions.hashing import md5_int60
+
     norm = normalize_text(F.col(text_col))
     base = df.select(F.col(id_col), norm.alias("__norm"))
     w = F.split(F.col("__norm"), " ")
@@ -476,21 +490,26 @@ def substring_containment(
         F.col(id_col).alias("contained_id"),
         F.col("__norm").alias("__a_norm"),
         F.size(w).cast("long").alias("contained_tokens"),
-        F.concat_ws(" ", F.slice(w, 1, n)).alias("shingle"),
+        md5_int60(F.concat_ws(" ", F.slice(w, 1, n))).alias("__h"),
     )
-    sh = exploded_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    ).select(F.col(id_col), md5_int60(F.col("shingle")).alias("__h"))
     if max_anchor_bucket is not None:
-        # materialize once: the exploded view feeds the frequency
+        # materialize once: the hashed view feeds the frequency
         # aggregate AND the anchor join (same re-scan hazard as the
-        # LSH banded view)
+        # LSH banded view); 16 bytes/row, a fraction of the text form
         sh = sh.localCheckpoint(eager=True)
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__sn"))
+        freq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__sn"))
         sh = sh.join(
             freq.where(F.col("__sn") <= max_anchor_bucket).drop("__sn"),
-            "shingle",
+            "__h",
         )
     cand = (
-        anchors.join(sh.withColumnRenamed(id_col, "container_id"), "shingle")
+        anchors.join(sh.withColumnRenamed(id_col, "container_id"), "__h")
         .where(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id", "contained_tokens", "__a_norm")
         .distinct()

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..dataops import curate as cu
 from ..dataops import dedup as dd
+from ..functions.hashing import md5_int60_sql
 from . import load, query
 
 #: Normalized text (twin of dataops.text.normalize_text).
@@ -1070,21 +1071,25 @@ shingles AS (
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
     FROM normw
 ),
-kept_sh AS (
-    SELECT shingle FROM shingles
-    GROUP BY shingle HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+-- hash-bucket cap, mirroring dataops.dedup.substring_containment
+hashed AS (
+    SELECT doc_id, {md5_int60_sql('shingle')} AS h FROM shingles
 ),
-sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept_sh USING (shingle)),
+kept_sh AS (
+    SELECT h FROM hashed
+    GROUP BY h HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+sh AS (SELECT s.doc_id, s.h FROM hashed s JOIN kept_sh USING (h)),
 anchors AS (
     SELECT doc_id AS contained_id, nrm AS a_nrm,
-           w[1] || ' ' || w[2] || ' ' || w[3] AS anchor
+           {md5_int60_sql("w[1] || ' ' || w[2] || ' ' || w[3]")} AS anchor_h
     FROM normw WHERE len(w) >= 3
 ),
 contained AS (
     SELECT DISTINCT c.contained_id AS doc_id FROM (
         SELECT DISTINCT a.contained_id, s.doc_id AS container_id, a.a_nrm
         FROM anchors a
-        JOIN sh s ON s.shingle = a.anchor AND s.doc_id <> a.contained_id
+        JOIN sh s ON s.h = a.anchor_h AND s.doc_id <> a.contained_id
     ) c JOIN normw b ON b.doc_id = c.container_id
     WHERE strpos(' ' || b.nrm || ' ', ' ' || c.a_nrm || ' ') > 0
 ),

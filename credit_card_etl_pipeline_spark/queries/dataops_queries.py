@@ -451,22 +451,28 @@ shingles AS (
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
     FROM norms
 ),
-kept AS (
-    SELECT shingle FROM shingles
-    GROUP BY shingle HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+-- the engine shuffles the 60-bit md5 of each shingle, never the text;
+-- the hot-anchor cap is DEFINED on hash-bucket frequency in both
+-- engines (see dataops.dedup.substring_containment)
+hashed AS (
+    SELECT doc_id, {md5_int60_sql('shingle')} AS h FROM shingles
 ),
-sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept USING (shingle)),
+kept AS (
+    SELECT h FROM hashed
+    GROUP BY h HAVING count(*) <= {dd.DEFAULT_MAX_BUCKET_SIZE}
+),
+sh AS (SELECT s.doc_id, s.h FROM hashed s JOIN kept USING (h)),
 anchors AS (
     SELECT doc_id AS contained_id, nrm AS a_nrm,
            CAST(len(w) AS BIGINT) AS contained_tokens,
-           w[1] || ' ' || w[2] || ' ' || w[3] AS anchor
+           {md5_int60_sql("w[1] || ' ' || w[2] || ' ' || w[3]")} AS anchor_h
     FROM norms WHERE len(w) >= 3
 ),
 cand AS (
     SELECT DISTINCT a.contained_id, s.doc_id AS container_id,
            a.contained_tokens, a.a_nrm
     FROM anchors a
-    JOIN sh s ON s.shingle = a.anchor AND s.doc_id <> a.contained_id
+    JOIN sh s ON s.h = a.anchor_h AND s.doc_id <> a.contained_id
 )
 SELECT c.contained_id, c.container_id, c.contained_tokens
 FROM cand c JOIN norms b ON b.doc_id = c.container_id
