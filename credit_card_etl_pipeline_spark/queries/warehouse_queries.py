@@ -108,9 +108,14 @@ def warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ok") % 2 == 1)
         .withColumn("amt_cents", (F.col("amt_cents") * 2).cast("long"))
     )
-    n_base = base.count()
-    n_1995 = base.where(F.year("transaction_date") == 1995).count()
-    n_inc = inc.count()
+    # one validation scan, not three (count, 1995-count, inc-count
+    # share the same pass over orders)
+    is95 = F.year("transaction_date") == 1995
+    n_base, n_1995, n_inc = base.select(
+        F.count(F.lit(1)),
+        F.count(F.when(is95, 1)),
+        F.count(F.when(is95 & (F.col("ok") % 2 == 1), 1)),
+    ).first()
 
     path = tempfile.mkdtemp(prefix="wh_incremental_") + "/transactions"
     write_warehouse(base, path, expected_rows=n_base)
