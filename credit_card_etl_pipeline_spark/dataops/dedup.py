@@ -488,7 +488,6 @@ def substring_containment(
     w = F.split(F.col("__norm"), " ")
     anchors = base.where(F.size(w) >= n).select(
         F.col(id_col).alias("contained_id"),
-        F.col("__norm").alias("__a_norm"),
         F.size(w).cast("long").alias("contained_tokens"),
         md5_int60(F.concat_ws(" ", F.slice(w, 1, n))).alias("__h"),
     )
@@ -508,17 +507,26 @@ def substring_containment(
             freq.where(F.col("__sn") <= max_anchor_bucket).drop("__sn"),
             "__h",
         )
+    # candidate pairs are IDS ONLY through the join and the distinct —
+    # the normalized texts attach AFTER dedup, one join per side, so a
+    # corpus whose true-containment pair count blows up (every doc
+    # contained in k mirrors) shuffles 24-byte rows instead of
+    # dragging each contained doc's full text through the exchange
     cand = (
         anchors.join(sh.withColumnRenamed(id_col, "container_id"), "__h")
         .where(F.col("contained_id") != F.col("container_id"))
-        .select("contained_id", "container_id", "contained_tokens", "__a_norm")
+        .select("contained_id", "container_id", "contained_tokens")
         .distinct()
     )
-    container = base.select(
+    contained_txt = base.select(
+        F.col(id_col).alias("contained_id"), F.col("__norm").alias("__a_norm")
+    )
+    container_txt = base.select(
         F.col(id_col).alias("container_id"), F.col("__norm").alias("__b_norm")
     )
     return (
-        cand.join(container, "container_id")
+        cand.join(contained_txt, "contained_id")
+        .join(container_txt, "container_id")
         .where(
             F.contains(
                 F.concat(F.lit(" "), F.col("__b_norm"), F.lit(" ")),
