@@ -65,6 +65,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     # Curation/DSIR: 1-row corpus totals / fitted model scalars
     # (curate.py:325,425,469,551,571 — all F.broadcast'ed).
     "curate_lm_typicality": "1-row corpus log-prob totals",
+    "remove_boilerplate_lines": "1-row hot-line array (collect_list agg)",
     "dsir_importance_weights": "1-row gram totals per model",
     "corpus_drift_tv": "1-row per-side totals + 1-row TV scalar",
     "corpus_token_budget_fill": "1-row budget threshold",
