@@ -148,3 +148,23 @@ def test_tws_registration_tracks_protobuf():
         has_pb = False
     assert ("stream_user_stats_tws" in q.QUERIES) == has_pb
     assert ("stream_user_stats_tws" in q.ORACLES) == has_pb
+
+
+def test_stream_sources_spread_per_trigger(spark, monkeypatch):
+    """The file-source streams repartition each micro-batch across the
+    cluster (one file per trigger scans as one task otherwise; see
+    streaming/windows._spread) — and the audit toggle removes the
+    exchange so byte-accounting measures the raw source."""
+    from credit_card_etl_pipeline_spark.streaming.windows import (
+        documents_stream,
+        events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for src in (documents_stream, events_stream):
+        monkeypatch.delenv("SPARK_GRAFT_NO_STREAM_SPREAD", raising=False)
+        plan = src(spark, sf)._jdf.queryExecution().logical().toString()
+        assert "Repartition" in plan, plan
+        monkeypatch.setenv("SPARK_GRAFT_NO_STREAM_SPREAD", "1")
+        plan = src(spark, sf)._jdf.queryExecution().logical().toString()
+        assert "Repartition" not in plan, plan
