@@ -618,11 +618,16 @@ def remove_boilerplate_lines(
         F.split(text, "\n"),
         lambda l: ~F.array_contains(F.col("__hot"), l),
     )
+    # NULL text: n_kept 0 and clean_text '' (the join-shape's outer
+    # coalesce contract — size() yields -1 on NULL input, hence
+    # greatest); n_lines stays size(split(NULL)) like before
     return df.crossJoin(F.broadcast(hot_arr)).select(
         F.col(id_col),
         F.size(F.split(text, "\n")).cast("long").alias("n_lines"),
-        F.size(kept_arr).cast("long").alias("n_kept"),
-        F.array_join(kept_arr, "\n").alias("clean_text"),
+        F.greatest(F.size(kept_arr), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.array_join(kept_arr, "\n"), F.lit("")).alias(
+            "clean_text"
+        ),
     )
 
 

@@ -206,6 +206,24 @@ def test_remove_boilerplate_lines(spark):
     assert out[5] == (1, 1, "no footer here")
 
 
+def test_remove_boilerplate_null_text(spark):
+    """NULL text keeps the join-shape contract: n_lines follows
+    size(split(NULL)) (-1), n_kept 0, clean_text '' — not NULLs."""
+    from credit_card_etl_pipeline_spark.dataops.curate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out[2] == (-1, 0, "")
+    assert out[1] == (2, 2, "a\nb")
+
+
 def test_dedup_corpus_chunks_keeps_first_copy(spark):
     # doc 1 and doc 2 share an identical 4-token chunk; doc 1's copy
     # (lower doc_id) must survive, doc 2's must not
