@@ -66,6 +66,53 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+#: Target bytes of source input per micro-batch: small part files
+#: coalesce into one trigger (a 32-part Spark-written table would
+#: otherwise run 32 micro-batches, paying per-batch planning + the
+#: spread exchange 32 times — measured +4s on light aggregations at
+#: 10x volume), while a big file still streams one per trigger.
+_TRIGGER_TARGET_BYTES = 64 << 20
+
+
+def _table_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema: T.StructType
+) -> DataFrame:
+    """File-source readStream over ``<sf_dir>/<table>.parquet``,
+    whichever layout it is: a single FILE (the driver corpus) streams
+    via a pathGlobFilter on the parent dir; a DIRECTORY (a
+    Spark-written table) streams its part files directly — a glob on
+    the parent would match zero files inside the subdirectory and the
+    stream would silently read nothing (found by the 10x soak).
+
+    ``maxFilesPerTrigger`` is sized from the table's actual file sizes
+    so each micro-batch carries ~``_TRIGGER_TARGET_BYTES`` of input
+    regardless of how the table was chunked; file order stays
+    deterministic, so replays are too."""
+    import math
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        sizes = [
+            e.stat().st_size
+            for e in os.scandir(path)
+            if e.is_file() and e.name.endswith(".parquet")
+        ]
+        avg = max(1, sum(sizes) // max(1, len(sizes)))
+        per_trigger = min(128, max(1, math.ceil(_TRIGGER_TARGET_BYTES / avg)))
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(path)
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events parquet (one-file-per-
     trigger keeps replays deterministic).
@@ -76,13 +123,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is taken from the actual parquet footer via a one-off batch
     read (driver-side metadata only, no data scan)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return _spread(
-        spark,
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir),
-    )
+    return _spread(spark, _table_stream(spark, sf_dir, "events", schema))
 
 
 def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
@@ -106,11 +147,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the documents parquet (spread
     across the cluster per trigger — see :func:`_spread`)."""
     return _spread(
-        spark,
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir),
+        spark, _table_stream(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
     )
 
 
