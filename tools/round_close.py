@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Round-close gate runner: executes every verification surface in
+sequence and prints one PASS/FAIL line per gate plus a final summary.
+
+    python tools/round_close.py [--skip-bench]
+
+Gates (each also maintained standalone — see the files for usage):
+
+1. pytest            — the unit/property suite (tests/)
+2. oracle sweep      — DuckDB hash-parity for all registered queries
+                       (tools/check_oracle.py, sf0.01)
+3. hostile sweep     — every query under ANSI + non-UTC session
+                       (tools/hostile_sweep.py, sf0.001)
+4. plan audit        — 0 cartesians / row-wise Python, BNLJ allowlist
+                       (tools/plan_audit.py; writes PLAN_AUDIT.json)
+5. bench             — full-registry timing (bench.py; writes
+                       BENCH_FULL.json) — skippable, ~5 min
+
+Run gates SEQUENTIALLY on an otherwise-idle host: they are all
+Spark-heavy, and concurrent runs contend for the same cores (measured
+2x wall-time inflation; see BENCH_HISTORY r7 continuation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(label: str, cmd: list[str]) -> bool:
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    ok = r.returncode == 0
+    tail = (r.stdout + r.stderr).strip().splitlines()[-1:] or [""]
+    print(
+        f"{'PASS' if ok else 'FAIL'}  {label} "
+        f"[{time.time() - t0:.0f}s]  {tail[0][:120]}"
+    )
+    if not ok:
+        sys.stdout.write((r.stdout + r.stderr)[-3000:] + "\n")
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-bench", action="store_true")
+    args = ap.parse_args()
+    py = sys.executable
+    gates = [
+        ("pytest", [py, "-m", "pytest", "tests/", "-q"]),
+        ("oracle sweep", [py, "tools/check_oracle.py"]),
+        ("hostile sweep", [py, "tools/hostile_sweep.py"]),
+        ("plan audit", [py, "tools/plan_audit.py"]),
+    ]
+    if not args.skip_bench:
+        gates.append(("bench", [py, "bench.py"]))
+    results = [run(label, cmd) for label, cmd in gates]
+    n_ok = sum(results)
+    print(f"round-close: {n_ok}/{len(results)} gates green")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
