@@ -416,7 +416,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, F.col("doc_b") == F.col("doc_a") + 1
     ).select("doc_a", "doc_b")
-    sh = dd.exploded_shingles(corpus(spark, sf_dir))
+    # shingle sets are per-doc independent — only pair members need
+    # the explode (same pushdown as dedup_minhash_quality)
+    sh = dd.exploded_shingles(
+        corpus(spark, sf_dir).where((F.col("doc_id") % 10).isin(0, 1))
+    )
     return dd.jaccard_for_pairs(sh, pairs)
 
 
