@@ -518,6 +518,18 @@ def substring_containment(
         .select("contained_id", "container_id", "contained_tokens")
         .distinct()
     )
+    # a contained doc can't be LONGER than its container — the length
+    # gate kills those pairs on 16-byte rows before any text attaches
+    # (a longer doc's anchor legitimately matches a shorter doc's
+    # shingles whenever the shorter doc is its prefix — on mirror/
+    # snippet corpora that's ~half the candidates, all unverifiable)
+    container_len = base.select(
+        F.col(id_col).alias("container_id"),
+        F.size(F.split(F.col("__norm"), " ")).cast("long").alias("__b_len"),
+    )
+    cand = cand.join(container_len, "container_id").where(
+        F.col("contained_tokens") <= F.col("__b_len")
+    )
     contained_txt = base.select(
         F.col(id_col).alias("contained_id"), F.col("__norm").alias("__a_norm")
     )
