@@ -168,3 +168,40 @@ def test_stream_sources_spread_per_trigger(spark, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_NO_STREAM_SPREAD", "1")
         plan = src(spark, sf)._jdf.queryExecution().logical().toString()
         assert "Repartition" not in plan, plan
+
+
+def test_stream_reads_directory_shaped_tables(spark, tmp_path):
+    """A Spark-written table is a DIRECTORY of part files; the stream
+    source must read those parts (the parent-dir glob matched zero
+    files inside and streamed nothing — caught by the 10x soak), and
+    size maxFilesPerTrigger from real file sizes."""
+    import shutil
+
+    from credit_card_etl_pipeline_spark.streaming.windows import (
+        documents_stream,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "corpus")
+    # directory layout: re-write the documents table via Spark, 4 parts
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    n = docs.count()
+    docs.repartition(4).write.parquet(f"{d}/documents.parquet")
+
+    out = f"stream_dir_test_{abs(hash(d)) % 100000}"
+    q = (
+        documents_stream(spark, d)
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName(out)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table(out).collect()[0]["count"]
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == n, (got, n)
