@@ -18,6 +18,7 @@ from ..streaming.windows import (
     event_time,
     events_stream,
     session_counts,
+    sized_state_partitions,
     sliding_counts,
     tumbling_counts,
 )
@@ -151,19 +152,20 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"user_stats_oracle_{next(_stateful_run_counter)}"
     stream = event_time(events_stream(spark, sf_dir))
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         spark.table(name)
@@ -205,19 +207,20 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = events_stream(spark, sf_dir).unionByName(
         events_stream(spark, sf_dir)
     )
-    q = (
-        dedup_stream(doubled)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            dedup_stream(doubled)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="dedup_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -314,18 +317,19 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = deduped.select(
         "doc_id", "lang", n_tokens.alias("n_tokens"), keep.alias("keep")
     ).where(F.col("keep"))
-    q = (
-        curated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="curate_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "documents"):
+        q = (
+            curated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="curate_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return (
         spark.table(name)
         .groupBy("lang")
@@ -529,18 +533,19 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("vc").cast("long").alias("value_cents"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -601,18 +606,19 @@ def stream_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("vc").cast("long").alias("value_cents"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="salted_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="salted_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -965,18 +971,19 @@ def stream_bloom_corpus_filter(
             .alias("n_novel"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="sbloom_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "documents"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="sbloom_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -1006,19 +1013,20 @@ def stream_dedup_within_watermark(
     doubled = events_stream(spark, sf_dir).unionByName(
         events_stream(spark, sf_dir)
     )
-    q = (
-        dedup_stream_within_watermark(doubled)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="dedup_wm_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            dedup_stream_within_watermark(doubled)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="dedup_wm_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1178,18 +1186,19 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = prepped.groupBy("win", "bucket").agg(
         F.max("rho").cast("int").alias("max_rho")
     )
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="hllw_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "events"):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="hllw_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     final = (
         spark.table(name)
         .groupBy(
@@ -1473,16 +1482,17 @@ def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .mapInPandas(run, "doc_id long, word long")
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="sdhash_ckpt_")
+    with sized_state_partitions(spark, sf_dir, "documents"):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="sdhash_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
