@@ -704,7 +704,6 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join.  Matched pairs land append-mode in a memory sink and
     are counted per error batch-side; the oracle is the naive batch
     inequality join (errors with >= 1 match, inner-join semantics)."""
-    import os
     import tempfile
 
     name = f"ss_join_{next(_stateful_run_counter)}"
@@ -738,20 +737,7 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stream-stream join materializes FOUR state stores per shuffle
     # partition; at 32 partitions the store setup dominates wall time
     # at bench scale (16s -> 4.5s measured at sf0.1 going 32 -> 8).
-    # Size the state partitioning from the source volume (~64 MB of
-    # input per state partition, floor 8) instead of inheriting the
-    # session default: this keeps the run cheap locally AND grows the
-    # partition count with the data on a real cluster.  The conf only
-    # binds when the query first starts (fresh checkpoint each run),
-    # and is restored right after so batch plans are untouched.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        src_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
-    except OSError:
-        src_bytes = 0
-    state_parts = max(8, min(int(prev_parts), src_bytes // (64 << 20)))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    with sized_state_partitions(spark, sf_dir, "events"):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -765,8 +751,6 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy(
@@ -1287,7 +1271,6 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights oracle — the stream == batch contract for model-scored
     ingestion.  At 100 TB the model refreshes offline on a cadence
     while the scorer never re-shuffles the stream."""
-    import os
     import tempfile
 
     from ..dataops import curate as cu
@@ -1306,15 +1289,8 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Size the state partitioning from the source volume (the
     # stream_stream_join lesson: store setup per partition dominates
-    # at bench scale; ~64 MB input per state partition, floor 8).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        src_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
-    except OSError:
-        src_bytes = 0
-    state_parts = max(8, min(int(prev_parts), src_bytes // (64 << 20)))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    # at bench scale; ~64 MB input per state partition, floor 8.
+    with sized_state_partitions(spark, sf_dir, "documents"):
         q = (
             ledger.writeStream.format("memory")
             .queryName(name)
@@ -1327,8 +1303,6 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -1353,7 +1327,6 @@ def stream_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle bit-for-bit.  The production shape for continuous
     monitoring: state is bounded by days×types, and the expensive
     pass never leaves the stream."""
-    import os
     import tempfile
 
     from ..functions.eventtime import event_micros
@@ -1370,14 +1343,7 @@ def stream_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        src_bytes = os.path.getsize(f"{sf_dir}/events.parquet")
-    except OSError:
-        src_bytes = 0
-    state_parts = max(8, min(int(prev_parts), src_bytes // (64 << 20)))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    with sized_state_partitions(spark, sf_dir, "events"):
         q = (
             cnt.writeStream.format("memory")
             .queryName(name)
@@ -1391,8 +1357,6 @@ def stream_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # snapshot the memory-sink table once: three consumers re-reference
     # it (days, types, and the grid join), and a streaming memory
