@@ -343,13 +343,21 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
     call sites.)  The loop exits on a fixpoint (no label changed).
     """
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
     both = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
         .persist()
+    )
+    # Only vertices that touch an edge can ever change label — iterate
+    # over THAT set (bounded by 2·|candidate pairs|), not the corpus:
+    # isolated vertices (the overwhelming majority of a deduped corpus)
+    # rejoin at the end with component = own id.  This bounds every
+    # round's state by the candidate graph regardless of corpus size.
+    labels = (
+        both.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("component"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -380,12 +388,17 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
-    # The result projects off the last round's checkpoint (constant-
-    # size lineage); persist + track so downstream consumers share one
-    # materialization, released at the next query boundary.
-    out = caching.track(
-        labels.select(F.col("v").alias(id_col), "component").persist()
+    # Rejoin the isolated vertices (own id = own component) off the
+    # last round's checkpoint (constant-size lineage); persist + track
+    # so downstream consumers share one materialization, released at
+    # the next query boundary.
+    full = vertices.join(
+        labels.withColumnRenamed("v", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+    out = caching.track(full.persist())
     out.count()
     return out
 
