@@ -76,6 +76,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 _TRIGGER_TARGET_BYTES = 64 << 20
 
 
+def files_per_trigger(sizes: list[int]) -> int:
+    """Files per micro-batch so each trigger carries roughly
+    ``_TRIGGER_TARGET_BYTES`` of input: ceil(target / avg file size),
+    clamped to [1, 128].  An empty or zero-size listing hits the 128
+    cap — such files carry no rows, so batching many per trigger is
+    the harmless direction."""
+    import math
+
+    avg = max(1, sum(sizes) // max(1, len(sizes)))
+    return min(128, max(1, math.ceil(_TRIGGER_TARGET_BYTES / avg)))
+
+
 def _table_stream(
     spark: SparkSession, sf_dir: str, table: str, schema: T.StructType
 ) -> DataFrame:
@@ -90,7 +102,6 @@ def _table_stream(
     so each micro-batch carries ~``_TRIGGER_TARGET_BYTES`` of input
     regardless of how the table was chunked; file order stays
     deterministic, so replays are too."""
-    import math
     import os
 
     path = f"{sf_dir}/{table}.parquet"
@@ -100,11 +111,9 @@ def _table_stream(
             for e in os.scandir(path)
             if e.is_file() and e.name.endswith(".parquet")
         ]
-        avg = max(1, sum(sizes) // max(1, len(sizes)))
-        per_trigger = min(128, max(1, math.ceil(_TRIGGER_TARGET_BYTES / avg)))
         return (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", per_trigger)
+            .option("maxFilesPerTrigger", files_per_trigger(sizes))
             .parquet(path)
         )
     return (

@@ -205,3 +205,23 @@ def test_stream_reads_directory_shaped_tables(spark, tmp_path):
     got = spark.table(out).collect()[0]["count"]
     shutil.rmtree(d, ignore_errors=True)
     assert got == n, (got, n)
+
+
+def test_files_per_trigger_sizing():
+    from credit_card_etl_pipeline_spark.streaming.windows import (
+        _TRIGGER_TARGET_BYTES,
+        files_per_trigger,
+    )
+
+    mb = 1 << 20
+    assert files_per_trigger([]) == 128  # degenerate: no files listed
+    assert files_per_trigger([0]) == 128  # zero-size part
+    assert files_per_trigger([256 * mb]) == 1  # big file: one per batch
+    assert files_per_trigger([2 * mb] * 32) == 32  # 32 small parts: one batch
+    assert files_per_trigger([64 * mb]) == 1
+    assert files_per_trigger([32 * mb, 32 * mb]) == 2
+    # clamp: thousands of tiny files never exceed 128 per trigger
+    assert files_per_trigger([1024] * 10_000) == 128
+    # target is respected within one file's granularity
+    n = files_per_trigger([10 * mb] * 100)
+    assert 6 <= n <= 7 and n * 10 * mb >= _TRIGGER_TARGET_BYTES - 10 * mb
