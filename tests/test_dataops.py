@@ -181,6 +181,61 @@ def test_connected_components_chain_and_isolates(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The guarded driver union-find (edge count <= cap) and the
+    distributed min-label propagation (cap forced to None) must label
+    identically: component = min reachable id, isolates = own id."""
+    import random
+
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 200
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    # adversarial extras: a long chain (deep diameter) and a star
+    edges += [(100 + i, 101 + i) for i in range(20)]
+    edges += [(0, 150 + i) for i in range(10)]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(vertices, edf).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            vertices, edf, driver_edge_cap=None
+        ).collect()
+    }
+    assert fast == dist
+    # spot-check the min-id invariant on the star
+    assert fast[150] == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
 def test_dedup_exact_survivors(spark):
     pdf = pd.DataFrame(
         {
