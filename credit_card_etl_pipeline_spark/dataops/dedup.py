@@ -228,17 +228,25 @@ def lsh_probe_pairs(
 def _banded(
     signatures: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """(id, band, band_key) exploded view of the signature table."""
-    banded = None
-    for b in range(bands):
-        cols = [f"mh{b * rows + r}" for r in range(rows)]
-        part = signatures.select(
-            F.col(id_col),
+    """(id, band, band_key) exploded view of the signature table.
+
+    One explode over an inline (band, band_key) struct array — NOT a
+    union of per-band selects: a union re-executes the signature
+    subplan (full shingle explode + 8-min groupBy, the expensive part
+    of the LSH chain) once per band, while the explode computes
+    signatures exactly once and fans out narrow rows."""
+    entries = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            ).alias("band_key"),
         )
-        banded = part if banded is None else banded.unionByName(part)
-    return banded
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("__bk")
+    ).select(F.col(id_col), F.col("__bk.band"), F.col("__bk.band_key"))
 
 
 def lsh_overflow_docs(
@@ -396,20 +404,30 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
     call sites.)  The loop exits on a fixpoint (no label changed).
     """
-    pairs = edges.select("doc_a", "doc_b").persist()
-    n_edges = pairs.count()
-    if driver_edge_cap and n_edges <= driver_edge_cap:
+    pairs = edges.select("doc_a", "doc_b")
+    pdf = None
+    if driver_edge_cap:
+        # One probe job decides the strategy AND, in the common case,
+        # already holds the whole edge list: limit(cap+1) collects at
+        # most cap+1 rows (early-terminating upstream scans once the
+        # limit is hit), so a small graph never pays a separate
+        # count + persist round-trip and a huge one pays only the
+        # short-circuited probe before falling through to the loop.
+        head = pairs.limit(driver_edge_cap + 1).toPandas()
+        if len(head) <= driver_edge_cap:
+            pdf = head
+    if pdf is not None:
         spark = vertices.sparkSession
-        pdf = _union_find_labels(pairs.toPandas())
-        pairs.unpersist()
+        labeled = _union_find_labels(pdf)
         vtype = [f for f in pairs.schema.fields if f.name == "doc_a"][0].dataType
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType(
             [StructField("v", vtype), StructField("component", vtype)]
         )
-        labels = spark.createDataFrame(pdf, schema)
+        labels = spark.createDataFrame(labeled, schema)
     else:
+        pairs = pairs.persist()
         both = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
             pairs.selectExpr("doc_b AS src", "doc_a AS dst")
         )
