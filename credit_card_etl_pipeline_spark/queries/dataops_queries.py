@@ -2135,6 +2135,65 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Sliding-window duplicated spans (ExactSubstr dedup, Lee et al. 2022)
+# ====================================================================
+
+#: Window width for duplicate-span detection: long enough that random
+#: token runs never collide at corpus scale, short enough that the
+#: injected +1M mirror docs and in-corpus boilerplate both trip it.
+_SPAN_K = 8
+
+_SPANS_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+w AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+),
+wins AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           {md5_int60_sql(
+               f"array_to_string(toks[u.i:u.i + {_SPAN_K - 1}], ' ')"
+           )} AS h
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= {_SPAN_K}),
+         UNNEST(generate_series(1, len(toks) - {_SPAN_K - 1})) AS u(i)
+),
+freq AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (h)),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > COALESCE(max(pos + {_SPAN_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -1) + 1
+                THEN 1 ELSE 0 END AS b
+    FROM dup
+),
+grp AS (
+    SELECT doc_id, pos,
+           SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM brk
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_SPAN_K - 1} - min(pos) + 1 AS BIGINT)
+           AS span_tokens
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@query("dedup_duplicate_spans", _SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact substring dedup (ExactSubstr, Lee et al.
+    2022): every 8-token window repeated anywhere in the corpus — at
+    ANY offset, self-repeats included — marks its range, and marked
+    ranges merge per doc into maximal duplicated spans.  Catches the
+    unaligned repeats that strided chunk dedup (dedup_corpus_chunks)
+    and whole/near-doc dedup both miss.  Window slots shuffle as 60-bit
+    hashes; the per-doc merge is one gaps-and-islands window — no pair
+    join anywhere (dataops/dedup.py:duplicate_spans)."""
+    return dd.duplicate_spans(corpus(spark, sf_dir), k=_SPAN_K)
+
+
+# ====================================================================
 # Per-label embedding centroids (exact integer-scaled dimension sums)
 # ====================================================================
 

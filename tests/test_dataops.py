@@ -236,6 +236,38 @@ def test_connected_components_empty_edges(spark):
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_duplicate_spans_detection_and_merging(spark):
+    """Cross-doc repeats, self-repeats, and overlap merging of the
+    sliding-window span dedup (k=8): a repeated 8-token run marks one
+    exact span per occurrence; a repeated 9-token run produces two
+    overlapping marked windows that must merge into ONE maximal span;
+    non-adjacent repeats within a doc stay separate spans."""
+    from credit_card_etl_pipeline_spark.dataops.dedup import duplicate_spans
+
+    run8 = "a b c d e f g h"
+    run9 = "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    docs = [
+        (1, "p1 p2 " + run8 + " q1 q2"),  # run8 at pos 3..10
+        (2, "r1 r2 r3 r4 " + run8),       # run8 at pos 5..12
+        (3, run8 + " gap " + run8),       # self-repeat: pos 1..8, 10..17
+        (4, run9),                        # overlapping windows merge
+        (5, "z " + run9),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(df, k=8).collect()
+    }
+    assert out == {
+        (1, 3, 10, 8),
+        (2, 5, 12, 8),
+        (3, 1, 8, 8),
+        (3, 10, 17, 8),
+        (4, 1, 9, 9),
+        (5, 2, 10, 9),
+    }
+
+
 def test_dedup_exact_survivors(spark):
     pdf = pd.DataFrame(
         {
