@@ -64,13 +64,12 @@ def dedup_exact(
 # Shingling + MinHash signatures
 # ------------------------------------------------------------------
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word ``n``-grams of the normalized text (1-based
-    element_at so the SQL twin matches index-for-index).  Texts shorter
-    than ``n`` words yield an empty set — guarded explicitly because
-    ``sequence(1, 0)`` would otherwise DESCEND through index 0 and
-    error (Spark sequences auto-step downward)."""
-    w = F.split(normalize_text(col), " ")
+def _token_shingles(w: Column, n: int) -> Column:
+    """Distinct ``n``-grams of an already-tokenized array column
+    (1-based element_at so the SQL twin matches index-for-index).
+    Arrays shorter than ``n`` yield an empty set — guarded explicitly
+    because ``sequence(1, 0)`` would otherwise DESCEND through index 0
+    and error (Spark sequences auto-step downward)."""
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -83,11 +82,24 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of the normalized text.  Prefer
+    :func:`exploded_shingles` on whole frames — it projects the token
+    array once so the ``n`` element_at references don't each
+    re-evaluate the normalize+split expression."""
+    return _token_shingles(F.split(normalize_text(col), " "), n)
+
+
 def exploded_shingles(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(_token_shingles(F.col("__toks"), n)).alias("shingle"),
     )
 
 
