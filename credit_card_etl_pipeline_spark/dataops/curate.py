@@ -66,10 +66,12 @@ def pii_scrub(col: Column) -> Column:
 # Repetition signals (Gopher-style quality heuristics)
 # ------------------------------------------------------------------
 
-def bigrams(col: Column) -> Column:
-    """Adjacent word 2-grams of the normalized text (NOT distinct —
-    repetition is the signal here, unlike dedup shingles)."""
-    w = words(col)
+def token_bigrams(w: Column) -> Column:
+    """Adjacent 2-grams of an already-tokenized array column (NOT
+    distinct — repetition is the signal here, unlike dedup shingles).
+    Prefer projecting the token array once and calling this, so the
+    element_at references don't each re-evaluate an inline
+    normalize+split (the dedup._token_shingles lesson)."""
     return F.when(
         F.size(w) >= 2,
         F.transform(
@@ -79,6 +81,12 @@ def bigrams(col: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(col: Column) -> Column:
+    """Adjacent word 2-grams of the normalized text (expression form
+    for single-column callers; see :func:`token_bigrams`)."""
+    return token_bigrams(words(col))
 
 
 def _gram_stats(grams: DataFrame, id_col: str, prefix: str) -> DataFrame:
@@ -106,7 +114,11 @@ def repetition_signals(
     toks = df.select(
         F.col(id_col), F.explode(words(text)).alias("gram")
     )
-    bigs = df.select(F.col(id_col), F.explode(bigrams(text)).alias("gram"))
+    bigs = df.select(
+        F.col(id_col), words(text).alias("__toks")
+    ).select(
+        F.col(id_col), F.explode(token_bigrams(F.col("__toks"))).alias("gram")
+    )
     word_stats = _gram_stats(toks, id_col, "words")
     bigram_stats = _gram_stats(bigs, id_col, "bigrams")
     out = word_stats.join(bigram_stats, id_col, "left").na.fill(
@@ -311,10 +323,12 @@ def lm_typicality(
     # scalar total, and the scoring join) — persist once so the
     # normalize+explode pipeline doesn't run per branch
     grams = caching.track(
-        df.select(
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        .select(
             F.col(id_col),
-            F.explode(bigrams(F.col(text_col))).alias("gram"),
-        ).persist()
+            F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
+        )
+        .persist()
     )
     counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -390,7 +404,12 @@ def dsir_weights(
         df.select(
             F.col(id_col),
             target_pred.alias("is_target"),
-            F.explode(bigrams(F.col(text_col))).alias("gram"),
+            words(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
         )
         .select(
             id_col,
@@ -450,11 +469,18 @@ def dsir_fit(
     over one shared gram explode for the batch-only path)."""
     from ..functions.hashing import md5_int60
 
-    grams = df.select(
-        target_pred.alias("is_target"),
-        F.explode(bigrams(F.col(text_col))).alias("gram"),
-    ).select(
-        "is_target", (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+    grams = (
+        df.select(
+            target_pred.alias("is_target"),
+            words(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "is_target",
+            F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
+        )
+        .select(
+            "is_target", (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+        )
     )
     model = grams.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cr"),
@@ -484,11 +510,15 @@ def dsir_score(
     caller aggregates per doc in whatever mode its sink needs)."""
     from ..functions.hashing import md5_int60
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(bigrams(F.col(text_col))).alias("gram"),
-    ).select(
-        id_col, (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+    grams = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
+        )
+        .select(
+            id_col, (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+        )
     )
     bits_raw = F.floor(F.log2(F.col("tr") + n_buckets)) - F.floor(
         F.log2(F.col("cr") + 1)
@@ -528,11 +558,16 @@ def gram_distribution_drift(
     from ..functions.hashing import md5_int60
 
     def side(df: DataFrame, is_new: bool) -> DataFrame:
-        return df.select(
-            F.lit(is_new).alias("is_new"),
-            F.explode(bigrams(F.col(text_col))).alias("gram"),
-        ).select(
-            "is_new", (md5_int60(F.col("gram")) % n_buckets).alias("bucket")
+        return (
+            df.select(words(F.col(text_col)).alias("__toks"))
+            .select(
+                F.lit(is_new).alias("is_new"),
+                F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
+            )
+            .select(
+                "is_new",
+                (md5_int60(F.col("gram")) % n_buckets).alias("bucket"),
+            )
         )
 
     tagged = side(ref, False).unionByName(side(new, True))
