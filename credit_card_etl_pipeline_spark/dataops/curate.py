@@ -220,7 +220,10 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    w = words(F.col(text_col))
+    # project the token array once (the size + per-start slice
+    # references would otherwise each re-evaluate normalize+split)
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+    w = F.col("__toks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
     chunk = F.explode(
         F.transform(
@@ -231,7 +234,7 @@ def chunk_documents(
             ),
         )
     )
-    exploded = df.select(F.col(id_col), chunk.alias("c"))
+    exploded = base.select(F.col(id_col), chunk.alias("c"))
     return exploded.select(
         id_col,
         ((F.col("c.chunk_start") - 1) / stride).cast("long").alias("chunk_index"),

@@ -601,18 +601,28 @@ def substring_containment(
     from ..functions.hashing import md5_int60
 
     norm = normalize_text(F.col(text_col))
-    base = df.select(F.col(id_col), norm.alias("__norm"))
-    w = F.split(F.col("__norm"), " ")
-    anchors = base.where(F.size(w) >= n).select(
-        F.col(id_col).alias("contained_id"),
-        F.size(w).cast("long").alias("contained_tokens"),
-        md5_int60(F.concat_ws(" ", F.slice(w, 1, n))).alias("__h"),
-    )
-    sh = df.select(
+    # token count and anchor shingle derive from ONE projected token
+    # array (three inline-split references would re-split per use);
+    # the token column is dropped before base fans out to the joins
+    base = df.select(F.col(id_col), norm.alias("__norm")).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), n))
-        ).alias("shingle"),
+        "__norm",
+        F.split(F.col("__norm"), " ").alias("__toks"),
+    )
+    sized = base.select(
+        F.col(id_col),
+        "__norm",
+        F.size("__toks").cast("long").alias("__ntoks"),
+        F.concat_ws(" ", F.slice("__toks", 1, n)).alias("__anchor"),
+    )
+    anchors = sized.where(F.col("__ntoks") >= n).select(
+        F.col(id_col).alias("contained_id"),
+        F.col("__ntoks").alias("contained_tokens"),
+        md5_int60(F.col("__anchor")).alias("__h"),
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.explode(_token_shingles(F.col("__toks"), n)).alias("shingle"),
     ).select(F.col(id_col), md5_int60(F.col("shingle")).alias("__h"))
     if max_anchor_bucket is not None:
         # materialize once: the hashed view feeds the frequency
@@ -640,9 +650,9 @@ def substring_containment(
     # (a longer doc's anchor legitimately matches a shorter doc's
     # shingles whenever the shorter doc is its prefix — on mirror/
     # snippet corpora that's ~half the candidates, all unverifiable)
-    container_len = base.select(
+    container_len = sized.select(
         F.col(id_col).alias("container_id"),
-        F.size(F.split(F.col("__norm"), " ")).cast("long").alias("__b_len"),
+        F.col("__ntoks").alias("__b_len"),
     )
     cand = cand.join(container_len, "container_id").where(
         F.col("contained_tokens") <= F.col("__b_len")
