@@ -401,7 +401,10 @@ def connected_components(
       convergence counter.  Rounds needed = graph diameter — near-dup
       clusters are shallow (stars/cliques from shared LSH buckets), so
       this converges in a few rounds; ``max_iters`` bounds pathological
-      chains.  Pass ``driver_edge_cap=None`` (or 0) to force this path.
+      chains, and the loop RAISES if it exhausts the bound without
+      reaching a fixpoint — never returns partially-propagated labels,
+      so both strategies return exactly converged components or fail
+      loudly.  Pass ``driver_edge_cap=None`` (or 0) to force this path.
 
     Each distributed round's labels are ``localCheckpoint``-ed, not
     merely persisted: a round's plan references the previous round's
@@ -416,22 +419,14 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
     call sites.)  The loop exits on a fixpoint (no label changed).
     """
-    pairs = edges.select("doc_a", "doc_b")
-    pdf = None
-    if driver_edge_cap:
-        # One probe job decides the strategy AND, in the common case,
-        # already holds the whole edge list: limit(cap+1) collects at
-        # most cap+1 rows (early-terminating upstream scans once the
-        # limit is hit), so a small graph never pays a separate
-        # count + persist round-trip and a huge one pays only the
-        # short-circuited probe before falling through to the loop.
-        head = pairs.limit(driver_edge_cap + 1).toPandas()
-        if len(head) <= driver_edge_cap:
-            pdf = head
-    if pdf is not None:
+    pairs = edges.select("doc_a", "doc_b").persist()
+    n_edges = pairs.count()
+    if driver_edge_cap and n_edges <= driver_edge_cap:
+        # the collect reads the cache the count just filled
         spark = vertices.sparkSession
-        labeled = _union_find_labels(pdf)
+        labeled = _union_find_labels(pairs.toPandas())
         vtype = [f for f in pairs.schema.fields if f.name == "doc_a"][0].dataType
+        pairs.unpersist()
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType(
@@ -460,6 +455,7 @@ def connected_components(
             .select("v", F.col("v").alias("component"))
             .localCheckpoint(eager=True)
         )
+        changed = 0
         for _ in range(max_iters):
             neighbor_min = (
                 both.join(labels.withColumnRenamed("v", "dst"), "dst")
@@ -491,6 +487,14 @@ def connected_components(
             if changed == 0:
                 break
         both.unpersist()
+        pairs.unpersist()
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iters={max_iters} rounds ({changed} labels still "
+                "changing) — the graph's diameter exceeds the bound; "
+                "raise max_iters rather than consuming partial labels"
+            )
     # Rejoin the isolated vertices (own id = own component) off the
     # labeled edge-touched set (broadcast-sized local relation on the
     # fast path, constant-size checkpoint lineage on the distributed

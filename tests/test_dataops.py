@@ -222,6 +222,30 @@ def test_connected_components_fast_path_matches_distributed(spark):
     assert fast[150] == 0
 
 
+def test_connected_components_refuses_partial_convergence(spark):
+    """Both strategies return exactly converged labels or fail loudly:
+    a diameter-5 chain with max_iters=2 must RAISE on the distributed
+    path (never silently return partially-propagated labels), while
+    the driver union-find converges fully regardless of the bound."""
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            vertices, edges, max_iters=2, driver_edge_cap=None
+        )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(vertices, edges, max_iters=2).collect()
+    }
+    assert out == {i: 0 for i in range(6)}
+
+
 def test_connected_components_empty_edges(spark):
     from credit_card_etl_pipeline_spark.dataops.dedup import (
         connected_components,

@@ -67,20 +67,9 @@ def inflate(spark, mult: int) -> str:
         inflated = inflated.unionByName(p)
     inflated.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    dparts = []
-    for c in range(mult):
-        dparts.append(
-            docs.select(
-                (F.col("doc_id") + c * 5_000).alias("doc_id"),
-                F.concat(F.lit(f"copytag{c} "), F.col("text")).alias("text"),
-                *[x for x in docs.columns if x not in ("doc_id", "text")],
-            )
-        )
-    dinf = dparts[0]
-    for p in dparts[1:]:
-        dinf = dinf.unionByName(p)
-    dinf.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from soak_common import write_inflated_documents
+
+    write_inflated_documents(spark, SRC, out, mult)
     return out
 
 

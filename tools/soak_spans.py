@@ -35,21 +35,10 @@ SRC = "/root/testdata/sf0.1"
 
 
 def inflate_docs(spark, mult: int) -> str:
+    from soak_common import write_inflated_documents
+
     out = tempfile.mkdtemp(prefix=f"soak_spans_x{mult}_")
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    parts = []
-    for c in range(mult):
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + c * 5_000).alias("doc_id"),
-                F.concat(F.lit(f"copytag{c} "), F.col("text")).alias("text"),
-                *[x for x in docs.columns if x not in ("doc_id", "text")],
-            )
-        )
-    inflated = parts[0]
-    for p in parts[1:]:
-        inflated = inflated.unionByName(p)
-    inflated.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    write_inflated_documents(spark, SRC, out, mult)
     return out
 
 
