@@ -20,16 +20,18 @@ DOC_COPY_STRIDE = 5_000
 
 
 def write_inflated_documents(
-    spark, src: str, out_dir: str, mult: int
+    spark, src: str, out_dir: str, mult: int, *, stride: int = DOC_COPY_STRIDE
 ) -> None:
     """Write ``{out_dir}/documents.parquet`` holding ``mult`` tagged
-    copies of ``{src}/documents.parquet``."""
+    copies of ``{src}/documents.parquet``.  ``stride`` is the per-copy
+    doc_id offset — pass the embeddings stride when a composition soak
+    must keep doc_id/vec_id alignment across both inflated tables."""
     docs = spark.read.parquet(f"{src}/documents.parquet")
     parts = []
     for c in range(mult):
         parts.append(
             docs.select(
-                (F.col("doc_id") + c * DOC_COPY_STRIDE).alias("doc_id"),
+                (F.col("doc_id") + c * stride).alias("doc_id"),
                 F.concat(F.lit(f"copytag{c} "), F.col("text")).alias("text"),
                 *[x for x in docs.columns if x not in ("doc_id", "text")],
             )
