@@ -59,6 +59,23 @@ def main() -> int:
     deduped = deduped.join(near_dupe_ids, "doc_id", "left_anti")
     print(f"after dedup:       {deduped.count()}")
 
+    # 1b. span-level exact-substring dedup (Lee et al. 2022): drop docs
+    # whose MERGED duplicated 8-token runs cover >= half their tokens —
+    # catches boilerplate-heavy pages whole-doc methods miss
+    from credit_card_etl_pipeline_spark.dataops.text import n_tokens
+
+    dup_toks = dd.duplicate_spans(deduped, k=8).groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_toks")
+    )
+    lens = deduped.select("doc_id", n_tokens(F.col("text")).alias("n_toks"))
+    boiler = (
+        dup_toks.join(lens, "doc_id")
+        .where(F.col("dup_toks") * 2 >= F.col("n_toks"))
+        .select("doc_id")
+    )
+    deduped = deduped.join(boiler, "doc_id", "left_anti")
+    print(f"after span dedup:  {deduped.count()}")
+
     # 2. quality gate (reuse the registered verdict expressions)
     from credit_card_etl_pipeline_spark.dataops.text import normalize_text
 
