@@ -1392,23 +1392,15 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     = new grams per million occurrences in the doc — the per-doc
     marginal value signal.  The global ordered window runs over one
     row per doc (bounded), not over gram occurrences."""
-    from ..dataops.text import normalize_text
+    from ..dataops.curate import token_bigrams
+    from ..dataops.text import words
 
     docs = load(spark, sf_dir, "documents")
-    w = F.split(normalize_text(F.col("text")), " ")
     grams = docs.select(
+        "doc_id", words(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i), F.element_at(w, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(token_bigrams(F.col("__toks"))).alias("gram"),
     )
     from ..functions import caching
 
