@@ -787,11 +787,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dd.dedup_exact(corpus)
 
-    w = words(F.col("text"))
-    n_tokens = F.size(w).cast("long")
+    # token array projected once (four references below)
+    w = F.col("__toks")
     dup_frac = (F.size(w) - F.size(F.array_distinct(w))) / F.size(w)
-    quality = deduped.withColumn("n_tokens", n_tokens).where(
-        (F.col("n_tokens") >= 10) & (dup_frac <= 0.6)
+    quality = (
+        deduped.withColumn("__toks", words(F.col("text")))
+        .withColumn("n_tokens", F.size(w).cast("long"))
+        .where((F.col("n_tokens") >= 10) & (dup_frac <= 0.6))
+        .drop("__toks")
     )
 
     bench = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
