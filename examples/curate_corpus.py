@@ -77,15 +77,20 @@ def main() -> int:
     print(f"after span dedup:  {deduped.count()}")
 
     # 2. quality gate (reuse the registered verdict expressions)
-    from credit_card_etl_pipeline_spark.dataops.text import normalize_text
+    # project the token array once — four references below (the
+    # library's single-split projection rule, SCALE.md)
+    from credit_card_etl_pipeline_spark.dataops.text import words
 
-    t = normalize_text(F.col("text"))
-    w = F.split(t, " ")
+    w = F.col("__toks")
     keep = (
         (F.size(w) >= 10)
         & ((F.size(w) - F.size(F.array_distinct(w))) / F.size(w) <= 0.6)
     )
-    quality = deduped.where(keep)
+    quality = (
+        deduped.withColumn("__toks", words(F.col("text")))
+        .where(keep)
+        .drop("__toks")
+    )
     print(f"after quality:     {quality.count()}")
 
     # 3. decontaminate against the held-out slice
