@@ -1563,3 +1563,95 @@ def warehouse_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as a (priority, 0, 0) row (ADVICE r5).
         .where(F.col("n_orders") > 0)
     )
+
+
+# ====================================================================
+# Z-order (Morton) layout clustering — 2-D scan-pruning data layout
+# ====================================================================
+
+#: Equal-width z-range buckets standing in for output files: at scale
+#: the same bucket id drives repartitionByRange + sortWithinPartitions
+#: before the write, so each file's min/max stats are tight on BOTH
+#: key dimensions.
+_ZORDER_BUCKETS = 32
+
+from ..functions.zorder import morton_interleave, morton_interleave_sql  # noqa: E402
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+    SELECT l_orderkey, l_partkey,
+           {morton_interleave_sql('l_orderkey', 'l_partkey')} AS zval
+    FROM lineitem
+),
+bounds AS (
+    -- division-first bucket step: (zval - zmin) * K would overflow
+    -- int64 for z values near 2^62 (Spark wraps, DuckDB raises)
+    SELECT min(zval) AS zmin,
+           (max(zval) - min(zval)) // {_ZORDER_BUCKETS} + 1 AS zstep
+    FROM z
+)
+SELECT CAST((zval - zmin) // zstep AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+       CAST(max(l_partkey) AS BIGINT) AS max_partkey
+FROM z CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+@query("lineitem_zorder_layout", _ZORDER_ORACLE)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering: interleave the bits of the two scan
+    keys (functions/zorder.py — exact int64 parallel-prefix spread,
+    DuckDB twin bit-identical) and bucket rows by equal-width z ranges.
+    Each bucket's (orderkey, partkey) bounding box is small on BOTH
+    dimensions — the property that makes parquet min/max pruning work
+    for 2-D predicates, where a single-key sort only prunes one.  The
+    per-bucket bbox report IS the layout-quality measurement, and it
+    is hash-checked cross-engine.
+
+    Scale shape: one aggregate for the exact z bounds (broadcast
+    scalar), one map-only bucket assignment, one bucket-keyed
+    aggregation — no global sort, no window.  A real writer swaps the
+    bucket id for ``repartitionByRange(zval)`` +
+    ``sortWithinPartitions(zval)`` + partitioned write (the
+    hypertable_rollup pattern), which adds the range exchange and
+    nothing else."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = li.select(
+        "l_orderkey",
+        "l_partkey",
+        morton_interleave(F.col("l_orderkey"), F.col("l_partkey")).alias(
+            "zval"
+        ),
+    )
+    # division-first step, matching the oracle: a (z - zmin) * K form
+    # would overflow int64 for z near 2^62 (Spark wraps, DuckDB raises)
+    bounds = z.agg(
+        F.min("zval").alias("zmin"),
+        F.expr(
+            f"(max(zval) - min(zval)) div {_ZORDER_BUCKETS} + 1"
+        ).alias("zstep"),
+    )
+    return (
+        z.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr("(zval - zmin) div zstep").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_orderkey").cast("long").alias("min_orderkey"),
+            F.max("l_orderkey").cast("long").alias("max_orderkey"),
+            F.min("l_partkey").cast("long").alias("min_partkey"),
+            F.max("l_partkey").cast("long").alias("max_partkey"),
+        )
+    )

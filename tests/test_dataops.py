@@ -843,3 +843,38 @@ def test_top_pc_finds_planted_direction(spark):
         [(i, [7, 7, 7, 7]) for i in range(5)], "vec_id long, qvec array<long>"
     )
     assert top_pc(same, iters=2) == [0, 0, 0, 0]
+
+
+def test_morton_interleave_matches_reference(spark):
+    """Bit-level check of the parallel-prefix spread: the z-value of
+    (x, y) equals the directly-computed bit interleave for random and
+    boundary inputs (0, 1, max 31-bit)."""
+    import random
+
+    from credit_card_etl_pipeline_spark.functions.zorder import (
+        INPUT_MASK,
+        morton_interleave,
+    )
+
+    def ref(x, y):
+        x &= INPUT_MASK
+        y &= INPUT_MASK
+        z = 0
+        for b in range(31):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rng = random.Random(11)
+    cases = [(0, 0), (1, 0), (0, 1), (INPUT_MASK, INPUT_MASK)] + [
+        (rng.randrange(1 << 31), rng.randrange(1 << 31)) for _ in range(20)
+    ]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == ref(x, y), (x, y)
