@@ -878,3 +878,42 @@ def test_morton_interleave_matches_reference(spark):
     }
     for x, y in cases:
         assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_range_bucket_stretches_full_range(spark):
+    """Range buckets must cover the FULL 8-bit range for narrow spans
+    (a day index 0..29 must reach bucket 255), or the interleave
+    degenerates to a single-key sort — the warehouse_zorder_write
+    footer check depends on this."""
+    from credit_card_etl_pipeline_spark.functions.zorder import (
+        morton_key,
+        range_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    mm = df.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    out = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            range_bucket(F.col("v"), F.col("mn"), F.col("mx")).alias("b")
+        )
+        .agg(F.min("b"), F.max("b"))
+        .first()
+    )
+    # 0..29 stretches onto equal-width cells: max bucket 29*256//30
+    assert (out[0], out[1]) == (0, 247)
+    # interleave of two full-range buckets stays within 16 bits
+    z = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            morton_key(
+                [
+                    range_bucket(F.col("v"), F.col("mn"), F.col("mx")),
+                    range_bucket(F.col("v"), F.col("mn"), F.col("mx")),
+                ]
+            ).alias("z")
+        )
+        .agg(F.max("z"))
+        .first()[0]
+    )
+    assert 0 <= z < (1 << 16)

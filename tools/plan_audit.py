@@ -62,6 +62,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "sketch_hll_intersection": "1-row register states (inclusion-exclusion)",
     "sketch_heavy_hitters": "bounded CMS row state + 1-row total",
     "bloom_semi_join_pushdown": "1-row Bloom bitmap aggregate",
+    "lineitem_zorder_layout": "1-row z-bounds scalar (zmin/zstep)",
     # Curation/DSIR: 1-row corpus totals / fitted model scalars
     # (curate.py:325,425,469,551,571 — all F.broadcast'ed).
     "curate_lm_typicality": "1-row corpus log-prob totals",
