@@ -419,6 +419,12 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
     call sites.)  The loop exits on a fixpoint (no label changed).
     """
+    if max_iters < 1:
+        raise ValueError(
+            f"max_iters must be >= 1 (got {max_iters}): zero rounds "
+            "could only return unpropagated labels, which the "
+            "converge-or-raise contract forbids"
+        )
     pairs = edges.select("doc_a", "doc_b").persist()
     n_edges = pairs.count()
     if driver_edge_cap and n_edges <= driver_edge_cap:
@@ -455,6 +461,11 @@ def connected_components(
             .select("v", F.col("v").alias("component"))
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above materialized `both` into its
+        # cache, so the pair cache is no longer needed — release it
+        # before the loop instead of holding 3x the edge data (pairs +
+        # doubled both) across every propagation round
+        pairs.unpersist()
         changed = 0
         for _ in range(max_iters):
             neighbor_min = (
@@ -487,7 +498,6 @@ def connected_components(
             if changed == 0:
                 break
         both.unpersist()
-        pairs.unpersist()
         if changed != 0:
             raise RuntimeError(
                 f"connected_components did not converge within "

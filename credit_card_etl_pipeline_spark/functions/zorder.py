@@ -83,12 +83,17 @@ def range_bucket(
     bits would then own the curve's top bits — z-ranges degenerate to
     a single-key sort and the narrow dimension's footers go loose
     (measured: day_rel row-group span fraction 0.96 unstretched vs
-    0.32 stretched).  Multiplication bound: exact while the span stays
-    below 2^55 (offset × 256 inside int64) — any real key range; a
-    wrap would only degrade layout, never content (the oracle checks
-    content parity; the footer check would flag the layout)."""
-    span = F.greatest(mx - mn, F.lit(0))
-    return ((col - mn) * F.lit(1 << bits) / (span + 1)).cast("long")
+    0.35 stretched).  Exact-integer division: ``num % den`` and the
+    subtraction are exact long ops, and the final division of an exact
+    multiple yields a quotient < 2^bits — far inside double's 53-bit
+    mantissa — so the bucket is EXACT (not merely approximate) while
+    the span stays below 2^55 (offset × 2^bits inside int64); a plain
+    float ``num / den`` would drift off the integer quotient around
+    2^50 spans and break the module's cross-engine-reproducible
+    contract."""
+    num = (col - mn) * F.lit(1 << bits)
+    den = F.greatest(mx - mn, F.lit(0)) + 1
+    return ((num - num % den) / den).cast("long")
 
 
 def morton_key(buckets: list[Column], *, bits: int = BUCKET_BITS) -> Column:

@@ -239,6 +239,11 @@ def test_connected_components_refuses_partial_convergence(spark):
         connected_components(
             vertices, edges, max_iters=2, driver_edge_cap=None
         )
+    # zero rounds can only mean unpropagated labels — rejected up front
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(
+            vertices, edges, max_iters=0, driver_edge_cap=None
+        )
     out = {
         r["doc_id"]: r["component"]
         for r in connected_components(vertices, edges, max_iters=2).collect()
@@ -881,10 +886,11 @@ def test_morton_interleave_matches_reference(spark):
 
 
 def test_range_bucket_stretches_full_range(spark):
-    """Range buckets must cover the FULL 8-bit range for narrow spans
-    (a day index 0..29 must reach bucket 255), or the interleave
-    degenerates to a single-key sort — the warehouse_zorder_write
-    footer check depends on this."""
+    """Range buckets must stretch narrow spans onto the full 8-bit
+    range — the top bucket for span s lands at s*256 // (s+1) (247 for
+    a 0..29 day index), i.e. in the highest cell-width, not at s
+    itself — or the interleave degenerates to a single-key sort; the
+    warehouse_zorder_write footer check depends on this."""
     from credit_card_etl_pipeline_spark.functions.zorder import (
         morton_key,
         range_bucket,

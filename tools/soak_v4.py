@@ -8,10 +8,10 @@ Both tables inflate with the SAME per-copy id stride (10 000) so the
 pipeline's doc_id = vec_id inner join keeps full coverage at every
 mult (misaligned strides would silently drop inflated copies from the
 verdict ledger and under-measure the join).  Documents get the leading
-copy tag (soak_common rationale); embeddings get the semdedup 5-bit
-sign-flip pattern so copies are distinct corpus members, not
-manufactured near-dups.  Both schemes stay below the query's own +1M
-synthetic-id injections for mults up to 99.
+copy tag (soak_common rationale); embeddings get a 6-bit sign-flip
+pattern so copies are distinct corpus members, not manufactured
+near-dups — valid for mults up to 64 (enforced; beyond the pattern
+count copies would alias into exact duplicates).
 
     python tools/soak_v4.py [mults...]   # default 10 30
 
@@ -37,6 +37,14 @@ SRC = "/root/testdata/sf0.1"
 STRIDE = 10_000
 
 
+#: Sign-flip pattern width: 6 bits = 64 distinct patterns, so any two
+#: copies c1 != c2 (mult <= 64) differ in >= ~10 flipped dims —
+#: cosine far below the dedup thresholds.  A narrower mask silently
+#: aliases copies (c and c+2^width get identical embeddings) and the
+#: soak measures a manufactured dup explosion instead of the pipeline.
+_FLIP_BITS = 6
+
+
 def _flip_fn(fl):
     if not fl:
         return lambda x, i: x
@@ -48,10 +56,16 @@ def inflate(spark, mult: int) -> str:
 
     out = tempfile.mkdtemp(prefix=f"soak_v4_x{mult}_")
     write_inflated_documents(spark, SRC, out, mult, stride=STRIDE)
+    if mult > (1 << _FLIP_BITS):
+        raise ValueError(
+            f"mult {mult} exceeds the {1 << _FLIP_BITS} distinct flip "
+            "patterns — copies would alias into exact duplicates and the "
+            "soak would measure synthetic dup blowup, not the pipeline"
+        )
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     parts = []
     for c in range(mult):
-        flips = [i for i in range(64) if (c >> (i % 5)) & 1]
+        flips = [i for i in range(64) if (c >> (i % _FLIP_BITS)) & 1]
         parts.append(
             emb.select(
                 (F.col("vec_id") + c * STRIDE).alias("vec_id"),
