@@ -89,6 +89,7 @@ def main() -> int:
         describe_ts_dtype,
     )
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
@@ -96,7 +97,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "cpus": cpus,
         # environment canary: catches silent corpus/engine drift (the
         # round-3 ts-type change) right in the bench of record
         "env": {
@@ -111,6 +112,16 @@ def main() -> int:
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
     }
+    # A bench started on a busy host is not a bench of record: r07's
+    # driver run started at loadavg 14.5 and read ~15% slow across the
+    # board.  Flag it machine-checkably (tools/round_close.py refuses
+    # to stamp a flagged record; readers compare vs BENCH_HISTORY.md).
+    if loadavg_start[0] > cpus / 4:
+        result["loaded_host_warning"] = (
+            f"loadavg {loadavg_start[0]} > cpus/4 ({cpus / 4:.0f}) at "
+            "start; timings inflated by external load - not a bench of "
+            "record"
+        )
     if failures:
         result["failures"] = failures
         result["n_failed"] = len(failures)

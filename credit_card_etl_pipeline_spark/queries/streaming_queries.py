@@ -1024,66 +1024,15 @@ def stream_dedup_within_watermark(
 # ====================================================================
 # transformWithStateInPandas (Spark 4 typed-state API)
 # ====================================================================
-# Registered CONDITIONALLY: the API's Python worker speaks protobuf to
-# the JVM state server, and the protobuf package may be absent from the
-# runtime (installs are off the table).  Registration probes for it at
-# import time — when present, `stream_user_stats_tws` runs the real
-# typed-state operator with the same end-state-vs-batch oracle as
-# stream_stateful_user_stats; when absent, the query is NOT registered
-# (an always-crashing query would burn a driver sample) and the
-# operator keeps its actionable RuntimeError for direct callers.
-# tests/test_streaming.py pins both sides of the gate.
-
-
-def _protobuf_available() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-if _protobuf_available():
-
-    @query("stream_user_stats_tws", _STATEFUL_ORACLE)
-    def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """transformWithStateInPandas end-state parity: the Spark 4
-        typed-state successor of applyInPandasWithState, run as a real
-        streaming query (availableNow, memory sink, update mode); the
-        final per-user state must equal the plain batch aggregation —
-        the same oracle contract stream_stateful_user_stats pins for
-        the older API, making the two registered queries a migration
-        A/B."""
-        import tempfile
-
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        from ..streaming.stateful import running_user_stats_tws
-
-        name = f"user_stats_tws_{next(_stateful_run_counter)}"
-        stream = event_time(events_stream(spark, sf_dir))
-        q = (
-            running_user_stats_tws(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="tws_ckpt_")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
-        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        return (
-            spark.table(name)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "n_events", "value_cents")
-        )
+# NOT registered as a driver query: the API's Python worker speaks
+# protobuf to the JVM state server, and this runtime ships no protobuf
+# (installs are off the table), so a registered query could never earn
+# a driver correctness row here.  The operator itself lives on as
+# ``streaming.stateful.running_user_stats_tws`` with an actionable
+# RuntimeError when protobuf is absent and full end-state-vs-batch
+# parity when present (tests/test_streaming.py exercises both sides);
+# ``stream_stateful_user_stats`` (applyInPandasWithState, driver-green)
+# is the registered stateful representative.
 
 
 # ====================================================================

@@ -133,21 +133,17 @@ def test_transform_with_state_gated_or_parity(spark):
     assert got == want
 
 
-def test_tws_registration_tracks_protobuf():
-    """The tws query is registered exactly when the runtime has
-    protobuf: an always-crashing registration would waste a driver
-    correctness sample; an available runtime should expose the
-    typed-state API as a first-class oracle-checked query."""
+def test_tws_never_registered():
+    """The tws query is retired from the registry: this runtime ships
+    no protobuf, so the query could never earn a driver correctness
+    row — the registry must contain only driver-verifiable queries.
+    The operator survives (running_user_stats_tws, tested above);
+    stream_stateful_user_stats is the registered stateful twin."""
     from credit_card_etl_pipeline_spark import queries as q
 
-    try:
-        import google.protobuf  # noqa: F401
-
-        has_pb = True
-    except ImportError:
-        has_pb = False
-    assert ("stream_user_stats_tws" in q.QUERIES) == has_pb
-    assert ("stream_user_stats_tws" in q.ORACLES) == has_pb
+    assert "stream_user_stats_tws" not in q.QUERIES
+    assert "stream_user_stats_tws" not in q.ORACLES
+    assert "stream_stateful_user_stats" in q.QUERIES
 
 
 def test_stream_sources_spread_per_trigger(spark, monkeypatch):

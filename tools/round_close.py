@@ -60,6 +60,22 @@ def main() -> int:
     if not args.skip_bench:
         gates.append(("bench", [py, "bench.py"]))
     results = [run(label, cmd) for label, cmd in gates]
+    if not args.skip_bench and results[-1]:
+        # Refuse to stamp a bench-of-record from a loaded host: a start
+        # loadavg above cpus/4 inflates every timing (r07: loadavg 14.5
+        # read ~15% slow vs the idle re-run).  bench.py wrote the flag
+        # into BENCH_FULL.json; surface it as a gate failure so the
+        # number never lands in BENCH_HISTORY.md unchallenged.
+        import json
+
+        try:
+            with open(os.path.join(ROOT, "BENCH_FULL.json")) as fh:
+                rec = json.load(fh)
+        except Exception:
+            rec = {}
+        if rec.get("loaded_host_warning"):
+            print(f"FAIL  bench-of-record  {rec['loaded_host_warning']}")
+            results[-1] = False
     n_ok = sum(results)
     print(f"round-close: {n_ok}/{len(results)} gates green")
     return 0 if n_ok == len(results) else 1
