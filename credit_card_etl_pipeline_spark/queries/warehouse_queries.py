@@ -1655,3 +1655,89 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").cast("long").alias("max_partkey"),
         )
     )
+
+
+# Rectangle = [20%,30%] of the orderkey span × [50%,60%] of the partkey
+# span, bounds computed with EXACT integer arithmetic from the table's
+# own min/max so the same rectangle exists at every scale factor.
+_ZRECT_ORACLE = """
+WITH b AS (
+    SELECT min(l_orderkey) AS omn, max(l_orderkey) AS omx,
+           min(l_partkey) AS pmn, max(l_partkey) AS pmx
+    FROM lineitem
+),
+r AS (
+    SELECT omn + ((omx - omn) * 2) // 10 AS o_lo,
+           omn + ((omx - omn) * 3) // 10 AS o_hi,
+           pmn + ((pmx - pmn) * 5) // 10 AS p_lo,
+           pmn + ((pmx - pmn) * 6) // 10 AS p_hi
+    FROM b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+       CAST(max(l_partkey) AS BIGINT) AS max_partkey
+FROM lineitem CROSS JOIN r
+WHERE l_orderkey BETWEEN o_lo AND o_hi
+  AND l_partkey BETWEEN p_lo AND p_hi
+"""
+
+
+@query("lineitem_zorder_rectangle_scan", _ZRECT_ORACLE)
+def lineitem_zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D rectangle scan OVER the z-ordered layout: lineitem is
+    physically rewritten with ``zorder_layout_write`` (bucket-stretch →
+    Morton interleave → one range exchange → sorted files), then read
+    back with a literal rectangle predicate on both keys and
+    aggregated.  The oracle runs the same rectangle on the base table,
+    so a green hash proves the layout round-trip loses/duplicates
+    nothing and the pruned read returns exactly the right rows.  The
+    rectangle bounds are LITERALS (collected from one 4-scalar agg),
+    which is what lets Spark push both BETWEENs into the parquet scan
+    (PushedFilters) and skip non-intersecting files/row-groups via
+    min/max footers — tests/test_zorder_pruning.py quantifies the
+    files-skipped ratio vs a linear single-key layout and pins the
+    pushdown in the plan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import load
+    from ..functions.zorder import zorder_layout_write
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    b = li.agg(
+        F.min("l_orderkey").alias("omn"),
+        F.max("l_orderkey").alias("omx"),
+        F.min("l_partkey").alias("pmn"),
+        F.max("l_partkey").alias("pmx"),
+    ).collect()[0]
+    o_span, p_span = b["omx"] - b["omn"], b["pmx"] - b["pmn"]
+    o_lo, o_hi = b["omn"] + o_span * 2 // 10, b["omn"] + o_span * 3 // 10
+    p_lo, p_hi = b["pmn"] + p_span * 5 // 10, b["pmn"] + p_span * 6 // 10
+
+    path = tempfile.mkdtemp(prefix="zorder_rect_") + "/lineitem_z"
+    zorder_layout_write(
+        li, ["l_orderkey", "l_partkey"], path, n_files=16
+    )
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col("l_orderkey").between(o_lo, o_hi)
+            & F.col("l_partkey").between(p_lo, p_hi)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+            F.min("l_orderkey").cast("long").alias("min_orderkey"),
+            F.max("l_orderkey").cast("long").alias("max_orderkey"),
+            F.min("l_partkey").cast("long").alias("min_partkey"),
+            F.max("l_partkey").cast("long").alias("max_partkey"),
+        )
+    )

@@ -286,10 +286,12 @@ def _header_positions(lines: DataFrame, spec: BankSpec) -> DataFrame:
         (F.col("pos") <= 50) & F.col("line").contains(spec.header_keyword)
     )
     found = hits.groupBy("path").agg(F.min("pos").alias("hpos"))
+    # one row per FILE on both sides — broadcast keeps the join
+    # hash-based however the stats look (no per-path sort of anything)
     return (
         lines.select("path")
         .distinct()
-        .join(found, "path", "left")
+        .join(F.broadcast(found), "path", "left")
         .na.fill({"hpos": 0})
     )
 
@@ -313,8 +315,13 @@ def parse_bank(
     ``bill_month`` (A2) alongside the mapped canonical columns.
     """
     bank_lines = lines.where(F.col("bank_id") == spec.bank_id)
+    # hpos is ONE ROW PER FILE (path, header line no) — broadcast it so
+    # the fact side (every line of every file) is never sorted/shuffled
+    # by path: without the hint Spark picks SortMergeJoin here (sizes
+    # unknown behind the datasource scan), which at ingest scale means
+    # a full shuffle of the raw lines just to attach one int per file.
     hpos = _header_positions(bank_lines, spec)
-    with_h = bank_lines.join(hpos, "path")
+    with_h = bank_lines.join(F.broadcast(hpos), "path")
 
     header_row = (
         with_h.where(F.col("pos") == F.col("hpos")).select("line").limit(1).collect()

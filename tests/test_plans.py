@@ -588,3 +588,46 @@ def test_r7_late_additions_no_smj_or_cartesian(spark):
         plan = _plan(q.QUERIES[name](spark, SF))
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def _join_counts(df) -> tuple[int, int]:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.count("SortMergeJoin"), s.count("BroadcastHashJoin")
+
+
+def test_top_smj_queries_join_strategy_pinned(spark):
+    """The registry's heaviest SortMergeJoin users, pinned node by
+    node so a broadcast-threshold / stats drift can't silently flip
+    them either way:
+
+    * flipping an intended SMJ (corpus self-join, both sides
+      fact-sized) to a broadcast would OOM executors at real scale;
+    * flipping an intended broadcast (per-file / per-dim side) to an
+      SMJ silently adds a full fact-side shuffle+sort.
+
+    Counts measured at sf0.001 (AQE on); an INTENTIONAL plan change
+    updates the numbers here with a rationale.
+    """
+    from credit_card_etl_pipeline_spark import queries as q
+
+    expected = {
+        # header-position joins: one row per FILE, broadcast by
+        # construction (sources/ingest.py) — never a fact-side sort
+        "ingest_via_datasource": (0, 8),
+        # LSH-bucket / containment self-joins: both sides are the doc
+        # corpus — SMJ is the only shape that survives 100 TB; the 5
+        # broadcasts are dims/thresholds
+        "curation_pipeline_v2": (6, 5),
+        # (cell, subcell) candidate self-join fact-fact; centroid
+        # assignment broadcasts
+        "dedup_semantic_hierarchical": (2, 3),
+        # anchor-shingle candidate self-join; dims broadcast
+        "dedup_ngram_jaccard": (1, 4),
+        # CDC merge: base and delta are both table-sized -> SMJ
+        "warehouse_upsert_merge": (1, 0),
+    }
+    got = {
+        name: _join_counts(q.QUERIES[name](spark, SF))
+        for name in expected
+    }
+    assert got == expected
