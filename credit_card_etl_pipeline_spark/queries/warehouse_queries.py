@@ -1546,22 +1546,16 @@ def warehouse_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("damt").cast("long").alias("damt"),
         )
     )
-    return (
-        view0.join(F.broadcast(deltas), "priority", "left")
-        .select(
-            "priority",
-            (F.col("n_orders") + F.coalesce("dn", F.lit(0)))
-            .cast("long")
-            .alias("n_orders"),
-            (F.col("revenue_cents") + F.coalesce("damt", F.lit(0)))
-            .cast("long")
-            .alias("revenue_cents"),
-        )
-        # group-deletion rule: a group whose count drops to 0 leaves
-        # the view entirely (the recompute oracle's GROUP BY never
-        # emits it); without this a fully-deleted priority would linger
-        # as a (priority, 0, 0) row (ADVICE r5).
-        .where(F.col("n_orders") > 0)
+    # full group-lifecycle merge (update / death / birth) — the shared
+    # operator, soaked under group-emptying churn in tools/soak_ivm.py
+    from ..warehouse import ivm_merge
+
+    return ivm_merge(
+        view0,
+        deltas,
+        keys=["priority"],
+        count_col="n_orders",
+        sum_cols={"damt": "revenue_cents"},
     )
 
 

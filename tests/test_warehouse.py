@@ -112,3 +112,48 @@ def test_morton_key_interleaves_and_orders_quadrants(spark):
     ).distinct()
     got = sorted(r.b for r in b.collect())
     assert got == [0, 64, 128, 192]
+
+
+def test_ivm_merge_full_group_lifecycle(spark):
+    """ivm_merge must reach the exact recompute state when the churn
+    UPDATES one group, EMPTIES another (death: the row leaves the
+    view), and BIRTHS a key the view has never seen — and the merge
+    plan must stay broadcast-only (the view is never sort-shuffled)."""
+    from credit_card_etl_pipeline_spark.warehouse import ivm_merge
+
+    base = spark.createDataFrame(
+        [("A", 10), ("A", 20), ("B", 5), ("B", 7), ("C", 100)],
+        "k string, amt long",
+    )
+    view0 = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("amt").cast("long").alias("total"),
+    )
+    # churn: +1 row to A, delete BOTH B rows (death), +2 rows to new
+    # group D (birth); C untouched (no delta row at all)
+    deltas = spark.createDataFrame(
+        [("A", 1, 30), ("B", -2, -12), ("D", 2, 9)],
+        "k string, dn long, damt long",
+    )
+    merged = ivm_merge(
+        view0, deltas, keys=["k"], count_col="n", sum_cols={"damt": "total"}
+    )
+    got = {r.k: (r.n, r.total) for r in merged.collect()}
+    # recompute state after the churn
+    assert got == {"A": (3, 60), "C": (1, 100), "D": (2, 9)}
+    assert "B" not in got
+
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivm_merge_rejects_ambiguous_delta_schema(spark):
+    from credit_card_etl_pipeline_spark.warehouse import ivm_merge
+
+    view0 = spark.createDataFrame([("A", 1, 2)], "k string, n long, total long")
+    bad = spark.createDataFrame(
+        [("A", 1, 2, 3)], "k string, dn long, damt long, extra long"
+    )
+    with pytest.raises(ValueError, match="exactly one count column"):
+        ivm_merge(view0, bad, keys=["k"], count_col="n",
+                  sum_cols={"damt": "total"})
