@@ -32,11 +32,16 @@ DEFAULT_KEYWORDS = ["LinePay", "Line", "街口", "繳款"]
 MAX_DISTINCT_CARDS = 1_000_000
 
 
-def _rand_factor(id_col: Column, salt: str) -> Column:
-    """Deterministic uniform-ish factor in [0.95, 1.05): the H15 noise
-    multiplier, reproducible cross-engine."""
+def _rand_factor_ppm(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform-ish noise factor in [0.95, 1.05) as an
+    INTEGER in parts-per-million (950000..1049999): the H15 noise
+    multiplier, reproducible cross-engine.  Integer form on purpose —
+    a float factor times a float amount rounds differently in Spark
+    (BigDecimal HALF_UP on the exact double) vs DuckDB (float path)
+    exactly at the .xx5 boundaries; the sf1 certification sweep caught
+    one-cent diffs from the old float formula."""
     h = md5_int60(F.concat(id_col.cast("string"), F.lit(":" + salt)))
-    return F.lit(0.95) + (h % 100000) / F.lit(1_000_000.0)
+    return (F.lit(950_000) + h % 100_000).cast("long")
 
 
 def _rand_order(id_col: Column, salt: str) -> Column:
@@ -75,15 +80,29 @@ def inject_noise(
     """H15 (generate_mock.py:96-115): amount × deterministic factor in
     [0.95, 1.05), rounded to ``decimals``.  (The reference's
     round-to-int branch for integral columns is a display nicety; the
-    engine keeps a fixed rounding so the噪 stream is reproducible.)"""
-    return df.withColumns(
-        {
-            c: F.round(
-                F.col(c) * _rand_factor(F.col(id_col), f"{seed}:{c}"), decimals
-            )
-            for c in amount_cols
-        }
-    )
+    engine keeps a fixed rounding so the噪 stream is reproducible.)
+
+    The whole computation is EXACT int64 arithmetic: amount is scaled
+    to ``10^decimals`` units (money inputs are integral there by the
+    repo convention), multiplied by the ppm factor, and rounded
+    half-up with an integer division — ``(units*ppm + 5e5) div 1e6``
+    — so Spark and DuckDB produce the identical cent on every row at
+    any scale.  Headroom: 2^36-unit amounts × 2^21 ppm ≈ 2^57 < 2^63.
+    """
+    scale = 10**decimals
+
+    def noisy(c: str) -> Column:
+        units = F.round(F.col(c) * scale).cast("long")
+        ppm = _rand_factor_ppm(F.col(id_col), f"{seed}:{c}")
+        num = units * ppm + F.lit(500_000)
+        # exact integer division: num - num%1e6 is an exact multiple,
+        # and the quotient (< 2^37) is far inside double's mantissa
+        out_units = ((num - num % 1_000_000) / F.lit(1_000_000)).cast(
+            "long"
+        )
+        return out_units.cast("double") / scale
+
+    return df.withColumns({c: noisy(c) for c in amount_cols})
 
 
 def build_card_mask(

@@ -747,6 +747,18 @@ def distributed_prefix_sum(
     v = df.repartitionByRange(
         num_partitions, F.col(order_col).asc()
     ).withColumn("__pid", F.spark_partition_id())
+    # PIN the partition assignment: v feeds two branches (the
+    # within-partition window and the per-partition totals), and a
+    # re-executed range exchange may sample DIFFERENT boundaries (the
+    # sampler sees the nondeterministic row order of the upstream
+    # shuffle), silently shifting rows between __pid values across
+    # branches — offsets then disagree with the windowed sums by the
+    # straddling rows' weight (caught by the sf1 certification sweep:
+    # cum_unique_grams off by 26 over one partition stretch).  Eager
+    # localCheckpoint materializes one assignment and truncates the
+    # lineage; the input here is one row per order key (bounded by
+    # group count, not corpus size).
+    v = v.localCheckpoint(eager=True)
     hi = -1 if exclusive else 0
     w_in = (
         Window.partitionBy("__pid")

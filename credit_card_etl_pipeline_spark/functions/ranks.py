@@ -113,6 +113,15 @@ def with_pct_rank(
     v = vals.repartitionByRange(num_partitions, order).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # PIN the assignment before v fans out to the window branch AND
+    # the totals branch: a re-executed range exchange can sample
+    # different boundaries (upstream shuffle row order is
+    # nondeterministic), giving the two branches inconsistent __pid
+    # near boundaries — the exact bug the sf1 sweep caught in
+    # distributed_prefix_sum (dataops/curate.py).  One eager
+    # localCheckpoint of the distinct-value table (bounded by group
+    # count) makes the assignment a fact instead of a recomputation.
+    v = v.localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(order)

@@ -49,11 +49,15 @@ WITH raw AS (
 ),
 mx AS (SELECT max(d) AS mxd FROM raw),
 shifted AS (
+    -- exact integer-cents noise (half-up via +5e5 then integer div):
+    -- identical arithmetic to inject_noise; a float-factor round()
+    -- diverged from Spark by one cent at .xx5 boundaries (sf1 sweep)
     SELECT id,
            d + CAST(DATE '2023-12-25' - (SELECT mxd FROM mx) AS INTEGER) AS d,
            card,
-           round(amount * (0.95 + ({md5_int60_sql("CAST(id AS VARCHAR) || ':noise:amount'")} % 100000)
-                           / 1000000.0), 2) AS amount
+           (CAST(round(amount * 100) AS BIGINT)
+              * (950000 + ({md5_int60_sql("CAST(id AS VARCHAR) || ':noise:amount'")} % 100000))
+              + 500000) // 1000000 / 100.0 AS amount
     FROM raw
 ),
 cards AS (SELECT DISTINCT card FROM raw WHERE card IS NOT NULL),

@@ -5041,14 +5041,23 @@ def multimodal_video_dhash_neardup(
             ids, fnos, words, bidx, bval = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
-                g = i64 // 100
-                stride = 3 + (g % 97)
+                # frame content keyed ENTIRELY on the group residue so
+                # same-residue clips are byte-identical at ANY corpus
+                # scale: a g*29 base offset made cross-residue-class
+                # replicas differ by a constant brightness, and JPEG
+                # quantization noise under that offset pushed some
+                # frame hashes past the Hamming gate once doc_id//100
+                # wrapped past 97 (sf1 certification catch).  dHash is
+                # brightness-invariant only pre-codec; identity is the
+                # scale-proof planted structure.
+                r = (i64 // 100) % 97
+                stride = 3 + r
                 frames = [
                     jpegc.encode_jpeg_gray(
                         W,
                         H,
                         bytes(
-                            (g * 29 + f * 13 + i * stride) % 256
+                            (r * 29 + f * 13 + i * stride) % 256
                             for i in range(W * H)
                         ),
                     )
