@@ -3206,22 +3206,32 @@ def multimodal_avi_frame_sample(
 # Bloom semi-join pushdown (pre-shuffle fact reduction)
 # ====================================================================
 
-#: Filter width for the pushdown query: ~16 bits per member key at
-#: sf0.1 (4.6k urgent-1996 orders).  Sizing matters: the soak run that
-#: used the default 1024-bit sketch at 30x volume SATURATED the filter
-#: (every probe passed — zero reduction), which is the failure mode a
-#: fleet-scale run must avoid; at 100 TB m is picked from the dim-side
-#: count (16-32 bits/key) before building.
-_PUSHDOWN_BLOOM_M = 1 << 16
+#: Bits per member key for the pushdown filter.  m is DERIVED from the
+#: dim-side count at run time (rounded up to a 65536 multiple with
+#: exact integer arithmetic — the identical formula on both engines),
+#: because a FIXED width saturates as the corpus grows: the r8 sf1
+#: certification measured the old hardcoded 2^16 filter at 46k keys
+#: passing essentially every fact row (wall 9.7x the sf0.1 reading —
+#: the only linear-scaling query in the registry), and the 30x soak
+#: saw the same with the 1024-bit default (BENCH_HISTORY r5c).
+_PUSHDOWN_BITS_PER_KEY = 32
 
 
-def _bloom_key_pos_sql(j: int, key_expr: str, m: int) -> str:
+def _pushdown_m(n_keys: int) -> int:
+    """Smallest 65536 multiple >= 32*n — exact int, both engines."""
+    return 65536 * ((_PUSHDOWN_BITS_PER_KEY * n_keys + 65535) // 65536)
+
+
+def _bloom_key_pos_sql(j: int, key_expr: str, m: int | str) -> str:
     a, b = MINHASH_COEFFS[j]
 
     x = f"({md5_int60_sql(f'CAST({key_expr} AS VARCHAR)')} % {MERSENNE_P})"
     return f"((({a} * {x} + {b}) % {MERSENNE_P}) % {m})"
 
 
+# m rides a 1-row CROSS JOIN as a plain column (NOT a scalar subquery
+# inside the join predicates: that blocked DuckDB's hash-semi-join
+# conversion and the probe went nested-loop — effectively hung at sf1)
 _BLOOM_PUSHDOWN_ORACLE = f"""
 WITH dim AS (
     SELECT o_orderkey AS k,
@@ -3230,19 +3240,30 @@ WITH dim AS (
     WHERE o_orderpriority = '1-URGENT'
       AND year(CAST(o_orderdate AS DATE)) = 1996
 ),
+mparam AS (
+    SELECT 65536 * (({_PUSHDOWN_BITS_PER_KEY} * count(*) + 65535)
+                    // 65536) AS m
+    FROM dim
+),
 bloom AS (
     SELECT DISTINCT pos FROM (
         {" UNION ALL ".join(
-            f"SELECT {_bloom_key_pos_sql(j, 'k', _PUSHDOWN_BLOOM_M)}"
-            f" AS pos FROM dim"
+            f"SELECT {_bloom_key_pos_sql(j, 'k', 'm')}"
+            f" AS pos FROM dim CROSS JOIN mparam"
             for j in range(4))}
     )
 ),
+lpos AS (
+    SELECT l_orderkey, l_extendedprice,
+           {", ".join(
+        f"{_bloom_key_pos_sql(j, 'l.l_orderkey', 'm')} AS p{j}"
+        for j in range(4))}
+    FROM lineitem l CROSS JOIN mparam
+),
 passed AS (
-    SELECT l_orderkey, l_extendedprice FROM lineitem l
+    SELECT l_orderkey, l_extendedprice FROM lpos
     WHERE {" AND ".join(
-        f"EXISTS (SELECT 1 FROM bloom b WHERE b.pos = "
-        f"{_bloom_key_pos_sql(j, 'l.l_orderkey', _PUSHDOWN_BLOOM_M)})"
+        f"EXISTS (SELECT 1 FROM bloom b WHERE b.pos = p{j})"
         for j in range(4))}
 ),
 joined AS (
@@ -3278,12 +3299,16 @@ def bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.year(F.to_date("o_orderdate")) == 1996)
     ).select(F.col("o_orderkey").alias("k"))
-    bloom = sk.bloom_build(dim, "k", m=_PUSHDOWN_BLOOM_M)
+    # size the filter FROM the member count (one bounded scalar
+    # collect) — a fixed m saturates as the corpus grows and the
+    # pushdown silently degrades to pass-everything (r8 sf1 catch)
+    m = _pushdown_m(dim.count())
+    bloom = sk.bloom_build(dim, "k", m=m)
     passed = sk.bloom_prefilter(
         bloom,
         lineitem.select("l_orderkey", "l_extendedprice"),
         "l_orderkey",
-        m=_PUSHDOWN_BLOOM_M,
+        m=m,
     )
     n_fact = lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
     n_pass = passed.agg(
