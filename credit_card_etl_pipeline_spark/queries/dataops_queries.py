@@ -958,29 +958,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim._norm2(F.col("qvec")).alias("n2"),
         sim.assign_cluster(F.col("qvec"), centroids).alias("cell"),
     )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("qvec").alias("va"),
-        F.col("n2").alias("na"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("qvec").alias("vb"),
-        F.col("n2").alias("nb"),
-        "cell",
-    )
-    cosine = sim._dot(F.col("va"), F.col("vb")) / F.sqrt(
-        F.col("na").cast("double") * F.col("nb").cast("double")
-    )
-    dup_ids = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("vec_id"))
-        .where(cosine >= 0.999)
-        .select("vec_id")
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+    # vectorized within-cell verdicts: one Arrow batch per cell, numpy
+    # int64 gram tiles — bit-identical to the expression form (exact
+    # integer dots, same IEEE cosine ops), ~40x its throughput (the
+    # zip_with/aggregate dot is CodegenFallback: 69s for the 11M-pair
+    # stage at the 10x corpus, r8 slope-table finding)
+    dup_ids = sim.within_group_dup_ids(
+        assigned, ["cell"], threshold=0.999
+    ).withColumn("__dup", F.lit(True))
     return assigned.join(dup_ids, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
@@ -1511,31 +1496,12 @@ def dedup_semantic_hierarchical(
         sim.assign_cluster(F.col("qvec"), coarse).alias("cell"),
     )
     leaves = sim.assign_subcells(assigned, subbook)
-    a = leaves.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("qvec").alias("va"),
-        F.col("n2").alias("na"),
-        "cell",
-        "subcell",
-    )
-    b = leaves.select(
-        "vec_id",
-        F.col("qvec").alias("vb"),
-        F.col("n2").alias("nb"),
-        "cell",
-        "subcell",
-    )
-    cosine = sim._dot(F.col("va"), F.col("vb")) / F.sqrt(
-        F.col("na").cast("double") * F.col("nb").cast("double")
-    )
-    dup_ids = (
-        a.join(b, ["cell", "subcell"])
-        .where(F.col("a_id") < F.col("vec_id"))
-        .where(cosine >= 0.999)
-        .select("vec_id")
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+    # same vectorized verdict stage as dedup_semantic_clusters, keyed
+    # on the (cell, subcell) leaf (r8: replaces the interpreted-HOF
+    # self-join pair scoring)
+    dup_ids = sim.within_group_dup_ids(
+        leaves, ["cell", "subcell"], threshold=0.999
+    ).withColumn("__dup", F.lit(True))
     return leaves.join(dup_ids, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
