@@ -74,6 +74,17 @@ def main() -> int:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(ROOT, ".scale", "sf1"))
+    ap.add_argument(
+        "--files",
+        type=int,
+        default=16,
+        help="part files per replicated table (fixed dims stay single-"
+        "file).  >1 writes <table>.parquet as a DIRECTORY — the layout "
+        "a real corpus has; a coalesce(1) single file is also a single "
+        "parquet row group, which caps every map stage at ONE task and "
+        "made the r8 slope table overstate map-heavy exponents.  The "
+        "oracle tooling globs directory tables (check_oracle.py).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -91,20 +102,26 @@ def main() -> int:
         for name, (tab, col) in _SPAN_SOURCES.items()
     }
 
-    def emit(table: str, df) -> None:
-        tmp = os.path.join(args.dst, f"__tmp_{table}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        assert len(part) == 1, part
-        shutil.move(part[0], os.path.join(args.dst, f"{table}.parquet"))
-        shutil.rmtree(tmp)
-        n = spark.read.parquet(
-            os.path.join(args.dst, f"{table}.parquet")
-        ).count()
-        print(f"{table}: {n} rows", flush=True)
+    def emit(table: str, df, n_files: int) -> None:
+        dest = os.path.join(args.dst, f"{table}.parquet")
+        if n_files <= 1:
+            tmp = os.path.join(args.dst, f"__tmp_{table}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            assert len(part) == 1, part
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            shutil.move(part[0], dest)
+            shutil.rmtree(tmp)
+        else:
+            if os.path.isfile(dest):
+                os.remove(dest)
+            df.repartition(n_files).write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(f"{table}: {n} rows ({n_files} file(s))", flush=True)
 
     for table in ("region", "nation"):
-        emit(table, spark.read.parquet(f"{args.src}/{table}.parquet"))
+        emit(table, spark.read.parquet(f"{args.src}/{table}.parquet"), 1)
 
     for table, keymap in _SPECS.items():
         src = spark.read.parquet(f"{args.src}/{table}.parquet")
@@ -153,7 +170,7 @@ def main() -> int:
                     )
                 ),
             )
-        emit(table, out.drop("__rep").select(*src.columns))
+        emit(table, out.drop("__rep").select(*src.columns), args.files)
 
     print(f"done -> {args.dst}", flush=True)
     return 0
