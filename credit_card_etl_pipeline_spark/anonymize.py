@@ -95,11 +95,10 @@ def inject_noise(
         units = F.round(F.col(c) * scale).cast("long")
         ppm = _rand_factor_ppm(F.col(id_col), f"{seed}:{c}")
         num = units * ppm + F.lit(500_000)
-        # exact integer division: num - num%1e6 is an exact multiple,
-        # and the quotient (< 2^37) is far inside double's mantissa
-        out_units = ((num - num % 1_000_000) / F.lit(1_000_000)).cast(
-            "long"
-        )
+        # exact JVM-side integer division (the double-division trick
+        # silently truncates to q-1 once the operands pass 2^53 —
+        # caught by the r8 hypothesis sweep on range_bucket, same form)
+        out_units = F.call_function("div", num, F.lit(1_000_000))
         return out_units.cast("double") / scale
 
     return df.withColumns({c: noisy(c) for c in amount_cols})

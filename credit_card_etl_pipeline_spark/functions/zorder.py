@@ -83,17 +83,17 @@ def range_bucket(
     bits would then own the curve's top bits — z-ranges degenerate to
     a single-key sort and the narrow dimension's footers go loose
     (measured: day_rel row-group span fraction 0.96 unstretched vs
-    0.35 stretched).  Exact-integer division: ``num % den`` and the
-    subtraction are exact long ops, and the final division of an exact
-    multiple yields a quotient < 2^bits — far inside double's 53-bit
-    mantissa — so the bucket is EXACT (not merely approximate) while
-    the span stays below 2^55 (offset × 2^bits inside int64); a plain
-    float ``num / den`` would drift off the integer quotient around
-    2^50 spans and break the module's cross-engine-reproducible
-    contract."""
+    0.35 stretched).  Division is the EXACT integer ``div`` operator
+    evaluated JVM-side (``F.call_function``): the previous
+    ``(num - num % den) / den`` double path silently truncated to
+    ``q - 1`` once ``den`` itself exceeded double's 2^53 mantissa
+    (den rounds, the quotient lands at q·(1-ε), cast("long")
+    truncates) — caught by the r8 hypothesis sweep at span ≈ 2^53.6,
+    inside the old comment's claimed 2^55-safe bound.  Valid for the
+    full int64 domain where ``offset × 2^bits`` fits (span < 2^55)."""
     num = (col - mn) * F.lit(1 << bits)
     den = F.greatest(mx - mn, F.lit(0)) + 1
-    return ((num - num % den) / den).cast("long")
+    return F.call_function("div", num, den)
 
 
 def zorder_layout_write(
