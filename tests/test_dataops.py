@@ -923,3 +923,52 @@ def test_range_bucket_stretches_full_range(spark):
         .first()[0]
     )
     assert 0 <= z < (1 << 16)
+
+
+def test_within_group_dup_ids_matches_bruteforce(spark):
+    """The vectorized gram-tile scorer == the O(n^2) reference model,
+    including across tile boundaries (block=4 forces multi-tile paths
+    on every group) and the strict lower-id rule."""
+    import numpy as np
+    import pandas as pd
+
+    from credit_card_etl_pipeline_spark.dataops.similarity import (
+        within_group_dup_ids,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for cell in range(3):
+        base = rng.randint(-1000, 1000, size=(6, 8))
+        for i in range(6):
+            v = base[i].copy()
+            rows.append((cell * 100 + i, v.tolist(), cell))
+        # planted dups: copies of member 0 and 2 with higher ids
+        rows.append((cell * 100 + 50, base[0].tolist(), cell))
+        rows.append((cell * 100 + 51, base[2].tolist(), cell))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "qvec", "cell"])
+    pdf["n2"] = pdf["qvec"].map(lambda v: int(sum(x * x for x in v)))
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.vec_id
+        for r in within_group_dup_ids(
+            df, ["cell"], threshold=0.999, block=4
+        ).collect()
+    }
+
+    # brute force reference
+    want = set()
+    for cell, g in pdf.groupby("cell"):
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        for j in range(len(g)):
+            for i in range(j):
+                a, b = np.array(g.qvec[i]), np.array(g.qvec[j])
+                cos = float(a @ b) / np.sqrt(
+                    float(g.n2[i]) * float(g.n2[j])
+                )
+                if cos >= 0.999:
+                    want.add(int(g.vec_id[j]))
+                    break
+    assert got == want
+    assert want  # the planted copies must actually be found
