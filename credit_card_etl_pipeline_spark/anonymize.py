@@ -99,7 +99,24 @@ def inject_noise(
         # silently truncates to q-1 once the operands pass 2^53 —
         # caught by the r8 hypothesis sweep on range_bucket, same form)
         out_units = F.call_function("div", num, F.lit(1_000_000))
-        return out_units.cast("double") / scale
+        # the exactness argument above PRESUMES the input is integral
+        # at ``decimals`` (true for every current cent-denominated
+        # feed); a future sub-cent feed would silently re-quantize —
+        # make it diverge loudly instead (one JVM-side compare/row)
+        integral = F.col(c).isNull() | (
+            units.cast("double") / scale == F.col(c)
+        )
+        check = F.assert_true(
+            integral,
+            F.concat(
+                F.lit(
+                    f"inject_noise: column {c!r} not integral at "
+                    f"{decimals} decimals: "
+                ),
+                F.col(c).cast("string"),
+            ),
+        )
+        return F.when(check.isNull(), out_units.cast("double") / scale)
 
     return df.withColumns({c: noisy(c) for c in amount_cols})
 

@@ -1032,6 +1032,7 @@ def within_group_dup_ids(
     vec_col: str = "qvec",
     n2_col: str = "n2",
     block: int = 1024,
+    max_group: int = 2_000_000,
 ) -> DataFrame:
     """SemDeDup verdict stage, vectorized: within each group (cluster
     cell, or (cell, subcell) leaf) mark every vector that matches a
@@ -1046,11 +1047,23 @@ def within_group_dup_ids(
     norm product) are the identical IEEE operations the expression
     form and the DuckDB oracle perform — bit-identical verdicts,
     ~40x the throughput.  Memory per task is bounded by ``block``
-    tiles (block^2 doubles) + the group's vectors, never pairs."""
+    tiles (block^2 doubles) + the group's vectors — NOT by pairs, but
+    the whole group's vectors DO land in one Arrow batch, so a skewed
+    mega-cluster (bad centroid assignment) would OOM the executor
+    silently.  ``max_group`` turns that into a loud task failure:
+    re-cluster with more cells (or sub-split) instead of raising the
+    cap.  2M 64-dim int64 vectors ≈ 1 GiB/task — inside a standard
+    4 GiB executor-core budget."""
     import numpy as np
     import pandas as pd
 
     def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group:
+            raise ValueError(
+                f"within_group_dup_ids: group of {len(pdf)} rows exceeds "
+                f"max_group={max_group}; centroid assignment is skewed — "
+                f"increase cluster count or sub-split before dedup"
+            )
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
         c = len(pdf)

@@ -122,6 +122,14 @@ def zorder_layout_write(
     for k in keys:
         aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
     b = df.agg(*aggs).collect()[0]  # 2·k scalars — bounded driver state
+    missing = [k for k in keys if b[f"mn_{k}"] is None or b[f"mx_{k}"] is None]
+    if missing:
+        # empty input / all-NULL key would otherwise crash as int(None)
+        # deep in the bucket expressions — fail at the boundary instead
+        raise ValueError(
+            f"zorder_layout_write: no non-NULL values to stretch for "
+            f"key(s) {missing} (empty DataFrame or all-NULL column)"
+        )
     buckets = [
         range_bucket(
             F.col(k).cast("long"),

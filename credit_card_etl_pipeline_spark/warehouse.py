@@ -144,6 +144,17 @@ def ivm_merge(
             f"{keys} and {sorted(sum_cols)}; got {sorted(deltas.columns)}"
         )
     dcount = dcount[0]
+    # a delta column named like a view column (e.g. a delta count also
+    # called 'n_orders') makes F.col(...) ambiguous after the join and
+    # dies at analysis time with an opaque error — reject it up front
+    clash = sorted(
+        (set(deltas.columns) - set(keys)) & set(view0.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"ivm_merge: delta column(s) {clash} collide with view "
+            f"columns; rename the delta feed's non-key columns"
+        )
 
     merged = view0.join(F.broadcast(deltas), keys, "left").select(
         *keys,

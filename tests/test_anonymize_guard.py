@@ -30,3 +30,17 @@ def test_mask_cards_fact_sized_column_fails_fast(spark, monkeypatch):
     df = spark.range(50).selectExpr("CAST(id AS STRING) AS Card_No")
     with pytest.raises(ValueError, match="mis-keyed"):
         mask_cards(df)
+
+
+def test_inject_noise_rejects_non_integral_amounts(spark):
+    """inject_noise's exact-int64 formula presumes inputs integral at
+    ``decimals``; a sub-cent feed must diverge loudly, not silently
+    re-quantize (ADVICE r8)."""
+    from credit_card_etl_pipeline_spark.anonymize import inject_noise
+
+    ok = spark.createDataFrame([(1, 12.34), (2, 0.05)], "id long, amt double")
+    assert inject_noise(ok, ["amt"], id_col="id").count() == 2
+
+    bad = spark.createDataFrame([(1, 12.345)], "id long, amt double")
+    with pytest.raises(Exception, match="not integral"):
+        inject_noise(bad, ["amt"], id_col="id").collect()

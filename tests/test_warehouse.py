@@ -157,3 +157,20 @@ def test_ivm_merge_rejects_ambiguous_delta_schema(spark):
     with pytest.raises(ValueError, match="exactly one count column"):
         ivm_merge(view0, bad, keys=["k"], count_col="n",
                   sum_cols={"damt": "total"})
+
+
+def test_ivm_merge_rejects_view_column_collision(spark):
+    """A delta column named like a view column would make F.col(...)
+    ambiguous after the join and die at analysis time with an opaque
+    error — ivm_merge must reject it at the boundary (ADVICE r8)."""
+    from credit_card_etl_pipeline_spark.warehouse import ivm_merge
+
+    view0 = spark.createDataFrame(
+        [("A", 1, 2)], "k string, n long, total long"
+    )
+    clash = spark.createDataFrame(
+        [("A", 1, 2)], "k string, n long, damt long"
+    )
+    with pytest.raises(ValueError, match="collide with view columns"):
+        ivm_merge(view0, clash, keys=["k"], count_col="n",
+                  sum_cols={"damt": "total"})

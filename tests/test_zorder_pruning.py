@@ -188,3 +188,16 @@ def test_zorder_scan_reads_fewer_rows_than_linear(layouts):
     # the filter.  The z layout's reader skips whole row groups.
     assert l_rows == spark.read.parquet(lpath).count()
     assert z_rows <= 0.55 * l_rows, (z_rows, l_rows)
+
+
+def test_zorder_layout_write_rejects_empty_and_all_null(spark, tmp_path):
+    """Empty input / all-NULL key used to crash as int(None) deep in
+    the bucket expressions; must fail at the boundary (ADVICE r8)."""
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_layout_write(empty, ["a", "b"], str(tmp_path / "e"),
+                            n_files=2)
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
+    with pytest.raises(ValueError, match=r"\['a'\]"):
+        zorder_layout_write(nulls, ["a", "b"], str(tmp_path / "n"),
+                            n_files=2)

@@ -92,6 +92,15 @@ def main() -> int:
         help="skip queries whose (source+oracle+module+sf) fingerprint "
              "already passed; state in tools/.oracle_check_state.json",
     )
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write a machine-readable result file in the driver's "
+             "CORRECTNESS_r<N>.json schema ({name: {rows_match, "
+             "schema_match, hash_match, spark_rows, oracle_rows, err}}) "
+             "so round-close full sweeps are diffable against driver "
+             "samples (VERDICT r8 ask #5)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -138,6 +147,16 @@ def main() -> int:
         print(f"changed-only: {len(names)} to run, {len(skipped)} unchanged-skipped")
 
     failures = 0
+    record: dict[str, dict] = {}
+
+    def rec(name, *, rows_match=False, schema_match=False,
+            hash_match=False, spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name in names:
         t0 = time.time()
         try:
@@ -146,10 +165,14 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            rec(name, err=f"spark error: {e!r}"[:300])
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(s_rows), oracle_rows=None,
+                err="no oracle: rows-only check")
             state[name] = fps[name]
             continue
         try:
@@ -159,6 +182,8 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec(name, spark_rows=len(s_rows),
+                err=f"duckdb error: {e!r}"[:300])
             failures += 1
             continue
 
@@ -189,6 +214,12 @@ def main() -> int:
                     (a, b) for a, b in zip(sl, dl) if a != b
                 ][:3]
                 problems.append(f"value-hash mismatch; first diffs: {diffs}")
+        rows_ok = len(s_rows) == len(d_rows)
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        rec(name, rows_match=rows_ok, schema_match=schema_ok,
+            hash_match=not problems, spark_rows=len(s_rows),
+            oracle_rows=len(d_rows),
+            err="; ".join(problems)[:300] if problems else None)
         if problems:
             failures += 1
             state.pop(name, None)
@@ -196,6 +227,10 @@ def main() -> int:
         else:
             state[name] = fps[name]
             print(f"PASS  {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"wrote {args.json_out} ({len(record)} queries)")
     try:
         with open(STATE_PATH, "w") as fh:
             json.dump(state, fh, indent=0, sort_keys=True)

@@ -46,21 +46,43 @@ def run(label: str, cmd: list[str]) -> bool:
     return ok
 
 
+def _current_round() -> int:
+    """Best-effort round number from PROGRESS.jsonl (driver-written)."""
+    import json
+
+    try:
+        with open(os.path.join(ROOT, "PROGRESS.jsonl")) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        return int(json.loads(lines[-1]).get("round", 0))
+    except Exception:
+        return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="round number for the CORRECTNESS_FULL_r<N>.json artifact "
+             "(default: last 'round' in PROGRESS.jsonl)",
+    )
     args = ap.parse_args()
     py = sys.executable
+    rnd = args.round if args.round is not None else _current_round()
+    full_art = os.path.join(ROOT, f"CORRECTNESS_FULL_r{rnd:02d}.json")
     gates = [
         ("pytest", [py, "-m", "pytest", "tests/", "-q"]),
-        ("oracle sweep", [py, "tools/check_oracle.py"]),
+        ("oracle sweep",
+         [py, "tools/check_oracle.py", "--json-out", full_art]),
         ("hostile sweep", [py, "tools/hostile_sweep.py"]),
         ("plan audit", [py, "tools/plan_audit.py"]),
     ]
     if not args.skip_bench:
         gates.append(("bench", [py, "bench.py"]))
-    results = [run(label, cmd) for label, cmd in gates]
-    if not args.skip_bench and results[-1]:
+    # labeled results (not positional) so a future gate appended after
+    # the bench can't steal the loaded-host flag (ADVICE r8)
+    results = {label: run(label, cmd) for label, cmd in gates}
+    if results.get("bench"):
         # Refuse to stamp a bench-of-record from a loaded host: a start
         # loadavg above cpus/4 inflates every timing (r07: loadavg 14.5
         # read ~15% slow vs the idle re-run).  bench.py wrote the flag
@@ -75,8 +97,8 @@ def main() -> int:
             rec = {}
         if rec.get("loaded_host_warning"):
             print(f"FAIL  bench-of-record  {rec['loaded_host_warning']}")
-            results[-1] = False
-    n_ok = sum(results)
+            results["bench"] = False
+    n_ok = sum(results.values())
     print(f"round-close: {n_ok}/{len(results)} gates green")
     return 0 if n_ok == len(results) else 1
 
