@@ -22,6 +22,27 @@ Replication keeps every invariant the queries rely on:
 * embeddings perturb one coordinate per replica (deterministic) so
   ANN distance ties don't explode; label/dim preserved.
 
+``--skew zipf:<s>`` additionally makes the corpus HOSTILE (VERDICT r8
+ask #1): uniform replication cannot expose hot-key cliffs, so this
+mode rewrites key/value distributions zipfian while keeping every FK
+valid (hot keys are real base-replica parents):
+
+* FK remap — a deterministic ``alpha``-share (60%) of rows in
+  orders.o_custkey, lineitem.l_partkey/l_suppkey and events.user_id
+  re-point at one of the 16 base-keyspace hot keys with weight
+  ``rank^-s`` (s from the flag; s=1.5 puts ~28% of ALL rows on the
+  single hottest key ≈ 9x the even 32-partition load — past the
+  measured 6x salting crossover in operators/skew.py);
+* documents — 3% of docs collapse onto 5 shared boilerplate variants
+  (mega exact/near-dup cluster: hot LSH buckets, hot shingle
+  anchors, a fat connected component);
+* embeddings — 10% of vectors migrate to one tight region (skewed
+  centroid assignment for IVF/SemDeDup cells).
+
+Everything is hash-seeded from primary keys: the corpus is a pure
+function of (src, mult, s) and the DuckDB oracle recomputes on the
+identical files, so hash-parity certification still applies.
+
 Written with Spark so parquet logical types (timestamp_ntz ts) match
 the driver corpus exactly, then each table is collapsed to the single
 ``<table>.parquet`` FILE layout check_oracle/DuckDB expect.
@@ -56,6 +77,53 @@ _SPECS: dict[str, dict[str, str]] = {
     "embeddings": {"vec_id": "vec_id"},
 }
 
+#: --skew: FK columns remapped zipfian; (column, seed, pk cols whose
+#: hash drives the draw — replica-offset PKs, so replicas differ)
+_SKEW_FKS: dict[str, list[tuple[str, str, list[str]]]] = {
+    "orders": [("o_custkey", "zipf:cust", ["o_orderkey"])],
+    "lineitem": [
+        ("l_partkey", "zipf:part", ["l_orderkey", "l_linenumber"]),
+        ("l_suppkey", "zipf:supp", ["l_orderkey", "l_linenumber"]),
+    ],
+    "events": [("user_id", "zipf:user", ["event_id"])],
+}
+
+_HOT_K = 16      # hot-key catalogue size (base keyspace 0..K-1)
+_HOT_ALPHA = 0.6  # share of rows redirected at the hot catalogue
+
+_HOT_TEXTS = [
+    "hot boilerplate variant %d : this shared promotional footer is "
+    "repeated verbatim across a large slice of the corpus, the exact "
+    "pathology web-scale dedup must absorb — identical shingles, "
+    "identical minhash signatures, one mega bucket. unsubscribe at "
+    "any time. terms and conditions apply. all rights reserved." % i
+    for i in range(5)
+]
+
+
+def _uniform(F, pks: list[str], seed: str):
+    """Deterministic uniform in [0,1) from the row's (offset) PKs."""
+    h = F.xxhash64(*[F.col(c) for c in pks], F.lit(seed))
+    return h.bitwiseAND(F.lit((1 << 40) - 1)).cast("double") / float(1 << 40)
+
+
+def _zipf_remap(F, u, orig, dtype: str, s: float):
+    """CASE chain: u under the cumulative zipf thresholds -> hot key
+    rank (base keyspace 0.._HOT_K-1), else the original key."""
+    w = [(i + 1) ** -s for i in range(_HOT_K)]
+    tot = sum(w)
+    expr = orig
+    acc, branches = 0.0, []
+    for i, wi in enumerate(w):
+        acc += wi
+        branches.append((_HOT_ALPHA * acc / tot, i))
+    for thresh, key in reversed(branches):
+        expr = F.when(u < F.lit(thresh), F.lit(key).cast(dtype)).otherwise(
+            expr
+        )
+    return expr
+
+
 #: where each keyspan is measured: (table, column)
 _SPAN_SOURCES = {
     "c_custkey": ("customer", "c_custkey"),
@@ -85,7 +153,34 @@ def main() -> int:
         "made the r8 slope table overstate map-heavy exponents.  The "
         "oracle tooling globs directory tables (check_oracle.py).",
     )
+    ap.add_argument(
+        "--skew",
+        default=None,
+        help="'zipf:<s>' — make the corpus hostile: zipfian hot keys "
+        "on FK columns, a mega dup cluster in documents, one hot "
+        "embedding region (see module docstring)",
+    )
+    ap.add_argument(
+        "--doc-unique",
+        action="store_true",
+        help="constant-density control (VERDICT r8 ask #3): replica-0 "
+        "documents keep the planted near-dup structure, but every "
+        "rep>0 doc gets a per-doc salt prefixed onto EVERY word, so "
+        "cross-doc shingle/ngram overlap is zero outside rep 0 — the "
+        "near-dup PAIR count stays fixed while rows grow mult-x.  "
+        "Token counts are preserved (+1 salt token of width 8/word "
+        "never splits or merges words), so token-linear operators see "
+        "the same per-row work.  Re-sloping a dup-density-sensitive "
+        "query on this corpus separates data-driven growth (pair "
+        "fan-out) from algorithmic growth.",
+    )
     args = ap.parse_args()
+    zipf_s = None
+    if args.skew:
+        kind, _, sval = args.skew.partition(":")
+        if kind != "zipf" or not sval:
+            raise SystemExit(f"--skew must be zipf:<s>, got {args.skew!r}")
+        zipf_s = float(sval)
 
     from pyspark.sql import functions as F
 
@@ -140,17 +235,42 @@ def main() -> int:
                 ).cast(dict(src.dtypes)[col]),
             )
         if table == "documents":
-            out = out.withColumn(
-                "text",
-                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.lit("r"),
-                        F.col("__rep").cast("string"),
-                        F.lit(" "),
-                        F.col("text"),
-                    )
-                ),
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            if args.doc_unique:
+                # per-doc 7-hex salt + '_' glued onto every word: token
+                # count preserved, cross-doc shingles disjoint for
+                # rep>0 (see --doc-unique help)
+                salt = F.substring(
+                    F.sha2(
+                        F.concat(F.lit("ctl:"), F.col("doc_id").cast("string")),
+                        256,
+                    ),
+                    1,
+                    7,
+                )
+                salted = F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(salt, F.lit(r"_$1")),
+                )
+                out = out.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                        salted
+                    ),
+                )
+            else:
+                out = out.withColumn(
+                    "text",
+                    F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                        F.concat(
+                            F.lit("r"),
+                            F.col("__rep").cast("string"),
+                            F.lit(" "),
+                            F.col("text"),
+                        )
+                    ),
+                )
+            out = out.withColumn("n_chars", F.length("text").cast("long"))
         if table == "embeddings":
             # deterministic per-replica nudge on coordinate 0 keeps
             # distance ties from exploding while preserving geometry
@@ -170,6 +290,46 @@ def main() -> int:
                     )
                 ),
             )
+        if zipf_s is not None:
+            for col, seed, pks in _SKEW_FKS.get(table, []):
+                u = _uniform(F, pks, seed)
+                out = out.withColumn(
+                    col,
+                    _zipf_remap(
+                        F, u, F.col(col), dict(src.dtypes)[col], zipf_s
+                    ),
+                )
+            if table == "documents":
+                hot = _uniform(F, ["doc_id"], "zipf:doc") < 0.03
+                variant = (
+                    F.xxhash64("doc_id", F.lit("zipf:docv"))
+                    .bitwiseAND(F.lit(0x7FFFFFFF))
+                    % len(_HOT_TEXTS)
+                )
+                hot_text = F.element_at(
+                    F.array(*[F.lit(t) for t in _HOT_TEXTS]),
+                    (variant + 1).cast("int"),
+                )
+                out = out.withColumn(
+                    "text", F.when(hot, hot_text).otherwise(F.col("text"))
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if table == "embeddings":
+                hot = _uniform(F, ["vec_id"], "zipf:vec") < 0.10
+                # migrate hot vectors into one tight region: a fixed
+                # cos(i) anchor point + 1% of the original coordinates
+                # (keeps vectors distinct -> no degenerate rank ties)
+                out = out.withColumn(
+                    "embedding",
+                    F.when(
+                        hot,
+                        F.transform(
+                            "embedding",
+                            lambda x, i: (
+                                F.cos(i.cast("double")) + x * 0.01
+                            ).cast("float"),
+                        ),
+                    ).otherwise(F.col("embedding")),
+                )
         emit(table, out.drop("__rep").select(*src.columns), args.files)
 
     print(f"done -> {args.dst}", flush=True)

@@ -55,8 +55,15 @@ TOP_KEYS = {
 }
 
 
-def parse_event_log(path: str) -> dict[str, dict[str, int]]:
-    """event log -> {query_name: summed task metrics}."""
+def parse_event_log(
+    path: str, task_durations: dict[str, list[int]] | None = None
+) -> dict[str, dict[str, int]]:
+    """event log -> {query_name: summed task metrics}.
+
+    ``task_durations``, when given, additionally collects every task's
+    wall duration (ms) per query — the raw series behind the
+    max/median straggler ratio (a hot key that funnels one reduce task
+    shows up as max >> median long before it shows up in wall time)."""
     stage_to_group: dict[int, str] = {}
     totals: dict[str, dict[str, int]] = {}
     with open(path) as fh:
@@ -82,6 +89,13 @@ def parse_event_log(path: str) -> dict[str, dict[str, int]]:
                     acc[out] = acc.get(out, 0) + int(v or 0)
                 for out, key in TOP_KEYS.items():
                     acc[out] = acc.get(out, 0) + int(tm.get(key, 0) or 0)
+                if task_durations is not None:
+                    ti = ev.get("Task Info") or {}
+                    dur = int(ti.get("Finish Time", 0) or 0) - int(
+                        ti.get("Launch Time", 0) or 0
+                    )
+                    if dur >= 0:
+                        task_durations.setdefault(group, []).append(dur)
     # fold local+remote shuffle read into one number (local[k] reads are
     # all "local"; on a cluster the split matters, here the sum does)
     for acc in totals.values():
@@ -95,6 +109,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="output JSON path (default SHUFFLE_AUDIT.json at repo "
+        "root); lets per-sf audits coexist so bench_slope.py can "
+        "compute shuffle-bytes exponents between two of them "
+        "(VERDICT r8 ask #4)",
+    )
     args = ap.parse_args()
 
     log_dir = tempfile.mkdtemp(prefix="sg_eventlog_")
@@ -157,15 +179,31 @@ def main() -> int:
         else:
             logs.append(p)
     per_group: dict[str, dict[str, int]] = {}
+    durations: dict[str, list[int]] = {}
     for p in logs:
-        for g, acc in parse_event_log(p).items():
+        for g, acc in parse_event_log(p, task_durations=durations).items():
             tgt = per_group.setdefault(g, {})
             for k, v in acc.items():
                 tgt[k] = tgt.get(k, 0) + v
     shutil.rmtree(log_dir, ignore_errors=True)
 
+    def straggler(g: str) -> dict:
+        ds = sorted(durations.get(g, []))
+        if not ds:
+            return {}
+        med = ds[len(ds) // 2]
+        return {
+            "n_tasks": len(ds),
+            "max_task_ms": ds[-1],
+            "median_task_ms": med,
+            # the straggler signal: a hot key funneled into one reduce
+            # task reads max >> median (floor the median at 50ms so
+            # micro-task queries don't produce absurd ratios)
+            "task_skew_ratio": round(ds[-1] / max(med, 50), 1),
+        }
+
     queries_out = {
-        n: {**per_group.get(n, {}), "wall_sec": wall.get(n)}
+        n: {**per_group.get(n, {}), **straggler(n), "wall_sec": wall.get(n)}
         for n in names
         if n not in errors
     }
@@ -193,7 +231,7 @@ def main() -> int:
         "unattributed": per_group.get("_unattributed", {}),
         "queries": queries_out,
     }
-    out = os.path.join(
+    out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SHUFFLE_AUDIT.json",
     )
