@@ -325,13 +325,13 @@ WITH e AS (
 anchor AS (SELECT max(us) AS max_us FROM e),
 aged AS (
     SELECT user_id,
-           least((max_us - us) // 604800000000, 50) AS weeks_old
+           least((max_us - us) // 604800000000, 30) AS weeks_old
     FROM e CROSS JOIN anchor
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(1::BIGINT << (50 - weeks_old)) AS BIGINT)
-           AS decayed_score_x2e50
+       CAST(sum(1::BIGINT << (30 - weeks_old)) AS BIGINT)
+           AS decayed_score_x2e30
 FROM aged
 GROUP BY user_id
 """
@@ -343,24 +343,30 @@ def events_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature store applies to interaction counts): each event
     contributes 2^-weeks_old, summed per user.  The half-life is a
     power of two ON PURPOSE — every contribution is an exact BIGINT
-    (2^(50-age), age capped at 50 weeks ≈ a 1e-15 weight), so the
+    (2^(30-age), age capped at 30 weeks ≈ a 1e-9 weight), so the
     score needs no float pow() whose libm rounding differs across
     engines.  The corpus-max anchor is a 1-row broadcast; one shuffle
-    on user_id."""
+    on user_id.
+
+    Fixed-point scale is 2^30, NOT the 2^50 this query shipped with:
+    at 2^50 a single user with >2^13 max-weight events overflows
+    BIGINT — the r9 zipf-skewed certification corpus (hot user ≈ 28%
+    of all events) caught exactly that.  At 2^30 the per-user headroom
+    is 2^33 ≈ 8.6e9 fresh events before overflow."""
     ev = load(spark, sf_dir, "events")
     e = ev.select("user_id", event_micros(ev).alias("us"))
     anchor = e.agg(F.max("us").alias("max_us"))
     aged = e.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         F.least(
-            F.expr("(max_us - us) div 604800000000"), F.lit(50)
+            F.expr("(max_us - us) div 604800000000"), F.lit(30)
         ).alias("weeks_old"),
     )
     return aged.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.expr("shiftleft(1L, CAST(50 - weeks_old AS INT))"))
+        F.sum(F.expr("shiftleft(1L, CAST(30 - weeks_old AS INT))"))
         .cast("long")
-        .alias("decayed_score_x2e50"),
+        .alias("decayed_score_x2e30"),
     )
 
 

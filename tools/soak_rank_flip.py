@@ -71,15 +71,22 @@ def main() -> int:
     dist = with_pct_rank(df, "metric", out="pct")
     plain = with_pct_rank(df, "metric", out="pct", distributed=False)
 
-    # (3) physical shape of each strategy
+    # (3) physical shape of each strategy.  The distributed path's
+    # range exchange runs EAGERLY inside with_pct_rank (the pinning
+    # localCheckpoint executes it), so in the final plan it appears as
+    # a Scan ExistingRDD of the checkpointed range-partitioned distinct
+    # table — that scan is the physical signature of the two-pass
+    # strategy; the plain path has no checkpoint and keeps its global
+    # single-partition Window inline.
     dist_plan = dist._jdf.queryExecution().executedPlan().toString()
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in dist_plan.lower(), (
-        "distributed rank plan lost its range exchange"
+    assert "existingrdd" in dist_plan.lower(), (
+        "distributed rank plan lost its checkpointed range-partitioned "
+        "pass"
     )
-    assert "rangepartitioning" not in plain_plan.lower(), (
-        "plain rank plan unexpectedly range-partitions"
-    )
+    assert "existingrdd" not in plain_plan.lower() and (
+        "window" in plain_plan.lower()
+    ), "plain rank plan is not the inline single-window form"
 
     # (4) + (5): one rank table per strategy, then an exact anti-join
     t0 = time.time()
