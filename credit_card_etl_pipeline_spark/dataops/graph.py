@@ -23,10 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: One unit of rank, in micro-units: big enough that truncating
-#: division keeps 12 significant digits, small enough that
-#: 20 · Σ ranks stays far below 2^63 for any realistic node count.
-RANK_BASE = 10**12
+#: One unit of rank, in nano-units.  10^9 keeps ~9 significant digits
+#: through the truncating divisions while the total rank mass
+#: (|nodes| x BASE) stays under 2^63/20 up to ~5x10^8 nodes — the
+#: original 10^12 base left only ~4x10^5 nodes of headroom, which the
+#: r9 zipf-skewed corpus blew through (hot node rank x edge weight
+#: overflowed BIGINT in the oracle's unrolled round 3).
+RANK_BASE = 10**9
 
 #: Damping 0.85 as the exact rational 17/20.
 DAMP_NUM, DAMP_DEN = 17, 20
@@ -45,6 +48,15 @@ def pagerank(
 
         contrib(u→v) = (rank_u * w_uv) div outw_u
         rank'_v      = (3*BASE) div 20  +  (17 * Σ contrib) div 20
+
+    The contribution is EVALUATED via the exact split-division
+    identity ``w*(rank div outw) + ((rank mod outw)*w) div outw``
+    (rank = q*outw + rem  ⇒  floor(rank*w/outw) = q*w +
+    floor(rem*w/outw)): the naive ``rank*w`` product overflows BIGINT
+    once a hot node's rank meets a hot edge weight (caught by the r9
+    skewed certification corpus), while the split form is bounded by
+    the total rank mass on one side and outw² on the other — safe to
+    ~5x10^8 nodes and ~3x10^9 per-node out-weight.
 
     Returns (node, rank) for every node appearing as src or dst.
     """
@@ -68,7 +80,10 @@ def pagerank(
             e.join(ranks, e["e_src"] == ranks["node"])
             .select(
                 F.col("e_dst").alias("node"),
-                F.expr("(rank * e_w) div outw").alias("c"),
+                F.expr(
+                    "e_w * (rank div outw)"
+                    " + ((rank % outw) * e_w) div outw"
+                ).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

@@ -2776,15 +2776,20 @@ def documents_stratified_fixed_sample(
 # ====================================================================
 
 _PR_ITERS = 3
-_PR_BASE = 10**12
+_PR_BASE = 10**9  # nano-units; see dataops.graph.RANK_BASE headroom note
 _PR_TELEPORT = (3 * _PR_BASE) // 20
 
 
 def _pr_iter_sql(i: int) -> str:
+    # split-division identity (exact): floor(rank*w/outw) =
+    # w*(rank//outw) + (rank%outw)*w//outw — the naive product
+    # overflows BIGINT on hot nodes (r9 skewed corpus)
     return f"""
 c{i} AS (
     SELECT e.dst AS node,
-           CAST(sum((r.rank * e.w) // e.outw) AS BIGINT) AS s
+           CAST(sum(e.w * (r.rank // e.outw)
+                    + ((r.rank % e.outw) * e.w) // e.outw)
+                AS BIGINT) AS s
     FROM e JOIN r{i - 1} r ON r.node = e.src
     GROUP BY e.dst
 ),

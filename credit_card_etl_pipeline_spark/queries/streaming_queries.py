@@ -703,10 +703,24 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     join state and drop expired rows — the streaming twin of the batch
     range join.  Matched pairs land append-mode in a memory sink and
     are counted per error batch-side; the oracle is the naive batch
-    inequality join (errors with >= 1 match, inner-join semantics)."""
+    inequality join (errors with >= 1 match, inner-join semantics).
+
+    State is keyed on (user_id, 10-minute time bucket), NOT user_id
+    alone: the symmetric hash join probes every buffered row of the
+    matching key, so a hot user funnels |errors_u| x |purchases_u|
+    comparisons into one state partition — the r9 zipf corpus (one
+    user holding 28% of all events) drove that past 5x10^9 pairs and
+    the availableNow run never finished.  Because the range interval
+    equals the bucket width, a matching purchase lives in exactly one
+    of {err_bucket, err_bucket-1}: exploding each error into those two
+    probe rows makes the bucket an EQUI-join key (each pair still
+    matches exactly once), so hot-user state shards across time and
+    per-key work is bounded by the user's 10-minute local density at
+    any corpus scale."""
     import tempfile
 
     name = f"ss_join_{next(_stateful_run_counter)}"
+    bucket = "CAST(floor(unix_micros({c}) / 600000000) AS LONG)"
     base = events_stream(spark, sf_dir)
     err = (
         event_time(base)
@@ -717,6 +731,15 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_ts").alias("err_ts"),
         )
         .withWatermark("err_ts", "1 hour")
+        .withColumn(
+            "err_b",
+            F.explode(
+                F.array(
+                    F.expr(bucket.format(c="err_ts")),
+                    F.expr(bucket.format(c="err_ts") + " - 1L"),
+                )
+            ),
+        )
     )
     pur = (
         event_time(events_stream(spark, sf_dir))
@@ -726,11 +749,12 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_ts").alias("pur_ts"),
         )
         .withWatermark("pur_ts", "1 hour")
+        .withColumn("pur_b", F.expr(bucket.format(c="pur_ts")))
     )
     joined = err.join(
         pur,
         F.expr(
-            "err_user = pur_user AND "
+            "err_user = pur_user AND err_b = pur_b AND "
             "pur_ts >= err_ts - INTERVAL 10 MINUTES AND pur_ts < err_ts"
         ),
     )
@@ -749,8 +773,14 @@ def stream_stream_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(600)
         q.stop()
+        if not finished:
+            # a timed-out availableNow run leaves a PARTIAL sink — the
+            # r9 skew sweep read one as silent 0 rows; fail loudly
+            raise RuntimeError(
+                f"{name}: stream-stream join did not drain in 600s"
+            )
     return (
         spark.table(name)
         .groupBy(
