@@ -113,6 +113,20 @@ def main() -> int:
 
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
+    # An in-memory DuckDB connection has NO temp directory, so a big
+    # oracle intermediate (e.g. the 43M-pair leaf self-join the skewed
+    # sf1 corpus produces in dedup_semantic_hierarchical) aborts with
+    # OOM instead of going out-of-core.  Give it a spill dir and a
+    # bounded memory budget so oracle-side resource limits can't
+    # masquerade as correctness failures.
+    import tempfile
+
+    con.sql(
+        f"SET temp_directory = "
+        f"'{tempfile.mkdtemp(prefix='duckdb_spill_')}'"
+    )
+    con.sql("SET max_temp_directory_size = '60GB'")
+    con.sql("SET memory_limit = '24GB'")
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
         if os.path.isdir(p):
