@@ -76,6 +76,28 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*[a.combine() for a in aggs])
 
 
+def hot_keys(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    min_count: int,
+) -> DataFrame:
+    """The key tuples whose row count exceeds ``min_count`` — the set
+    the hot-only salted plan spreads.  Bounded by construction:
+    at most total/min_count rows can exceed min_count, and the caller
+    derives min_count from the even per-partition load, so the result
+    is ≤ shuffle_partitions/factor rows at ANY data size — always
+    broadcastable.  The count groupBy combines map-side (hot keys cost
+    one partial per input partition)."""
+    return (
+        df.select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__hot_n"))
+        .where(F.col("__hot_n") > min_count)
+        .drop("__hot_n")
+    )
+
+
 def probe_key_skew(df: DataFrame, keys: list[str]) -> dict:
     """One bounded action: the per-key count histogram reduced to
     (total rows, distinct keys, hottest-key count) — three longs to the
@@ -171,6 +193,18 @@ def adaptive_aggregate(
     key skew for them and salting is pure overhead (the probe is then
     skipped entirely — no action, no cost).
 
+    The salted plan spreads ONLY the hot keys (r9 hostile-corpus
+    measurement): salting every key multiplies the per-group Python
+    overhead — the very thing that makes a payload combine-free — by
+    ``n_salts``, which on a 15k-key zipf corpus made the fully-salted
+    plan 5.5x SLOWER than plain even with one key at 9x the even
+    load.  Here the bounded hot set (:func:`hot_keys`, ≤
+    partitions/factor rows at any scale) broadcasts back onto the
+    input; hot rows salt across ``n_salts`` sub-keys, cold rows keep
+    salt 0, so stage-1 group count stays ~|keys| while the hot key's
+    single funneled task splits ``n_salts`` ways.  Cost vs plain: one
+    broadcast + one extra combine shuffle of ~|keys| partial rows.
+
     ``decision_out``, when given, receives {salted, stats,
     shuffle_partitions, combine_free} so callers/tests can audit the
     choice."""
@@ -196,9 +230,30 @@ def adaptive_aggregate(
             combine_free=combine_free,
         )
     if salted:
-        return salted_aggregate(
-            df, keys, aggs, n_salts=n_salts, salt_source=salt_source
+        cut = int(
+            hot_partition_factor * skew_stats["total"] / max(parts, 1)
         )
+        hot = F.broadcast(
+            hot_keys(df, keys, min_count=cut).withColumn(
+                "__is_hot", F.lit(True)
+            )
+        )
+        if salt_source is not None:
+            salt_val = (
+                F.xxhash64(F.col(salt_source)) % n_salts + n_salts
+            ) % n_salts
+        else:
+            salt_val = F.spark_partition_id() % n_salts
+        partial = (
+            df.join(hot, keys, "left")
+            .withColumn(
+                "__salt",
+                F.when(F.col("__is_hot"), salt_val).otherwise(F.lit(0)),
+            )
+            .groupBy(*keys, "__salt")
+            .agg(*[a.partial for a in aggs])
+        )
+        return partial.groupBy(*keys).agg(*[a.combine() for a in aggs])
     return df.groupBy(*keys).agg(*[a.partial for a in aggs])
 
 

@@ -631,3 +631,23 @@ def test_top_smj_queries_join_strategy_pinned(spark):
         for name in expected
     }
     assert got == expected
+
+
+def test_hot_keys_returns_exactly_the_heavy_tuples(spark):
+    """hot_keys must return precisely the key tuples above the cut —
+    the bounded broadcast set the hot-only salted plan fans out
+    (r9: full salting multiplied pandas per-group overhead by n_salts
+    on every cold key and LOST 5.5x on a 15k-key zipf corpus)."""
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.operators.skew import hot_keys
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 700, F.lit(0))
+        .when(F.col("id") < 900, F.lit(1))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    got = sorted(r["k"] for r in hot_keys(df, ["k"], min_count=150).collect())
+    assert got == [0, 1]
+    assert hot_keys(df, ["k"], min_count=1500).count() == 0
