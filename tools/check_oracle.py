@@ -126,7 +126,10 @@ def main() -> int:
         f"'{tempfile.mkdtemp(prefix='duckdb_spill_')}'"
     )
     con.sql("SET max_temp_directory_size = '60GB'")
-    con.sql("SET memory_limit = '24GB'")
+    con.sql(
+        f"SET memory_limit = "
+        f"'{os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
+    )
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
         if os.path.isdir(p):
