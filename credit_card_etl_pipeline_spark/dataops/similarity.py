@@ -1089,3 +1089,53 @@ def within_group_dup_ids(
     return assigned.select(id_col, vec_col, n2_col, *group_cols).groupBy(
         *group_cols
     ).applyInPandas(find, schema=f"{id_col} long")
+
+
+# ------------------------------------------------------------------
+# Strategy selection: flat vs hierarchical semantic dedup
+# ------------------------------------------------------------------
+
+#: Corpus size above which the hierarchical codebook wins.  Measured
+#: on the sf1→sf10 ladder (LADDER_SF10_r09.json): the flat form sizes
+#: k ~ n/1000 to bound cluster occupancy, which makes its ASSIGNMENT
+#: stage O(n·k) = O(n²/1000) — wall exponent 1.13 across the decade
+#: (11.6s at ~24k vectors → 156s at ~220k).  The hierarchical form
+#: holds exponent 0.30 (12.9s → 26s) because each level's k stays
+#: small and leaves multiply k·k_sub.  The crossover sits between the
+#: two measured decades; 50k is the midpoint with the flat form still
+#: comfortably ahead at the sf1 certification corpora (~24k vectors).
+SEMANTIC_FLIP_AT = 50_000
+
+
+def choose_semantic_strategy(
+    n_vectors: int, *, flip_at: int = SEMANTIC_FLIP_AT
+) -> str:
+    """Pick the semantic-dedup codebook shape for a corpus of
+    ``n_vectors`` embeddings: ``"flat"`` (single codebook, k ~ n/1000)
+    below ``flip_at``, ``"hierarchical"`` (fixed-k coarse level +
+    per-cell sub-codebooks) at or above it.
+
+    Deterministic in the corpus size only, so the decision is stable
+    across runs and engines; both branches produce keep-lowest-id
+    verdicts with injected exact duplicates guaranteed to hit, so the
+    flip changes CLUSTER SHAPES (internal) but the dup verdict for an
+    exact duplicate never flips.
+    """
+    return "flat" if n_vectors < flip_at else "hierarchical"
+
+
+def ivf_auto_k(n_vectors: int, *, floor_k: int = 8) -> int:
+    """The IVF codebook sizing law: k = max(floor_k, ⌊√n⌋).
+
+    With k fixed, per-cell candidate lists grow ~n and probe cost
+    ~Q·n/k — the sf1→sf10 ladder measured exactly that (ann_ivf_topk
+    wall exponent 1.18, LADDER_SF10_r09.json).  Growing k ~ √n keeps
+    expected cell occupancy ~√n, so probe cost is ~Q·nprobe·√n and the
+    fit's assignment stage is n·√n — both sublinear per vector.  The
+    double-precision sqrt/floor here is the same IEEE op sequence as
+    the DuckDB oracle's ``floor(sqrt(count(*)*1.0))``, so both engines
+    derive the identical k from the identical corpus count.
+    """
+    import math
+
+    return max(floor_k, int(math.floor(math.sqrt(n_vectors * 1.0))))

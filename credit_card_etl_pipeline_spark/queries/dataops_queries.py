@@ -789,6 +789,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# IVF with the k ~ sqrt(n) sizing law (self-tuning codebook size)
+# ------------------------------------------------------------------
+
+# The auto-k fit is the SAME unrolled k-means, seeded with
+# greatest(8, floor(sqrt(n))) lowest-id vectors instead of a fixed 8 —
+# derived from _IVF_FIT_SQL by swapping the one LIMIT, and the probe
+# tail is shared verbatim, so the two oracles cannot drift apart.
+assert _IVF_FIT_SQL.count(f"LIMIT {_IVF_K})") == 1
+_IVF_AUTO_FIT_SQL = _IVF_FIT_SQL.replace(
+    f"LIMIT {_IVF_K})",
+    f"LIMIT (SELECT greatest({_IVF_K}, "
+    f"CAST(floor(sqrt(count(*)*1.0)) AS BIGINT)) FROM vecs))",
+)
+_IVF_AUTO_ORACLE = _IVF_AUTO_FIT_SQL + _IVF_ORACLE[len(_IVF_FIT_SQL):]
+
+#: Base embeddings count per corpus dir — one count job, not one per
+#: execution (the auto-k pick is a pure function of it).
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+@query("ann_ivf_auto_k", _IVF_AUTO_ORACLE)
+def ann_ivf_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the codebook sized by the k ~ √n law
+    (sim.ivf_auto_k) instead of a fixed k.
+
+    The sf1→sf10 ladder measured the fixed-k failure mode this exists
+    for: with k=8 pinned, cell occupancy grows ~n and ann_ivf_topk's
+    wall exponent reads 1.18 across the decade (LADDER_SF10_r09.json —
+    "the known IVF sizing law, not a bug").  Sizing k = ⌊√n⌋ bounds
+    expected occupancy at ~√n, making probe cost ~Q·nprobe·√n; at 100 TB
+    the fit runs offline on a corpus sample and only the k×dim codebook
+    ships to executors (broadcast — the assignment path switches to the
+    higher-order array form above 16 centroids, so plan SIZE stays
+    constant as k grows).  One memoized count job picks k; both engines
+    derive the identical k from the identical count (same IEEE
+    floor∘sqrt), so the genuinely data-dependent codebook still unrolls
+    into a hash-checked DuckDB oracle."""
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = load(spark, sf_dir, "embeddings").count()
+        _EMB_COUNT_CACHE[sf_dir] = n
+    k = sim.ivf_auto_k(n, floor_k=_IVF_K)
+    key = (sf_dir, k, _IVF_ITERS)
+    if key not in _IVF_CODEBOOK_CACHE:
+        vecs = _quantized(spark, sf_dir).persist()
+        try:
+            _IVF_CODEBOOK_CACHE[key] = sim.ivf_fit(
+                vecs, k=k, iters=_IVF_ITERS
+            )
+        finally:
+            vecs.unpersist(False)
+    centroids = _IVF_CODEBOOK_CACHE[key]
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk(vecs, queries, centroids, k=5, nprobe=2)
+
+
+# ------------------------------------------------------------------
 # Persisted IVF index + incremental batch probe
 # ------------------------------------------------------------------
 
@@ -1507,6 +1565,61 @@ def dedup_semantic_hierarchical(
         F.col("cell").cast("long").alias("cell"),
         F.col("subcell").cast("long").alias("subcell"),
         F.coalesce("__dup", F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+#: Corpus-size memo for the auto strategy pick (base + injected dups);
+#: one count job per sf_dir, not one per execution.
+_SEMDEDUP_COUNT_CACHE: dict[str, int] = {}
+
+# The auto oracle is the FLAT oracle projected to the verdict columns:
+# at every oracle-checked scale (sf0.01 driver gate, sf0.1/sf1 sweeps —
+# ≤ ~24k vectors) the selector picks flat, well under SEMANTIC_FLIP_AT.
+# The hierarchical branch is oracle-covered by its own registered query
+# (dedup_semantic_hierarchical) and its selection is pinned by
+# tests/test_semantic_auto.py with a lowered flip threshold.
+_SEMDEDUP_AUTO_ORACLE = f"""
+SELECT vec_id, is_semantic_dup, 'flat' AS strategy
+FROM ({_SEMDEDUP_ORACLE})
+"""
+
+
+@query("dedup_semantic_auto", _SEMDEDUP_AUTO_ORACLE)
+def dedup_semantic_auto(
+    spark: SparkSession, sf_dir: str, *, flip_at: int | None = None
+) -> DataFrame:
+    """Self-tuning semantic dedup: measure the corpus, then run the
+    codebook shape that wins at that size (sim.choose_semantic_strategy).
+
+    The sf1→sf10 ladder (LADDER_SF10_r09.json) measured the law this
+    encodes: the flat codebook (k ~ n/1000 to bound cluster occupancy)
+    pays O(n²/1000) in its assignment stage — wall exponent 1.13 across
+    the decade — while the hierarchical form holds 0.30 because each
+    level's k stays fixed and leaves multiply k·k_sub.  Flat is still
+    cheaper below the crossover (11.6s vs 12.9s at ~24k vectors), so a
+    100 TB pipeline wants BOTH, picked per corpus: one count job (memoized
+    per corpus dir), then the chosen branch — no plan is built for the
+    loser.  Output is the strategy-independent verdict surface
+    (vec_id, is_semantic_dup) plus the pick, so the schema is stable
+    across the flip; cluster ids (which legitimately differ by shape)
+    stay internal to the specialized queries."""
+    n = _SEMDEDUP_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        emb = load(spark, sf_dir, "embeddings")
+        base_n = emb.count()
+        # injected dups replicate every 10th vec_id, same both branches
+        n = base_n + emb.where(F.col("vec_id") % 10 == 0).count()
+        _SEMDEDUP_COUNT_CACHE[sf_dir] = n
+    strategy = sim.choose_semantic_strategy(
+        n, **({} if flip_at is None else {"flip_at": flip_at})
+    )
+    branch = (
+        dedup_semantic_clusters
+        if strategy == "flat"
+        else dedup_semantic_hierarchical
+    )
+    return branch(spark, sf_dir).select(
+        "vec_id", "is_semantic_dup", F.lit(strategy).alias("strategy")
     )
 
 

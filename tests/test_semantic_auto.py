@@ -1,0 +1,88 @@
+"""Self-tuning operators added after the sf1→sf10 ladder
+(LADDER_SF10_r09.json): the flat↔hierarchical semantic-dedup strategy
+flip and the k ~ √n IVF sizing law.  The decision rules are pure
+functions of the corpus size (so both engines and both runs agree);
+these tests pin the boundaries, the parity of the auto query with
+whichever specialist it picks, and that the flip actually changes the
+executed branch."""
+
+from __future__ import annotations
+
+import duckdb
+
+from credit_card_etl_pipeline_spark.dataops import similarity as sim
+from credit_card_etl_pipeline_spark.queries import dataops_queries as dq
+
+from conftest import SF_SMOKE
+
+
+def test_choose_semantic_strategy_boundaries():
+    assert sim.choose_semantic_strategy(0) == "flat"
+    assert sim.choose_semantic_strategy(sim.SEMANTIC_FLIP_AT - 1) == "flat"
+    assert (
+        sim.choose_semantic_strategy(sim.SEMANTIC_FLIP_AT) == "hierarchical"
+    )
+    # certification corpora stay on the measured-cheaper flat branch:
+    # sf1 is ~24k vectors (22k base + 10% injected dups)
+    assert sim.choose_semantic_strategy(24_200) == "flat"
+    # the sf10 decade (~220k) is where the hierarchy won 6x
+    assert sim.choose_semantic_strategy(220_000) == "hierarchical"
+    assert sim.choose_semantic_strategy(100, flip_at=10) == "hierarchical"
+
+
+def test_ivf_auto_k_matches_oracle_formula():
+    assert sim.ivf_auto_k(0) == 8
+    assert sim.ivf_auto_k(63) == 8  # floor(sqrt(63)) = 7 < floor_k
+    assert sim.ivf_auto_k(64) == 8
+    assert sim.ivf_auto_k(500) == 22
+    assert sim.ivf_auto_k(200_000) == 447
+    # identical to the DuckDB expression embedded in the auto oracle,
+    # over a range that crosses perfect squares (the floor hazard)
+    for n in list(range(1, 300)) + [4095, 4096, 4097, 999_999, 10**6]:
+        (dk,) = duckdb.sql(
+            f"SELECT greatest(8, CAST(floor(sqrt({n}*1.0)) AS BIGINT))"
+        ).fetchone()
+        assert sim.ivf_auto_k(n) == dk, n
+
+
+def _verdicts(df):
+    return {
+        (r["vec_id"], r["is_semantic_dup"])
+        for r in df.select("vec_id", "is_semantic_dup").collect()
+    }
+
+
+def test_semantic_auto_picks_flat_and_matches_specialist(spark):
+    auto = dq.dedup_semantic_auto(spark, SF_SMOKE)
+    assert auto.columns == ["vec_id", "is_semantic_dup", "strategy"]
+    rows = auto.collect()
+    assert rows and all(r["strategy"] == "flat" for r in rows)
+    flat = dq.dedup_semantic_clusters(spark, SF_SMOKE)
+    assert {(r["vec_id"], r["is_semantic_dup"]) for r in rows} == _verdicts(
+        flat
+    )
+
+
+def test_semantic_auto_flip_executes_hierarchical_branch(spark):
+    # force the flip on the smoke corpus: same stable schema, and the
+    # verdicts are the hierarchical specialist's, not the flat ones
+    auto = dq.dedup_semantic_auto(spark, SF_SMOKE, flip_at=10)
+    assert auto.columns == ["vec_id", "is_semantic_dup", "strategy"]
+    rows = auto.collect()
+    assert rows and all(r["strategy"] == "hierarchical" for r in rows)
+    hier = dq.dedup_semantic_hierarchical(spark, SF_SMOKE)
+    assert {(r["vec_id"], r["is_semantic_dup"]) for r in rows} == _verdicts(
+        hier
+    )
+
+
+def test_ann_ivf_auto_k_sizes_codebook_from_corpus(spark):
+    out = dq.ann_ivf_auto_k(spark, SF_SMOKE)
+    assert out.columns == ["query_id", "cand_id", "cosine", "rank"]
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    # the codebook actually fit at the √n size, not the fixed floor
+    n = dq._EMB_COUNT_CACHE[SF_SMOKE]
+    k = sim.ivf_auto_k(n)
+    assert k > dq._IVF_K  # 500 smoke vectors → k=22
+    assert len(dq._IVF_CODEBOOK_CACHE[(SF_SMOKE, k, dq._IVF_ITERS)]) == k
