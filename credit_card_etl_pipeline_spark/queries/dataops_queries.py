@@ -792,17 +792,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF with the k ~ sqrt(n) sizing law (self-tuning codebook size)
 # ------------------------------------------------------------------
 
-# The auto-k fit is the SAME unrolled k-means, seeded with
-# greatest(8, floor(sqrt(n))) lowest-id vectors instead of a fixed 8 —
-# derived from _IVF_FIT_SQL by swapping the one LIMIT, and the probe
-# tail is shared verbatim, so the two oracles cannot drift apart.
-assert _IVF_FIT_SQL.count(f"LIMIT {_IVF_K})") == 1
-_IVF_AUTO_FIT_SQL = _IVF_FIT_SQL.replace(
-    f"LIMIT {_IVF_K})",
-    f"LIMIT (SELECT greatest({_IVF_K}, "
-    f"CAST(floor(sqrt(count(*)*1.0)) AS BIGINT)) FROM vecs))",
+# The auto oracle is the SAME unrolled k-means + probe tail as
+# _IVF_ORACLE, derived from it by three asserted single-site swaps (so
+# the two oracles cannot drift apart): a params CTE computes
+# k = greatest(8, ⌊√n⌋) once, the cent0 seed LIMIT and the qprobe
+# nprobe bound read from it.
+_IVF_PARAMS_SQL = (
+    f"params AS (SELECT greatest({_IVF_K}, "
+    f"CAST(floor(sqrt(count(*)*1.0)) AS BIGINT)) AS k FROM vecs),\n"
+    "dims AS"
 )
-_IVF_AUTO_ORACLE = _IVF_AUTO_FIT_SQL + _IVF_ORACLE[len(_IVF_FIT_SQL):]
+assert _IVF_FIT_SQL.count("dims AS") == 1
+assert _IVF_FIT_SQL.count(f"LIMIT {_IVF_K})") == 1
+_IVF_AUTO_FIT_SQL = _IVF_FIT_SQL.replace("dims AS", _IVF_PARAMS_SQL).replace(
+    f"LIMIT {_IVF_K})", "LIMIT (SELECT k FROM params))"
+)
+_IVF_TAIL_SQL = _IVF_ORACLE[len(_IVF_FIT_SQL):]
+assert _IVF_TAIL_SQL.count(f"rn <= {_IVF_NPROBE}") == 1
+_IVF_AUTO_ORACLE = _IVF_AUTO_FIT_SQL + _IVF_TAIL_SQL.replace(
+    f"rn <= {_IVF_NPROBE}",
+    "rn <= (SELECT greatest(2, CAST(floor(sqrt(k*1.0)) AS BIGINT)) "
+    "FROM params)",
+)
 
 #: Base embeddings count per corpus dir — one count job, not one per
 #: execution (the auto-k pick is a pure function of it).
@@ -811,21 +822,26 @@ _EMB_COUNT_CACHE: dict[str, int] = {}
 
 @query("ann_ivf_auto_k", _IVF_AUTO_ORACLE)
 def ann_ivf_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 with the codebook sized by the k ~ √n law
-    (sim.ivf_auto_k) instead of a fixed k.
+    """IVF top-5 with the codebook sized by the k ~ √n law and nprobe
+    scaled ~ √k (sim.ivf_auto_k / sim.ivf_auto_nprobe) instead of
+    fixed k=8, nprobe=2.
 
     The sf1→sf10 ladder measured the fixed-k failure mode this exists
     for: with k=8 pinned, cell occupancy grows ~n and ann_ivf_topk's
     wall exponent reads 1.18 across the decade (LADDER_SF10_r09.json —
     "the known IVF sizing law, not a bug").  Sizing k = ⌊√n⌋ bounds
-    expected occupancy at ~√n, making probe cost ~Q·nprobe·√n; at 100 TB
-    the fit runs offline on a corpus sample and only the k×dim codebook
+    expected occupancy at ~√n — but nprobe must grow with it or the
+    probed corpus FRACTION shrinks and recall collapses (measured at
+    sf0.1: recall@5 0.45 → 0.30 with nprobe pinned at 2).  nprobe =
+    ⌊√k⌋ restores recall to 0.49 ≥ the fixed-k baseline while probed
+    candidates stay sublinear at ~n^(3/4) per query.  At 100 TB the
+    fit runs offline on a corpus sample and only the k×dim codebook
     ships to executors (broadcast — the assignment path switches to the
     higher-order array form above 16 centroids, so plan SIZE stays
-    constant as k grows).  One memoized count job picks k; both engines
-    derive the identical k from the identical count (same IEEE
-    floor∘sqrt), so the genuinely data-dependent codebook still unrolls
-    into a hash-checked DuckDB oracle."""
+    constant as k grows).  One memoized count job picks (k, nprobe);
+    both engines derive them from the identical count via the identical
+    IEEE floor∘sqrt, so the genuinely data-dependent codebook still
+    unrolls into a hash-checked DuckDB oracle."""
     n = _EMB_COUNT_CACHE.get(sf_dir)
     if n is None:
         n = load(spark, sf_dir, "embeddings").count()
@@ -843,7 +859,9 @@ def ann_ivf_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _IVF_CODEBOOK_CACHE[key]
     vecs = _quantized(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") % 100 == 0)
-    return sim.ivf_topk(vecs, queries, centroids, k=5, nprobe=2)
+    return sim.ivf_topk(
+        vecs, queries, centroids, k=5, nprobe=sim.ivf_auto_nprobe(k)
+    )
 
 
 # ------------------------------------------------------------------

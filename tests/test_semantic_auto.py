@@ -45,6 +45,17 @@ def test_ivf_auto_k_matches_oracle_formula():
         assert sim.ivf_auto_k(n) == dk, n
 
 
+def test_ivf_auto_nprobe_matches_oracle_formula():
+    assert sim.ivf_auto_nprobe(8) == 2
+    assert sim.ivf_auto_nprobe(44) == 6
+    assert sim.ivf_auto_nprobe(447) == 21
+    for k in list(range(1, 200)) + [4096, 4097]:
+        (dp,) = duckdb.sql(
+            f"SELECT greatest(2, CAST(floor(sqrt({k}*1.0)) AS BIGINT))"
+        ).fetchone()
+        assert sim.ivf_auto_nprobe(k) == dp, k
+
+
 def _verdicts(df):
     return {
         (r["vec_id"], r["is_semantic_dup"])
