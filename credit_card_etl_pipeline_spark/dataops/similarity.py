@@ -165,9 +165,11 @@ def ivf_fit(
         for d in range(dim)
     ]
     for _ in range(iters):
-        assigned = df.withColumn(
-            "__cluster",
-            assign_cluster(F.col(vec_col), [_grid_to_float(g) for g in grids]),
+        assigned = assign_cells(
+            df,
+            [_grid_to_float(g) for g in grids],
+            vec_col=vec_col,
+            out_col="__cluster",
         )
         rows = (
             assigned.groupBy("__cluster")
@@ -237,6 +239,57 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     return F.element_at(F.array_sort(entries), 1)["cell"]
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "qvec",
+    out_col: str = "cell",
+) -> DataFrame:
+    """DataFrame-level nearest-centroid assignment: ``df`` plus a
+    ``out_col`` long column, same semantics as :func:`assign_cluster`
+    (max dot, lowest cell on ties).
+
+    Small codebooks keep the literal whole-stage-codegen expression.
+    Large ones (k > ASSIGN_LITERAL_MAX_K) route through an Arrow-
+    batched numpy matmul instead of the interpreted transform/aggregate
+    HOFs: V·Cᵀ as one BLAS call per batch, argmax per row.  This is
+    the fit/assignment analogue of the within_group_dup_ids verdict
+    vectorization — with k ~ √n (ivf_auto_k) or k ~ n/1000 (SemDeDup)
+    the n·k interpreted dots became the dominant stage wall.
+
+    Bit-identical by the grid-exactness argument: quantized components
+    are ints ≤ ~2¹¹ and centroids sit on the 2⁻²⁰ binary grid, so every
+    product is m/2²⁰ with |m| < 2⁴², every 64-term partial sum <
+    2⁴⁸ — exactly representable in f64 in ANY summation order, so BLAS
+    reordering/FMA cannot change a single bit, and numpy's first-max
+    argmax is precisely the lowest-cell tie rule."""
+    if len(centroids) <= ASSIGN_LITERAL_MAX_K:
+        return df.withColumn(
+            out_col, assign_cluster(F.col(vec_col), centroids)
+        )
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.float64).T  # dim × k
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, LongType(), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = np.zeros(0, dtype=np.int64)
+            else:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out[out_col] = (V @ C).argmax(axis=1).astype(np.int64)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _probe_cells(
     queries: DataFrame,
     centroids: list[list[float]],
@@ -246,27 +299,65 @@ def _probe_cells(
     nprobe: int,
 ) -> DataFrame:
     """query → its nprobe nearest cells (small: |queries| × nprobe
-    rows), ready to broadcast into the cell join."""
-    dots = F.array(
-        *[
-            F.struct(
-                (-_dot_lit(F.col(vec_col), c)).alias("negdot"),
-                F.lit(i).cast("long").alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return queries.select(
+    rows), ready to broadcast into the cell join.
+
+    Small codebooks: literal (negdot, cell) structs sorted JVM-side.
+    Large ones (k > ASSIGN_LITERAL_MAX_K, e.g. ivf_auto_k's √n): the
+    literal form is O(k·dim) GENERATED CODE — at k=447 the struct
+    array alone is a multi-MiB task binary — so the top-nprobe ranking
+    runs as an Arrow-batched numpy pass instead: one V·Cᵀ matmul, then
+    a stable argsort on -dot (stability = ascending-cell tie order,
+    the array_sort struct rule).  Exact by the same grid argument as
+    :func:`assign_cells`, so both forms rank identically."""
+    base = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm2(F.col(vec_col)).alias("qnorm"),
-        F.slice(F.array_sort(dots), 1, nprobe).alias("__cells"),
-    ).select(
-        "query_id",
-        "qv",
-        "qnorm",
-        F.explode(F.col("__cells.cell")).alias("cell"),
     )
+    if len(centroids) <= ASSIGN_LITERAL_MAX_K:
+        dots = F.array(
+            *[
+                F.struct(
+                    (-_dot_lit(F.col("qv"), c)).alias("negdot"),
+                    F.lit(i).cast("long").alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return base.select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.explode(
+                F.slice(F.array_sort(dots), 1, nprobe)["cell"]
+            ).alias("cell"),
+        )
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.float64).T  # dim × k
+    schema = StructType(
+        base.schema.fields + [StructField("cell", LongType(), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["cell"] = np.zeros(0, dtype=np.int64)
+                yield out
+                continue
+            V = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            # stable sort on -dot keeps lower cells first on exact ties
+            top = np.argsort(-(V @ C), axis=1, kind="stable")[:, :nprobe]
+            out = pdf.iloc[
+                np.repeat(np.arange(len(pdf)), top.shape[1])
+            ].copy()
+            out["cell"] = top.reshape(-1).astype(np.int64)
+            yield out
+
+    return base.mapInPandas(run, schema=schema)
 
 
 def _score_cell_join(cand: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -303,11 +394,15 @@ def ivf_topk(
     """Approximate top-k: candidates restricted to the query's
     ``nprobe`` nearest codebook cells, exact integer re-scoring inside.
     One shuffle on the cell id; never all-pairs."""
-    cand = df.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm2(F.col(vec_col)).alias("cnorm"),
-        assign_cluster(F.col(vec_col), centroids).alias("cell"),
+    cand = assign_cells(
+        df.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+        ),
+        centroids,
+        vec_col="cvec",
+        out_col="cell",
+    ).select(
+        "cand_id", "cvec", _norm2(F.col("cvec")).alias("cnorm"), "cell"
     )
     q = _probe_cells(
         queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe

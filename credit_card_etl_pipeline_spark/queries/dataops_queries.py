@@ -1028,11 +1028,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             pv.unpersist(False)
     centroids = _SEMDEDUP_CODEBOOK_CACHE[sf_dir]
-    assigned = vecs.select(
-        "vec_id",
-        "qvec",
-        sim._norm2(F.col("qvec")).alias("n2"),
-        sim.assign_cluster(F.col("qvec"), centroids).alias("cell"),
+    # corpus→cell routing through the batched numpy matmul form for
+    # the n//1000-sized codebook (assign_cells; bit-identical to the
+    # expression form by the grid-exactness argument)
+    assigned = sim.assign_cells(
+        vecs.select("vec_id", "qvec"), centroids, out_col="cell"
+    ).select(
+        "vec_id", "qvec", sim._norm2(F.col("qvec")).alias("n2"), "cell"
     )
     # vectorized within-cell verdicts: one Arrow batch per cell, numpy
     # int64 gram tiles — bit-identical to the expression form (exact
