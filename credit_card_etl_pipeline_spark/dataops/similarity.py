@@ -1190,32 +1190,43 @@ def within_group_dup_ids(
 # Strategy selection: flat vs hierarchical semantic dedup
 # ------------------------------------------------------------------
 
-#: Corpus size above which the hierarchical codebook wins.  Measured
-#: on the sf1→sf10 ladder (LADDER_SF10_r09.json): the flat form sizes
-#: k ~ n/1000 to bound cluster occupancy, which makes its ASSIGNMENT
-#: stage O(n·k) = O(n²/1000) — wall exponent 1.13 across the decade
-#: (11.6s at ~24k vectors → 156s at ~220k).  The hierarchical form
-#: holds exponent 0.30 (12.9s → 26s) because each level's k stays
-#: small and leaves multiply k·k_sub.  The crossover sits between the
-#: two measured decades; 50k is the midpoint with the flat form still
-#: comfortably ahead at the sf1 certification corpora (~24k vectors).
-SEMANTIC_FLIP_AT = 50_000
+#: Corpus size above which the hierarchical codebook would win: None —
+#: no such size exists for this implementation pair.  The pre-
+#: vectorization ladder (LADDER_SF10_r09.json) showed hierarchical
+#: winning the sf10 decade 6x, but that loss was entirely the flat
+#: form's interpreted-HOF n·k assignment; once assignment became a
+#: BLAS matmul (assign_cells, LADDER_VEC_r09.json) the soak at the
+#: NEXT decade (SOAK_SEMANTIC_FLIP_r09.json, planted balanced
+#: clusters) measured flat winning every point with a GROWING margin:
+#: 8.9s vs 14.2s at 50k, 11.3s vs 24.1s at 220k, 43.6s vs 493.2s at
+#: 2.2M.  Structural reason: the fixed-depth 8×4 hierarchy's leaf
+#: size grows ∝ n, so its verdict stage is ~2·n² FLOPs, while flat's
+#: only quadratic term is the assignment matmul at ~0.26·n²/1000·…
+#: ≈ 30× smaller coefficient — both are n², flat's constant wins at
+#: every n.  A hierarchy that re-enters the race must occupancy-scale
+#: its sub-codebooks (k_sub ~ cell/1000 per level); until one exists,
+#: the measured answer is flat everywhere.
+SEMANTIC_FLIP_AT: int | None = None
 
 
 def choose_semantic_strategy(
-    n_vectors: int, *, flip_at: int = SEMANTIC_FLIP_AT
+    n_vectors: int, *, flip_at: int | None = SEMANTIC_FLIP_AT
 ) -> str:
     """Pick the semantic-dedup codebook shape for a corpus of
-    ``n_vectors`` embeddings: ``"flat"`` (single codebook, k ~ n/1000)
-    below ``flip_at``, ``"hierarchical"`` (fixed-k coarse level +
-    per-cell sub-codebooks) at or above it.
+    ``n_vectors`` embeddings: ``"flat"`` (single codebook, k ~ n/1000,
+    BLAS assignment) below ``flip_at``, ``"hierarchical"`` (fixed-k
+    coarse level + per-cell sub-codebooks) at or above it.
+    ``flip_at=None`` (the measured default — see SEMANTIC_FLIP_AT)
+    means flat at every size.
 
     Deterministic in the corpus size only, so the decision is stable
     across runs and engines; both branches produce keep-lowest-id
-    verdicts with injected exact duplicates guaranteed to hit, so the
+    verdicts with injected exact duplicates guaranteed to hit, so a
     flip changes CLUSTER SHAPES (internal) but the dup verdict for an
     exact duplicate never flips.
     """
+    if flip_at is None:
+        return "flat"
     return "flat" if n_vectors < flip_at else "hierarchical"
 
 

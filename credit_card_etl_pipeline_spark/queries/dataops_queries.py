@@ -1593,11 +1593,11 @@ def dedup_semantic_hierarchical(
 _SEMDEDUP_COUNT_CACHE: dict[str, int] = {}
 
 # The auto oracle is the FLAT oracle projected to the verdict columns:
-# at every oracle-checked scale (sf0.01 driver gate, sf0.1/sf1 sweeps —
-# ≤ ~24k vectors) the selector picks flat, well under SEMANTIC_FLIP_AT.
+# the measured default (SEMANTIC_FLIP_AT=None, soaked to 2.2M vectors
+# in SOAK_SEMANTIC_FLIP_r09.json) picks flat at every corpus size.
 # The hierarchical branch is oracle-covered by its own registered query
-# (dedup_semantic_hierarchical) and its selection is pinned by
-# tests/test_semantic_auto.py with a lowered flip threshold.
+# (dedup_semantic_hierarchical) and stays reachable through the
+# flip_at override, pinned by tests/test_semantic_auto.py.
 _SEMDEDUP_AUTO_ORACLE = f"""
 SELECT vec_id, is_semantic_dup, 'flat' AS strategy
 FROM ({_SEMDEDUP_ORACLE})
@@ -1611,18 +1611,23 @@ def dedup_semantic_auto(
     """Self-tuning semantic dedup: measure the corpus, then run the
     codebook shape that wins at that size (sim.choose_semantic_strategy).
 
-    The sf1→sf10 ladder (LADDER_SF10_r09.json) measured the law this
-    encodes: the flat codebook (k ~ n/1000 to bound cluster occupancy)
-    pays O(n²/1000) in its assignment stage — wall exponent 1.13 across
-    the decade — while the hierarchical form holds 0.30 because each
-    level's k stays fixed and leaves multiply k·k_sub.  Flat is still
-    cheaper below the crossover (11.6s vs 12.9s at ~24k vectors), so a
-    100 TB pipeline wants BOTH, picked per corpus: one count job (memoized
-    per corpus dir), then the chosen branch — no plan is built for the
-    loser.  Output is the strategy-independent verdict surface
-    (vec_id, is_semantic_dup) plus the pick, so the schema is stable
-    across the flip; cluster ids (which legitimately differ by shape)
-    stay internal to the specialized queries."""
+    The selection history is itself a scale lesson.  Pre-vectorization,
+    the sf1→sf10 ladder showed the hierarchy winning the 220k decade 6×
+    (LADDER_SF10_r09.json) — but that was the flat form's interpreted
+    n·k assignment, not its algorithm.  With assignment a BLAS matmul
+    (assign_cells), the dedicated soak (tools/soak_semantic_flip.py,
+    SOAK_SEMANTIC_FLIP_r09.json) measured flat winning at 50k/220k/2.2M
+    with a growing margin (11× at 2.2M): the fixed-depth 8×4 hierarchy's
+    leaves grow ∝ n so its quadratic verdict carries a ~30× worse
+    constant than flat's assignment matmul.  The selector therefore
+    picks flat at every size (SEMANTIC_FLIP_AT=None); the flip
+    machinery stays, pinned by tests, for a future occupancy-scaled
+    hierarchy.  One count job (memoized per corpus dir), then the
+    chosen branch — no plan is built for the loser.  Output is the
+    strategy-independent verdict surface (vec_id, is_semantic_dup)
+    plus the pick, so the schema is stable across any flip; cluster
+    ids (which legitimately differ by shape) stay internal to the
+    specialized queries."""
     n = _SEMDEDUP_COUNT_CACHE.get(sf_dir)
     if n is None:
         emb = load(spark, sf_dir, "embeddings")

@@ -17,16 +17,14 @@ from conftest import SF_SMOKE
 
 
 def test_choose_semantic_strategy_boundaries():
-    assert sim.choose_semantic_strategy(0) == "flat"
-    assert sim.choose_semantic_strategy(sim.SEMANTIC_FLIP_AT - 1) == "flat"
-    assert (
-        sim.choose_semantic_strategy(sim.SEMANTIC_FLIP_AT) == "hierarchical"
-    )
-    # certification corpora stay on the measured-cheaper flat branch:
-    # sf1 is ~24k vectors (22k base + 10% injected dups)
-    assert sim.choose_semantic_strategy(24_200) == "flat"
-    # the sf10 decade (~220k) is where the hierarchy won 6x
-    assert sim.choose_semantic_strategy(220_000) == "hierarchical"
+    # the measured default (SOAK_SEMANTIC_FLIP_r09.json: flat wins
+    # 50k/220k/2.2M with growing margin) is flat at EVERY size
+    assert sim.SEMANTIC_FLIP_AT is None
+    for n in (0, 24_200, 220_000, 2_200_000, 10**9):
+        assert sim.choose_semantic_strategy(n) == "flat"
+    # the flip machinery stays exercisable for a future hierarchy
+    assert sim.choose_semantic_strategy(9, flip_at=10) == "flat"
+    assert sim.choose_semantic_strategy(10, flip_at=10) == "hierarchical"
     assert sim.choose_semantic_strategy(100, flip_at=10) == "hierarchical"
 
 
