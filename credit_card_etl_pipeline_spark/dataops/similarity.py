@@ -516,6 +516,59 @@ def ann_lsh_topk(
 # Hierarchical quantization (per-cell sub-codebooks)
 # ------------------------------------------------------------------
 
+def _assign_subcells_batched(
+    df: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """``df`` + a ``subcell`` long column: within each coarse cell,
+    argmax dot against that cell's sub-centroids, lowest subcell on
+    ties — the sub-level analogue of :func:`assign_cells`.
+
+    Replaces the broadcast-join → n·k_sub exploded rows → interpreted
+    dot → per-vector window form: one Arrow batch per coarse cell, the
+    cell's (subcell-sorted) centroid matrix in a numpy matmul, argmax
+    per row.  Bit-identical by the same grid-exactness argument
+    (products m/2²⁰, partial sums < 2⁴⁸, exact in any order; numpy's
+    first-max argmax over the subcell-ascending matrix = the
+    lowest-subcell tie rule).  The shuffle is one exchange on the
+    coarse cell instead of the window's exchange on vec_id over the
+    k_sub-times-larger exploded frame."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    by_cell: dict[int, tuple[list[int], "np.ndarray"]] = {}
+    for c, s, vals in sorted(codebook, key=lambda t: (t[0], t[1])):
+        by_cell.setdefault(int(c), ([], []))[0].append(int(s))
+        by_cell[int(c)][1].append(vals)
+    mats = {
+        c: (subs, np.array(vecs, dtype=np.float64).T)  # dim × k_c
+        for c, (subs, vecs) in by_cell.items()
+    }
+    schema = StructType(
+        df.schema.fields + [StructField("subcell", LongType(), False)]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        if len(pdf) == 0:
+            out["subcell"] = np.zeros(0, dtype=np.int64)
+            return out
+        cell = int(pdf[cell_col].iloc[0])
+        subs, C = mats[cell]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        idx = (V @ C).argmax(axis=1)
+        out["subcell"] = np.asarray(subs, dtype=np.int64)[idx]
+        return out
+
+    return df.groupBy(cell_col).applyInPandas(run, schema=schema)
+
+
 def sub_fit(
     assigned: DataFrame,
     *,
@@ -542,7 +595,6 @@ def sub_fit(
     :func:`ivf_fit`, so the whole fit unrolls into a DuckDB oracle.
     Driver state is the k*k_sub x dim codebook, never per-vector.
     Sub-cells that lose all members keep their previous centroid."""
-    spark = assigned.sparkSession
     w = Window.partitionBy(cell_col).orderBy(id_col)
     init = (
         assigned.withColumn("__rn", F.row_number().over(w))
@@ -566,28 +618,16 @@ def sub_fit(
         for d in range(dim)
     ]
 
-    def codebook_df() -> DataFrame:
-        return spark.createDataFrame(
-            [
-                (c, s, _grid_to_float(g))
-                for (c, s), g in sorted(grids.items())
-            ],
-            f"{cell_col} long, subcell long, c array<double>",
-        )
-
     def winners(df: DataFrame) -> DataFrame:
-        scored = df.join(F.broadcast(codebook_df()), cell_col).select(
-            id_col,
-            cell_col,
-            "subcell",
-            vec_col,
-            (-_dot_f(F.col(vec_col), F.col("c"))).alias("__negdot"),
-        )
-        w2 = Window.partitionBy(id_col).orderBy("__negdot", "subcell")
-        return (
-            scored.withColumn("__rn", F.row_number().over(w2))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__negdot", "c")
+        book = [
+            (c, s, _grid_to_float(g)) for (c, s), g in sorted(grids.items())
+        ]
+        return _assign_subcells_batched(
+            df.select(id_col, cell_col, vec_col),
+            book,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
         )
 
     for _ in range(iters):
@@ -618,23 +658,16 @@ def assign_subcells(
     cell_col: str = "cell",
 ) -> DataFrame:
     """Final (cell, subcell) assignment against a fitted sub-codebook:
-    broadcast join on cell (fan-out = k_sub), argmax dot with
-    lowest-subcell ties — one vec-keyed window, all other columns
-    carried through."""
-    spark = assigned.sparkSession
-    scdf = spark.createDataFrame(
-        codebook, f"{cell_col} long, subcell long, c array<double>"
-    )
-    scored = assigned.join(F.broadcast(scdf), cell_col).select(
-        *assigned.columns,
-        "subcell",
-        (-_dot_f(F.col(vec_col), F.col("c"))).alias("__negdot"),
-    )
-    w = Window.partitionBy(id_col).orderBy("__negdot", "subcell")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__negdot")
+    per-cell Arrow-batched numpy argmax (lowest-subcell ties), all
+    other columns carried through — see
+    :func:`_assign_subcells_batched` for the bit-identity argument vs
+    the former broadcast-join + window form."""
+    return _assign_subcells_batched(
+        assigned,
+        codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
     )
 
 
@@ -1190,23 +1223,24 @@ def within_group_dup_ids(
 # Strategy selection: flat vs hierarchical semantic dedup
 # ------------------------------------------------------------------
 
-#: Corpus size above which the hierarchical codebook would win: None —
-#: no such size exists for this implementation pair.  The pre-
-#: vectorization ladder (LADDER_SF10_r09.json) showed hierarchical
-#: winning the sf10 decade 6x, but that loss was entirely the flat
-#: form's interpreted-HOF n·k assignment; once assignment became a
-#: BLAS matmul (assign_cells, LADDER_VEC_r09.json) the soak at the
-#: NEXT decade (SOAK_SEMANTIC_FLIP_r09.json, planted balanced
-#: clusters) measured flat winning every point with a GROWING margin:
-#: 8.9s vs 14.2s at 50k, 11.3s vs 24.1s at 220k, 43.6s vs 493.2s at
-#: 2.2M.  Structural reason: the fixed-depth 8×4 hierarchy's leaf
-#: size grows ∝ n, so its verdict stage is ~2·n² FLOPs, while flat's
-#: only quadratic term is the assignment matmul at ~0.26·n²/1000·…
-#: ≈ 30× smaller coefficient — both are n², flat's constant wins at
-#: every n.  A hierarchy that re-enters the race must occupancy-scale
-#: its sub-codebooks (k_sub ~ cell/1000 per level); until one exists,
-#: the measured answer is flat everywhere.
-SEMANTIC_FLIP_AT: int | None = None
+#: Corpus size above which the occupancy-scaled two-level codebook
+#: (:func:`semantic_two_level_k`) beats the flat k ~ n/1000 form.
+#: Measured three ways across r9 (SOAK_SEMANTIC_FLIP_r09.json, planted
+#: constant-norm clusters):
+#:
+#: * The FIXED-depth 8×4 hierarchy never wins once assignment is a
+#:   BLAS matmul — its leaf size grows ∝ n (verdict ~2n² FLOPs):
+#:   flat 16.7s vs hier 20.7s at 220k, 40.3s vs 592.3s at 2.2M.  The
+#:   pre-vectorization ladder's "hierarchy wins sf10 6×" was entirely
+#:   the flat form's interpreted-HOF assignment (LADDER_VEC_r09.json:
+#:   156.5s → 10.1s at sf10 after the matmul swap).
+#: * The OCCUPANCY-SCALED two-level form (both levels ⌈√(n/1000)⌉,
+#:   assignment ~n^1.5 FLOPs vs flat's n²/1000) ties flat at 2.2M
+#:   (41.2 vs 40.3s) and wins the next decade: 133.0 vs 227.0s at
+#:   6.6M.  3M sits between the measured tie and the decisive win;
+#:   every certification corpus (≤242k vectors) stays comfortably on
+#:   the flat side.
+SEMANTIC_FLIP_AT: int | None = 3_000_000
 
 
 def choose_semantic_strategy(
@@ -1214,20 +1248,21 @@ def choose_semantic_strategy(
 ) -> str:
     """Pick the semantic-dedup codebook shape for a corpus of
     ``n_vectors`` embeddings: ``"flat"`` (single codebook, k ~ n/1000,
-    BLAS assignment) below ``flip_at``, ``"hierarchical"`` (fixed-k
-    coarse level + per-cell sub-codebooks) at or above it.
-    ``flip_at=None`` (the measured default — see SEMANTIC_FLIP_AT)
-    means flat at every size.
+    BLAS assignment) below ``flip_at``, ``"two_level"`` (both levels
+    occupancy-scaled at ⌈√(n/1000)⌉ — :func:`semantic_two_level_k`)
+    at or above it.  ``flip_at=None`` forces flat at every size.  The
+    fixed-depth hierarchy is never chosen: it lost every soaked point
+    (see SEMANTIC_FLIP_AT).
 
     Deterministic in the corpus size only, so the decision is stable
-    across runs and engines; both branches produce keep-lowest-id
+    across runs and engines; all branches produce keep-lowest-id
     verdicts with injected exact duplicates guaranteed to hit, so a
     flip changes CLUSTER SHAPES (internal) but the dup verdict for an
     exact duplicate never flips.
     """
     if flip_at is None:
         return "flat"
-    return "flat" if n_vectors < flip_at else "hierarchical"
+    return "flat" if n_vectors < flip_at else "two_level"
 
 
 def ivf_auto_k(n_vectors: int, *, floor_k: int = 8) -> int:
@@ -1262,3 +1297,23 @@ def ivf_auto_nprobe(k: int, *, floor_probe: int = 2) -> int:
     import math
 
     return max(floor_probe, int(math.floor(math.sqrt(k * 1.0))))
+
+
+def semantic_two_level_k(n_vectors: int, *, leaf_target: int = 1000) -> int:
+    """Occupancy-scaled two-level codebook sizing: k₁ = k₂ =
+    ⌈√(n/leaf_target)⌉, so k₁·k₂ leaves hold ~leaf_target vectors
+    each at EVERY corpus size.
+
+    This is the hierarchy that re-enters the race SEMANTIC_FLIP_AT
+    documents: the fixed-depth 8×4 form loses because its leaf size
+    grows ∝ n (verdict ~2n² FLOPs), and the flat k ~ n/1000 form's
+    assignment matmul is n²·64/1000 FLOPs.  With both levels sized
+    ⌈√(n/1000)⌉ the assignment work is n·(k₁+k₂)·64 ≈ n^1.5·4/1000
+    FLOPs — asymptotically below flat — while the verdict stays
+    occupancy-bounded like flat's.  At n=2.2M: k₁=k₂=47, ~47 dots per
+    vector per level vs flat's 2200.  Same IEEE ops as the DuckDB
+    oracle expression ``greatest(2, ceil(sqrt(count(*) / 1000.0)))``.
+    """
+    import math
+
+    return max(2, int(math.ceil(math.sqrt(n_vectors / (leaf_target * 1.0)))))

@@ -1593,11 +1593,12 @@ def dedup_semantic_hierarchical(
 _SEMDEDUP_COUNT_CACHE: dict[str, int] = {}
 
 # The auto oracle is the FLAT oracle projected to the verdict columns:
-# the measured default (SEMANTIC_FLIP_AT=None, soaked to 2.2M vectors
-# in SOAK_SEMANTIC_FLIP_r09.json) picks flat at every corpus size.
-# The hierarchical branch is oracle-covered by its own registered query
-# (dedup_semantic_hierarchical) and stays reachable through the
-# flip_at override, pinned by tests/test_semantic_auto.py.
+# the measured flip sits at 3M vectors (SOAK_SEMANTIC_FLIP_r09.json),
+# far above every oracle-checked corpus (≤242k), so the selected
+# branch is flat at all certification scales.  The two_level branch is
+# oracle-covered by its own registered query (dedup_semantic_two_level)
+# and stays reachable through the flip_at override, pinned by
+# tests/test_semantic_auto.py.
 _SEMDEDUP_AUTO_ORACLE = f"""
 SELECT vec_id, is_semantic_dup, 'flat' AS strategy
 FROM ({_SEMDEDUP_ORACLE})
@@ -1611,40 +1612,130 @@ def dedup_semantic_auto(
     """Self-tuning semantic dedup: measure the corpus, then run the
     codebook shape that wins at that size (sim.choose_semantic_strategy).
 
-    The selection history is itself a scale lesson.  Pre-vectorization,
-    the sf1→sf10 ladder showed the hierarchy winning the 220k decade 6×
+    The selection history is itself a scale lesson, measured at every
+    step (SOAK_SEMANTIC_FLIP_r09.json).  Pre-vectorization the sf10
+    ladder showed the fixed 8×4 hierarchy winning the 220k decade 6×
     (LADDER_SF10_r09.json) — but that was the flat form's interpreted
-    n·k assignment, not its algorithm.  With assignment a BLAS matmul
-    (assign_cells), the dedicated soak (tools/soak_semantic_flip.py,
-    SOAK_SEMANTIC_FLIP_r09.json) measured flat winning at 50k/220k/2.2M
-    with a growing margin (11× at 2.2M): the fixed-depth 8×4 hierarchy's
-    leaves grow ∝ n so its quadratic verdict carries a ~30× worse
-    constant than flat's assignment matmul.  The selector therefore
-    picks flat at every size (SEMANTIC_FLIP_AT=None); the flip
-    machinery stays, pinned by tests, for a future occupancy-scaled
-    hierarchy.  One count job (memoized per corpus dir), then the
-    chosen branch — no plan is built for the loser.  Output is the
-    strategy-independent verdict surface (vec_id, is_semantic_dup)
-    plus the pick, so the schema is stable across any flip; cluster
-    ids (which legitimately differ by shape) stay internal to the
-    specialized queries."""
+    n·k assignment, not its algorithm: as a BLAS matmul (assign_cells)
+    flat beats the fixed hierarchy at every soaked size (40.3s vs
+    592.3s at 2.2M — fixed-depth leaves grow ∝ n, verdict ~2n² FLOPs).
+    What DOES overtake flat is the occupancy-scaled two-level codebook
+    (dedup_semantic_two_level, assignment ~n^1.5 FLOPs): tie at 2.2M,
+    133.0s vs 227.0s at 6.6M.  The selector flips flat → two_level at
+    the measured 3M boundary.  One count job (memoized per corpus
+    dir), then the chosen branch — no plan is built for the losers.
+    Output is the strategy-independent verdict surface (vec_id,
+    is_semantic_dup) plus the pick, so the schema is stable across
+    any flip; cluster ids (which legitimately differ by shape) stay
+    internal to the specialized queries."""
     n = _SEMDEDUP_COUNT_CACHE.get(sf_dir)
     if n is None:
         emb = load(spark, sf_dir, "embeddings")
         base_n = emb.count()
-        # injected dups replicate every 10th vec_id, same both branches
+        # injected dups replicate every 10th vec_id, same all branches
         n = base_n + emb.where(F.col("vec_id") % 10 == 0).count()
         _SEMDEDUP_COUNT_CACHE[sf_dir] = n
     strategy = sim.choose_semantic_strategy(
         n, **({} if flip_at is None else {"flip_at": flip_at})
     )
-    branch = (
-        dedup_semantic_clusters
-        if strategy == "flat"
-        else dedup_semantic_hierarchical
-    )
+    branch = {
+        "flat": dedup_semantic_clusters,
+        "two_level": dedup_semantic_two_level,
+    }[strategy]
     return branch(spark, sf_dir).select(
         "vec_id", "is_semantic_dup", F.lit(strategy).alias("strategy")
+    )
+
+
+# ------------------------------------------------------------------
+# Occupancy-scaled two-level semantic dedup (k1 = k2 = ceil(sqrt(n/1000)))
+# ------------------------------------------------------------------
+
+# Derived from _HIER_ORACLE by three asserted single-site swaps (so the
+# two cannot drift): a params CTE computes k = greatest(2,
+# ceil(sqrt(n/1000))) once; the coarse cent0 seed LIMIT and the sub0
+# per-cell seed bound both read from it.  The iteration CTEs are
+# k-independent and shared verbatim.
+_TWO_LEVEL_PARAMS_SQL = (
+    "params AS (SELECT greatest(2, "
+    "CAST(ceil(sqrt(count(*) / 1000.0)) AS BIGINT)) AS k FROM vecs),\n"
+    "dims AS"
+)
+assert _HIER_ORACLE.count("dims AS") == 1
+assert _HIER_ORACLE.count(f"LIMIT {_IVF_K})") == 1
+assert _HIER_ORACLE.count(f"rn <= {_SUB_K}") == 1
+_TWO_LEVEL_ORACLE = (
+    _HIER_ORACLE.replace("dims AS", _TWO_LEVEL_PARAMS_SQL)
+    .replace(f"LIMIT {_IVF_K})", "LIMIT (SELECT k FROM params))")
+    .replace(f"rn <= {_SUB_K}", "rn <= (SELECT k FROM params)")
+)
+
+_TWO_LEVEL_CODEBOOK_CACHE: dict[str, tuple] = {}
+
+
+@query("dedup_semantic_two_level", _TWO_LEVEL_ORACLE)
+def dedup_semantic_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with an OCCUPANCY-SCALED two-level codebook:
+    both levels sized k₁ = k₂ = ⌈√(n/1000)⌉ (sim.semantic_two_level_k),
+    so leaves hold ~1000 vectors at every corpus size.
+
+    This is the hierarchy the flat-vs-fixed-hier soak
+    (SOAK_SEMANTIC_FLIP_r09.json) motivates: the fixed 8×4 form loses
+    everywhere because its leaf size grows ∝ n (verdict ~2n² FLOPs),
+    and the flat k ~ n/1000 form pays an n²·64/1000-FLOP assignment
+    matmul.  Sizing both levels by occupancy makes assignment
+    n·2⌈√(n/1000)⌉·64 ≈ n^1.5 FLOPs — asymptotically below flat —
+    while the verdict stays leaf-bounded exactly like flat's.  At
+    2.2M vectors that is 94 dots/vector vs flat's 2200.  Both fits
+    run through the batched numpy assignment (assign_cells /
+    _assign_subcells_batched); the genuinely data-dependent k still
+    unrolls into the DuckDB oracle because both engines derive it
+    from count(*) with the identical IEEE ceil∘sqrt — same pattern as
+    ann_ivf_auto_k.  Keep-lowest-id verdicts; injected exact
+    duplicates guarantee hits."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dups)
+    vecs = base.select(
+        "vec_id",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    n = _SEMDEDUP_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        base_n = emb.count()
+        n = base_n + emb.where(F.col("vec_id") % 10 == 0).count()
+        _SEMDEDUP_COUNT_CACHE[sf_dir] = n
+    k = sim.semantic_two_level_k(n)
+    if sf_dir not in _TWO_LEVEL_CODEBOOK_CACHE:
+        pv = vecs.persist()
+        try:
+            coarse = sim.ivf_fit(pv, k=k, iters=_IVF_ITERS)
+            assigned0 = sim.assign_cells(
+                pv.select("vec_id", "qvec"), coarse, out_col="cell"
+            )
+            subbook = sim.sub_fit(assigned0, k_sub=k, iters=_SUB_ITERS)
+            _TWO_LEVEL_CODEBOOK_CACHE[sf_dir] = (coarse, subbook)
+        finally:
+            pv.unpersist(False)
+    coarse, subbook = _TWO_LEVEL_CODEBOOK_CACHE[sf_dir]
+    assigned = sim.assign_cells(
+        vecs.select("vec_id", "qvec"), coarse, out_col="cell"
+    ).select(
+        "vec_id", "qvec", sim._norm2(F.col("qvec")).alias("n2"), "cell"
+    )
+    leaves = sim.assign_subcells(assigned, subbook)
+    dup_ids = sim.within_group_dup_ids(
+        leaves, ["cell", "subcell"], threshold=0.999
+    ).withColumn("__dup", F.lit(True))
+    return leaves.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("subcell").cast("long").alias("subcell"),
+        F.coalesce("__dup", F.lit(False)).alias("is_semantic_dup"),
     )
 
 

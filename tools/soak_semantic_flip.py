@@ -133,29 +133,62 @@ def _occupancy(assigned, group_cols) -> dict:
     return {"max_group": int(row["mx"]), "median_group": float(row["md"])}
 
 
+def run_two_level(spark, n: int) -> dict:
+    """Occupancy-scaled two-level form (k1 = k2 = ceil(sqrt(n/1000)),
+    same composition as dedup_semantic_two_level)."""
+    vecs = synth(spark, n).persist()
+    vecs.count()
+    t0 = time.time()
+    k = sim.semantic_two_level_k(n)
+    coarse = sim.ivf_fit(vecs, k=k, iters=3)
+    assigned0 = sim.assign_cells(vecs, coarse, out_col="cell")
+    subbook = sim.sub_fit(assigned0, k_sub=k, iters=2)
+    t_fit = time.time() - t0
+    assigned = sim.assign_cells(vecs, coarse, out_col="cell").select(
+        "vec_id", "qvec", sim._norm2(F.col("qvec")).alias("n2"), "cell"
+    )
+    leaves = sim.assign_subcells(assigned, subbook)
+    dups = sim.within_group_dup_ids(leaves, ["cell", "subcell"]).count()
+    wall = time.time() - t0
+    occ = _occupancy(leaves, ["cell", "subcell"])
+    vecs.unpersist(False)
+    return {"k": f"{k}x{k}", "fit_s": round(t_fit, 2),
+            "wall_s": round(wall, 2), "dups": dups, **occ}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="220000,2200000")
     ap.add_argument("--out", default="SOAK_SEMANTIC_FLIP_r09.json")
+    ap.add_argument(
+        "--forms", default="flat,hierarchical,two_level",
+        help="comma subset of flat,hierarchical,two_level",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="soak_semantic_flip")
+    runners = {
+        "flat": run_flat,
+        "hierarchical": run_hier,
+        "two_level": run_two_level,
+    }
+    forms = [f.strip() for f in args.forms.split(",") if f.strip()]
     out = {"sizes": {}}
     for n in [int(s) for s in args.sizes.split(",")]:
-        flat = run_flat(spark, n)
-        hier = run_hier(spark, n)
-        winner = "flat" if flat["wall_s"] <= hier["wall_s"] else "hierarchical"
+        res = {f: runners[f](spark, n) for f in forms}
+        winner = min(res, key=lambda f: res[f]["wall_s"])
         chosen = sim.choose_semantic_strategy(n)
         out["sizes"][str(n)] = {
-            "flat": flat,
-            "hierarchical": hier,
+            **res,
             "winner": winner,
             "choose_semantic_strategy": chosen,
             "agrees": winner == chosen,
         }
         print(
-            f"SOAKQ n={n}: flat {flat['wall_s']}s (k={flat['k']}) "
-            f"vs hier {hier['wall_s']}s -> winner {winner}, "
-            f"selector says {chosen}"
+            f"SOAKQ n={n}: "
+            + " vs ".join(
+                f"{f} {res[f]['wall_s']}s (k={res[f]['k']})" for f in forms
+            )
+            + f" -> winner {winner}, selector says {chosen}"
         )
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
