@@ -618,9 +618,12 @@ def test_top_smj_queries_join_strategy_pinned(spark):
         # corpus — SMJ is the only shape that survives 100 TB; the 5
         # broadcasts are dims/thresholds
         "curation_pipeline_v2": (6, 5),
-        # verdicts ride one applyInPandas per leaf (r8); the remaining
-        # SMJ is the leaves-to-verdict join, assignment broadcasts
-        "dedup_semantic_hierarchical": (1, 2),
+        # verdicts ride one applyInPandas per leaf (r8); sub-level
+        # assignment moved from a broadcast codebook join + per-vector
+        # window to a per-cell numpy batch (r9, _assign_subcells_
+        # batched), removing both the SMJ and one broadcast — the
+        # remaining BHJ is the leaves-to-verdict join
+        "dedup_semantic_hierarchical": (0, 1),
         # anchor-shingle candidate self-join; dims broadcast
         "dedup_ngram_jaccard": (1, 4),
         # CDC merge: base and delta are both table-sized -> SMJ
