@@ -560,6 +560,19 @@ def _assign_subcells_batched(
             out["subcell"] = np.zeros(0, dtype=np.int64)
             return out
         cell = int(pdf[cell_col].iloc[0])
+        if cell not in mats:
+            # Intentional, diagnosable failure (ADVICE r9 #3): the old
+            # broadcast-join form silently DROPPED vectors whose coarse
+            # cell had no sub-codebook entry (a codebook fit on
+            # different assignments, or an empty sub_fit); dropping
+            # rows is a correctness hazard, so fail loudly instead.
+            raise ValueError(
+                f"_assign_subcells_batched: coarse cell {cell} has no "
+                f"sub-codebook entry (codebook covers "
+                f"{sorted(mats)[:20]}{'...' if len(mats) > 20 else ''}); "
+                "fit the sub-codebook (sub_fit) on the same coarse "
+                "assignment that produced this cell"
+            )
         subs, C = mats[cell]
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         idx = (V @ C).argmax(axis=1)

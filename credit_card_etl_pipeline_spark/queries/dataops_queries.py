@@ -1592,16 +1592,53 @@ def dedup_semantic_hierarchical(
 #: one count job per sf_dir, not one per execution.
 _SEMDEDUP_COUNT_CACHE: dict[str, int] = {}
 
-# The auto oracle is the FLAT oracle projected to the verdict columns:
-# the measured flip sits at 3M vectors (SOAK_SEMANTIC_FLIP_r09.json),
-# far above every oracle-checked corpus (≤242k), so the selected
-# branch is flat at all certification scales.  The two_level branch is
-# oracle-covered by its own registered query (dedup_semantic_two_level)
-# and stays reachable through the flip_at override, pinned by
-# tests/test_semantic_auto.py.
-_SEMDEDUP_AUTO_ORACLE = f"""
+# Two-level oracle, derived from _HIER_ORACLE by three asserted
+# single-site swaps (so the two cannot drift): a params CTE computes
+# k = greatest(2, ceil(sqrt(n/1000))) once; the coarse cent0 seed
+# LIMIT and the sub0 per-cell seed bound both read from it.  The
+# iteration CTEs are k-independent and shared verbatim.  (Defined here,
+# above dedup_semantic_auto, because the auto oracle unions it in.)
+_TWO_LEVEL_PARAMS_SQL = (
+    "params AS (SELECT greatest(2, "
+    "CAST(ceil(sqrt(count(*) / 1000.0)) AS BIGINT)) AS k FROM vecs),\n"
+    "dims AS"
+)
+assert _HIER_ORACLE.count("dims AS") == 1
+assert _HIER_ORACLE.count(f"LIMIT {_IVF_K})") == 1
+assert _HIER_ORACLE.count(f"rn <= {_SUB_K}") == 1
+_TWO_LEVEL_ORACLE = (
+    _HIER_ORACLE.replace("dims AS", _TWO_LEVEL_PARAMS_SQL)
+    .replace(f"LIMIT {_IVF_K})", "LIMIT (SELECT k FROM params))")
+    .replace(f"rn <= {_SUB_K}", "rn <= (SELECT k FROM params)")
+)
+
+# STRATEGY-AWARE auto oracle (closes ADVICE r9 #2): instead of
+# hardcoding the flat projection — which would hash-mismatch on any
+# corpus past the flip even though the engine behaves correctly — the
+# oracle mirrors the engine's selector.  Both branches carry mutually
+# exclusive guards on the same uncorrelated scalar count
+# n = |embeddings| + |injected dups| compared against the SAME flip
+# constant (read from sim.SEMANTIC_FLIP_AT at module load, so the two
+# selectors cannot drift), and each branch emits its own specialist
+# oracle's verdicts.  Exactly one branch produces rows at any n.
+_AUTO_N_SQL = (
+    "(SELECT count(*) + count(*) FILTER (WHERE vec_id % 10 = 0) "
+    "FROM embeddings)"
+)
+if sim.SEMANTIC_FLIP_AT is None:
+    _SEMDEDUP_AUTO_ORACLE = f"""
 SELECT vec_id, is_semantic_dup, 'flat' AS strategy
 FROM ({_SEMDEDUP_ORACLE})
+"""
+else:
+    _SEMDEDUP_AUTO_ORACLE = f"""
+SELECT vec_id, is_semantic_dup, 'flat' AS strategy
+FROM ({_SEMDEDUP_ORACLE})
+WHERE {_AUTO_N_SQL} < {sim.SEMANTIC_FLIP_AT}
+UNION ALL
+SELECT vec_id, is_semantic_dup, 'two_level' AS strategy
+FROM ({_TWO_LEVEL_ORACLE})
+WHERE {_AUTO_N_SQL} >= {sim.SEMANTIC_FLIP_AT}
 """
 
 
@@ -1651,24 +1688,8 @@ def dedup_semantic_auto(
 # Occupancy-scaled two-level semantic dedup (k1 = k2 = ceil(sqrt(n/1000)))
 # ------------------------------------------------------------------
 
-# Derived from _HIER_ORACLE by three asserted single-site swaps (so the
-# two cannot drift): a params CTE computes k = greatest(2,
-# ceil(sqrt(n/1000))) once; the coarse cent0 seed LIMIT and the sub0
-# per-cell seed bound both read from it.  The iteration CTEs are
-# k-independent and shared verbatim.
-_TWO_LEVEL_PARAMS_SQL = (
-    "params AS (SELECT greatest(2, "
-    "CAST(ceil(sqrt(count(*) / 1000.0)) AS BIGINT)) AS k FROM vecs),\n"
-    "dims AS"
-)
-assert _HIER_ORACLE.count("dims AS") == 1
-assert _HIER_ORACLE.count(f"LIMIT {_IVF_K})") == 1
-assert _HIER_ORACLE.count(f"rn <= {_SUB_K}") == 1
-_TWO_LEVEL_ORACLE = (
-    _HIER_ORACLE.replace("dims AS", _TWO_LEVEL_PARAMS_SQL)
-    .replace(f"LIMIT {_IVF_K})", "LIMIT (SELECT k FROM params))")
-    .replace(f"rn <= {_SUB_K}", "rn <= (SELECT k FROM params)")
-)
+# (_TWO_LEVEL_ORACLE is constructed above dedup_semantic_auto, which
+# unions it into its strategy-aware oracle.)
 
 _TWO_LEVEL_CODEBOOK_CACHE: dict[str, tuple] = {}
 
