@@ -808,61 +808,20 @@ GROUP BY user_id
 @query("stream_foreachbatch_upsert", _FOREACH_ORACLE)
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: each micro-batch's per-user partial aggregate
-    MERGES (full-outer + coalesced sums) into a keyed parquet state
-    table — the canonical pattern for sinks with no native streaming
-    writer (JDBC, lakehouse MERGE).  State is VERSIONED per batch
-    (read v_N, write v_{N+1}, never overwrite what you read) so the
-    merge stays fully distributed — no driver collect, no
-    read-then-overwrite lineage trap — and a replayed batch id simply
-    rewrites its own version (idempotent under checkpoint re-delivery).
-    The final version read back from disk must equal the plain batch
-    aggregate."""
-    import os
+    MERGES into a keyed parquet state table via the versioned-state
+    sink (``streaming.upsert.VersionedUpsert`` — the canonical pattern
+    for sinks with no native streaming writer; see that module for the
+    exactly-once / idempotent-replay design and the crash-restart
+    certification).  The final version read back from disk must equal
+    the plain batch aggregate."""
     import tempfile
 
-    state_root = tempfile.mkdtemp(prefix="febatch_state_")
+    from ..streaming.upsert import VersionedUpsert
 
-    def _versions() -> list[int]:
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
-        )
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        part = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long")
-            .alias("value_cents"),
-        )
-        prior = [v for v in _versions() if v < batch_id + 1]
-        out = f"{state_root}/v{batch_id + 1}"
-        if not prior:
-            part.write.mode("overwrite").parquet(out)
-            return
-        cur = s.read.parquet(f"{state_root}/v{prior[-1]}")
-        c = cur.alias("c")
-        p = part.alias("p")
-        merged = c.join(
-            p, F.col("c.user_id") == F.col("p.user_id"), "full_outer"
-        ).select(
-            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias(
-                "user_id"
-            ),
-            (
-                F.coalesce(F.col("c.n_events"), F.lit(0))
-                + F.coalesce(F.col("p.n_events"), F.lit(0))
-            ).cast("long").alias("n_events"),
-            (
-                F.coalesce(F.col("c.value_cents"), F.lit(0))
-                + F.coalesce(F.col("p.value_cents"), F.lit(0))
-            ).cast("long").alias("value_cents"),
-        )
-        merged.write.mode("overwrite").parquet(out)
-
+    sink = VersionedUpsert(tempfile.mkdtemp(prefix="febatch_state_"))
     stream = events_stream(spark, sf_dir).select("user_id", "value")
     q = (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream.writeStream.foreachBatch(sink.merge_batch)
         .option(
             "checkpointLocation", tempfile.mkdtemp(prefix="febatch_ckpt_")
         )
@@ -871,7 +830,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     q.stop()
-    return spark.read.parquet(f"{state_root}/v{_versions()[-1]}")
+    return sink.final_state(spark)
 
 
 # ====================================================================
