@@ -340,6 +340,39 @@ def simhash16(
 #: the cap runs the fully distributed propagation loop unchanged.
 DEFAULT_DRIVER_EDGE_CAP = 100_000
 
+#: Session conf flipping iterative-round checkpoints from
+#: executor-local block storage to RELIABLE checkpoint-dir storage.
+RELIABLE_CKPT_CONF = "spark.graft.reliableCheckpoint"
+
+
+def _round_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint for iterative propagation rounds.
+
+    Default is ``localCheckpoint`` — blocks live in executor storage,
+    which is fast and correct on a single JVM but NOT executor-loss
+    safe: the truncated lineage cannot recompute a block whose
+    executor died, so a lost executor fails the job.  Setting the
+    session conf ``spark.graft.reliableCheckpoint=true`` switches to a
+    reliable ``checkpoint`` into ``sparkContext.setCheckpointDir``
+    storage (HDFS/object store on a real cluster), which survives
+    executor loss at the cost of a filesystem round-trip per round —
+    the swap the 100 TB deployment makes.  Certified by
+    tools/soak_exec_kill.py: a SIGKILLed executor mid-propagation
+    under local-cluster completes with bit-identical labels.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CKPT_CONF, "false")).lower() == "true":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                f"{RELIABLE_CKPT_CONF}=true requires a checkpoint "
+                "directory: call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) before running iterative operators"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 
 def _union_find_labels(pairs_pdf) -> "object":
     """Min-root union-find over a collected (doc_a, doc_b) edge frame:
@@ -414,10 +447,13 @@ def connected_components(
     during analysis — caught by tools/soak_components.py's adversarial
     chain soak.  The checkpoint truncates the plan to a constant-size
     scan per round; superseded checkpoint blocks are released by the
-    ContextCleaner once unreferenced.  (On a multi-node cluster where
-    executor loss must be survivable, swap in reliable
-    ``spark.sparkContext.setCheckpointDir`` checkpoints at the same
-    call sites.)  The loop exits on a fixpoint (no label changed).
+    ContextCleaner once unreferenced.  On a multi-node cluster where
+    executor loss must be survivable, set the session conf
+    ``spark.graft.reliableCheckpoint=true`` (plus ``setCheckpointDir``
+    on fault-tolerant storage) and the same call sites write reliable
+    checkpoints instead (:func:`_round_checkpoint`; executor-kill
+    certified by tools/soak_exec_kill.py).  The loop exits on a
+    fixpoint (no label changed).
     """
     if max_iters < 1:
         raise ValueError(
@@ -455,11 +491,10 @@ def connected_components(
         # deduped corpus) rejoin at the end with component = own id.
         # This bounds every round's state by the candidate graph
         # regardless of corpus size.
-        labels = (
+        labels = _round_checkpoint(
             both.select(F.col("src").alias("v"))
             .distinct()
             .select("v", F.col("v").alias("component"))
-            .localCheckpoint(eager=True)
         )
         # the eager checkpoint above materialized `both` into its
         # cache, so the pair cache is no longer needed — release it
@@ -477,7 +512,7 @@ def connected_components(
             # side, so the change flag folds into the same pass — one
             # aggregate action per round instead of a separate
             # old-vs-new join.
-            updated = (
+            updated = _round_checkpoint(
                 labels.join(
                     neighbor_min.withColumnRenamed("src", "v"), "v", "left"
                 )
@@ -491,7 +526,6 @@ def connected_components(
                     .cast("long")
                     .alias("__chg"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = updated.agg(F.sum("__chg")).first()[0] or 0
             labels = updated.select("v", "component")

@@ -31,7 +31,13 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER overrides the default local[N] so the
+        # SAME tools (check_oracle, soaks, bench) can run under
+        # multi-process execution — e.g. local-cluster[2,8,4096] puts
+        # 2 executor JVMs behind a standalone-style scheduler, forcing
+        # every shuffle / broadcast / Python-worker boundary across
+        # real processes (the multi-executor certification axis).
+        master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 

@@ -972,3 +972,42 @@ def test_within_group_dup_ids_matches_bruteforce(spark):
                     break
     assert got == want
     assert want  # the planted copies must actually be found
+
+
+def test_reliable_checkpoint_conf_gate(spark, tmp_path):
+    """spark.graft.reliableCheckpoint=true switches the distributed
+    propagation loop's round checkpoints to checkpoint-dir storage
+    (executor-loss safe; SIGKILL-certified by tools/soak_exec_kill.py)
+    and refuses to run without a checkpoint dir."""
+    import os
+
+    from credit_card_etl_pipeline_spark.dataops import dedup
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+    sc = spark.sparkContext
+    spark.conf.set(dedup.RELIABLE_CKPT_CONF, "true")
+    try:
+        if sc.getCheckpointDir() is None:
+            with pytest.raises(RuntimeError, match="checkpoint"):
+                dedup.connected_components(
+                    vertices, edges, driver_edge_cap=None
+                )
+        ckpt = str(tmp_path / "reliable_ckpt")
+        sc.setCheckpointDir(ckpt)
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(
+                vertices, edges, driver_edge_cap=None
+            ).collect()
+        }
+        assert out == want
+        # reliable checkpoints actually landed on disk
+        assert any(files for _, _, files in os.walk(ckpt))
+    finally:
+        spark.conf.set(dedup.RELIABLE_CKPT_CONF, "false")

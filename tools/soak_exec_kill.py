@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Executor-loss soak for the distributed connected-components loop —
+the multi-executor certification the 100 TB story needs (VERDICT r9
+ask #1).
+
+Runs label propagation on the adversarial chain graph (diameter =
+chain_len - 1 → one round per hop, long enough to attack mid-flight)
+under ``local-cluster[2,C,M]`` so shuffles, broadcasts, Python workers
+AND the per-round checkpoints all cross real process boundaries, then
+SIGKILLs one CoarseGrainedExecutorBackend while the loop is running:
+
+* with ``spark.graft.reliableCheckpoint=true`` (+ setCheckpointDir) the
+  job must COMPLETE with bit-identical labels — lost blocks are
+  re-read from checkpoint-dir storage, lost tasks re-run on the
+  surviving / relaunched executor;
+* the control run (default ``localCheckpoint``) documents the hazard
+  the conf exists for: the truncated lineage cannot recompute blocks
+  that died with their executor, so the job is EXPECTED to fail (the
+  standalone master may also occasionally ride it out if no checkpoint
+  block lived on the victim — the artifact records what happened).
+
+    python tools/soak_exec_kill.py [--n 2000000] [--chain-len 16]
+                                   [--out SOAK_EXECKILL.json]
+
+Writes one JSON artifact and exits non-zero unless the reliable run
+survived the kill with correct labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def executor_pids(app_id: str) -> list[int]:
+    """PIDs of this app's CoarseGrainedExecutorBackend JVMs."""
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        if "CoarseGrainedExecutorBackend" in line and app_id in line:
+            pids.append(int(line.split(None, 1)[0]))
+    return sorted(pids)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--chain-len", type=int, default=16)
+    ap.add_argument("--master", default="local-cluster[2,4,2048]")
+    ap.add_argument("--kill-frac", type=float, default=0.4,
+                    help="kill at this fraction of the dry-run wall")
+    ap.add_argument("--out", default="SOAK_EXECKILL.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.dataops import dedup
+    from credit_card_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="soak_exec_kill", master=args.master)
+    app_id = spark.sparkContext.applicationId
+    ckpt_dir = tempfile.mkdtemp(prefix="soak_exec_kill_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+
+    n, k = args.n, args.chain_len
+
+    def chain_graph():
+        v = spark.range(n).select(F.col("id").alias("doc_id"))
+        e = (
+            spark.range(n)
+            .where(F.col("id") % k != k - 1)
+            .select(
+                F.col("id").alias("doc_a"),
+                (F.col("id") + 1).alias("doc_b"),
+            )
+        )
+        return v, e
+
+    def run_cc():
+        v, e = chain_graph()
+        labels = dedup.connected_components(
+            v, e, max_iters=k + 4, driver_edge_cap=None
+        )
+        # correctness: chain member i belongs to component i - i % k
+        n_wrong = labels.where(
+            F.col("component")
+            != F.col("doc_id") - F.col("doc_id") % F.lit(k)
+        ).count()
+        n_comp = labels.select("component").distinct().count()
+        labels.unpersist()
+        return n_comp, n_wrong
+
+    def kill_one_executor(delay: float, rec: dict):
+        time.sleep(delay)
+        pids = executor_pids(app_id)
+        if not pids:
+            rec["killed_pid"] = None
+            rec["error"] = "no executor pid found at kill time"
+            return
+        victim = pids[0]
+        os.kill(victim, signal.SIGKILL)
+        rec["killed_pid"] = victim
+        rec["kill_at_s"] = round(delay, 2)
+
+    report: dict = {
+        "master": args.master,
+        "app_id": app_id,
+        "n_vertices": n,
+        "chain_len": k,
+        "checkpoint_dir": ckpt_dir,
+    }
+
+    # --- dry run (reliable ckpt, no kill): calibrates the kill delay
+    spark.conf.set(dedup.RELIABLE_CKPT_CONF, "true")
+    t0 = time.perf_counter()
+    n_comp, n_wrong = run_cc()
+    dry_wall = time.perf_counter() - t0
+    report["dry_run"] = {
+        "wall_s": round(dry_wall, 2),
+        "n_components": n_comp,
+        "labels_wrong": n_wrong,
+    }
+    print(json.dumps({"dry_run": report["dry_run"]}), flush=True)
+
+    # --- reliable run WITH a mid-flight executor SIGKILL
+    kill_rec: dict = {}
+    killer = threading.Thread(
+        target=kill_one_executor, args=(dry_wall * args.kill_frac, kill_rec)
+    )
+    t0 = time.perf_counter()
+    killer.start()
+    try:
+        n_comp, n_wrong = run_cc()
+        reliable = {
+            "completed": True,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_components": n_comp,
+            "labels_wrong": n_wrong,
+            "labels_correct": n_wrong == 0 and n_comp == n // k,
+        }
+    except Exception as exc:  # noqa: BLE001 - recorded, gates exit code
+        reliable = {
+            "completed": False,
+            "error": f"{type(exc).__name__}: {exc}"[:400],
+        }
+    killer.join()
+    reliable.update(kill_rec)
+    report["reliable_with_kill"] = reliable
+    print(json.dumps({"reliable_with_kill": reliable}), flush=True)
+
+    # --- control: localCheckpoint path, same kill (expected to fail)
+    spark.conf.set(dedup.RELIABLE_CKPT_CONF, "false")
+    # wait for the relaunched executor so both runs start from 2
+    for _ in range(60):
+        if len(executor_pids(app_id)) >= 2:
+            break
+        time.sleep(1)
+    kill_rec = {}
+    killer = threading.Thread(
+        target=kill_one_executor, args=(dry_wall * args.kill_frac, kill_rec)
+    )
+    t0 = time.perf_counter()
+    killer.start()
+    try:
+        n_comp, n_wrong = run_cc()
+        control = {
+            "completed": True,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "n_components": n_comp,
+            "labels_wrong": n_wrong,
+            "note": "survived: no localCheckpoint block lived on the victim",
+        }
+    except Exception as exc:  # noqa: BLE001
+        control = {
+            "completed": False,
+            "error": f"{type(exc).__name__}: {exc}"[:400],
+            "note": "expected: localCheckpoint blocks die with executor",
+        }
+    killer.join()
+    control.update(kill_rec)
+    report["control_local_ckpt_with_kill"] = control
+    print(json.dumps({"control_local_ckpt_with_kill": control}), flush=True)
+
+    ok = (
+        report["dry_run"]["labels_wrong"] == 0
+        and reliable.get("labels_correct", False)
+        and reliable.get("killed_pid") is not None
+    )
+    report["pass"] = ok
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"{'PASS' if ok else 'FAIL'}  exec-kill soak -> {args.out}")
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
