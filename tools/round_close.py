@@ -13,8 +13,18 @@ Gates (each also maintained standalone — see the files for usage):
                        (tools/hostile_sweep.py, sf0.001)
 4. plan audit        — 0 cartesians / row-wise Python, BNLJ allowlist
                        (tools/plan_audit.py; writes PLAN_AUDIT.json)
-5. bench             — full-registry timing (bench.py; writes
+5. shuffle audit     — measured bytes moved per query
+                       (tools/shuffle_audit.py; writes
+                       SHUFFLE_AUDIT.json)
+6. artifact parity   — every committed audit's query set must equal
+                       the registry at HEAD, exclusions recorded
+                       (tools/artifact_parity.py)
+7. bench             — full-registry timing (bench.py; writes
                        BENCH_FULL.json) — skippable, ~5 min
+
+The audits re-run HERE, at the final registry, so a query registered
+after a mid-round audit can never ship an artifact that lacks it (the
+parity gate fails the close instead).
 
 Run gates SEQUENTIALLY on an otherwise-idle host: they are all
 Spark-heavy, and concurrent runs contend for the same cores (measured
@@ -76,6 +86,8 @@ def main() -> int:
          [py, "tools/check_oracle.py", "--json-out", full_art]),
         ("hostile sweep", [py, "tools/hostile_sweep.py"]),
         ("plan audit", [py, "tools/plan_audit.py"]),
+        ("shuffle audit", [py, "tools/shuffle_audit.py"]),
+        ("artifact parity", [py, "tools/artifact_parity.py"]),
     ]
     if not args.skip_bench:
         gates.append(("bench", [py, "bench.py"]))

@@ -144,7 +144,10 @@ def main() -> int:
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
     # Streaming queries run jobs on non-inheriting threads; skip them
-    # here (see module docstring).
+    # here (see module docstring) — and RECORD the exclusion so the
+    # artifact's query set ∪ exclusions always equals the registry
+    # (tools/artifact_parity.py enforces this at round close).
+    excluded_streaming = sorted(n for n in names if n.startswith("stream_"))
     names = [n for n in names if not n.startswith("stream_")]
 
     errors: dict[str, str] = {}
@@ -217,6 +220,7 @@ def main() -> int:
         "sf": args.sf,
         "n_queries": len(queries_out),
         "errors": errors,
+        "excluded_streaming": excluded_streaming,
         "zero_shuffle_queries": zero_shuffle,
         "totals": {
             k: sum(m.get(k, 0) for m in queries_out.values())
