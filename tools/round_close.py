@@ -110,6 +110,16 @@ def main() -> int:
         if rec.get("loaded_host_warning"):
             print(f"FAIL  bench-of-record  {rec['loaded_host_warning']}")
             results["bench"] = False
+        else:
+            # Stamp the idle-host bench as this round's COMMITTED record
+            # (VERDICT r9 ask #7): BENCH_FULL.json gets overwritten by
+            # loaded-host driver runs, so the per-query + loadavg
+            # snapshot must survive as its own artifact for
+            # ambient-vs-code attribution.
+            rec_path = os.path.join(ROOT, f"BENCH_RECORD_r{rnd:02d}.json")
+            with open(rec_path, "w") as fh:
+                json.dump(rec, fh, ensure_ascii=False)
+            print(f"PASS  bench-of-record -> {os.path.basename(rec_path)}")
     n_ok = sum(results.values())
     print(f"round-close: {n_ok}/{len(results)} gates green")
     return 0 if n_ok == len(results) else 1
