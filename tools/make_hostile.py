@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Generate a NULL/unicode-hostile variant of a driver corpus
+(VERDICT r9 ask #5): same tables, same schema, but the documents table
+is rewritten to attack the text/curate/dedup families' weak points —
+the H17 ''/'nan' null-convention trap, regex operators, per-code-point
+length math, and any hidden assumption that documents are small ASCII.
+
+    python tools/make_hostile.py [--src /root/testdata/sf0.01]
+                                 [--dst .scale/hostile01]
+
+Per-doc mutation is a pure hash of doc_id (corpus is a deterministic
+function of src), stratified so every hostile axis hits a fixed share:
+
+* 15%  text = NULL            (n_chars NULL too — the null invariant)
+* 8%   text = ''              (empty ≠ null: H17's exact trap)
+* 4%   text = whitespace-only ('  \\t\\n  ' — tokenizers must not die)
+* 10%  astral/recombinant unicode: emoji (U+1F600+), Gothic
+       (U+10348), CJK, Arabic RTL, combining marks, zero-width
+       joiners, an embedded BOM — code-point length ≠ byte length ≠
+       UTF-16 length, so any engine counting the wrong unit diverges
+* 3%   >1 MB documents (repeated phrase + unique tail: exercises
+       shingle explosion, Arrow batch sizing, spill paths)
+* 4%   lang/source = literal 'nan' or '' (the pandas-artifact
+       convention H17 normalizes)
+* rest  original text with a 1-in-4 chance of injected '\\r\\n' and
+        trailing spaces (line-split operators see foreign newlines)
+
+``n_chars`` is recomputed as CODE-POINT length (NULL for null text) so
+the n_chars == length(text) invariant holds in both Spark and DuckDB.
+All other tables are copied byte-identical.  Certify with:
+
+    python tools/check_oracle.py --sf .scale/hostile01 \
+        --json-out CORRECTNESS_HOSTILE_r10.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ASTRAL_SAMPLES = [
+    # emoji w/ ZWJ sequence + skin tone modifier (grapheme != codepoint)
+    "team: \U0001f469‍\U0001f4bb and \U0001f9d1\U0001f3fd‍\U0001f680 "
+    "review \U0001f600\U0001f680\U0001f40d tokens",
+    # Gothic (astral alphabetic), CJK, fullwidth digits
+    "\U00010348\U00010349 gothic meets 漢字測試 and １２３ wide digits",
+    # Arabic RTL + combining marks + BOM embedded mid-string
+    "مرحبا rtl text áë combining ﻿ bom inside",
+    # mathematical alphanumerics (astral letters regexes often miss)
+    "\U0001d518\U0001d52b\U0001d526\U0001d520\U0001d52c\U0001d521\U0001d522 "
+    "styled words with plain tail",
+    # mixed scripts + zero-width space + non-break space
+    "你好 world​ zero width and　ideographic space",
+]
+
+BIG_PHRASE = (
+    "the quick distributed scan shuffles partitioned batches across "
+    "executors while the optimizer prunes columns "
+)
+
+
+def mutate(doc_id: int, text: str | None) -> tuple[str | None, str | None]:
+    """(new_text, mutation_tag) — pure function of doc_id."""
+    h = int.from_bytes(
+        hashlib.md5(f"hostile:{doc_id}".encode()).digest()[:8], "big"
+    )
+    r = (h % 10_000) / 10_000.0
+    if r < 0.15:
+        return None, "null"
+    if r < 0.23:
+        return "", "empty"
+    if r < 0.27:
+        return "  \t\n  ", "whitespace"
+    if r < 0.37:
+        s = ASTRAL_SAMPLES[h % len(ASTRAL_SAMPLES)]
+        return f"{s} doc{doc_id} {s}", "astral"
+    if r < 0.40:
+        reps = 12_000 + (h % 2_000)  # ~1.2-1.4 MB
+        return BIG_PHRASE * reps + f" unique tail {doc_id}", "huge"
+    if text is not None and h % 4 == 0:
+        return text.replace(". ", ".\r\n", 2) + "   ", "crlf"
+    return text, "orig"
+
+
+def mutate_meta(doc_id: int, lang: str | None, source: str | None):
+    h = int.from_bytes(
+        hashlib.md5(f"hostile-meta:{doc_id}".encode()).digest()[:8], "big"
+    )
+    r = (h % 10_000) / 10_000.0
+    if r < 0.02:
+        return "nan", source
+    if r < 0.04:
+        return lang, ""
+    return lang, source
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.01")
+    ap.add_argument("--dst", default=".scale/hostile01")
+    args = ap.parse_args()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(args.dst, exist_ok=True)
+    for fname in sorted(os.listdir(args.src)):
+        if not fname.endswith(".parquet"):
+            continue
+        src_p = os.path.join(args.src, fname)
+        dst_p = os.path.join(args.dst, fname)
+        if fname != "documents.parquet":
+            if os.path.isdir(src_p):
+                shutil.copytree(src_p, dst_p, dirs_exist_ok=True)
+            else:
+                shutil.copyfile(src_p, dst_p)
+            continue
+        t = pq.read_table(src_p)
+        pdf = t.to_pandas()
+        tags: dict[str, int] = {}
+        texts, langs, sources, n_chars = [], [], [], []
+        for doc_id, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            nt, tag = mutate(int(doc_id), text)
+            tags[tag] = tags.get(tag, 0) + 1
+            nl, ns = mutate_meta(int(doc_id), lang, source)
+            texts.append(nt)
+            langs.append(nl)
+            sources.append(ns)
+            n_chars.append(None if nt is None else len(nt))
+        out = pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"], type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(langs, type=pa.string()),
+                "source": pa.array(sources, type=pa.string()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        )
+        pq.write_table(out, dst_p)
+        mb = os.path.getsize(dst_p) / 1e6
+        print(f"hostile documents: {len(texts)} docs, {mb:.1f} MB, {tags}")
+    print(f"wrote {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
