@@ -69,6 +69,22 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if not master.startswith("local["):
+        # Multi-process masters (local-cluster, spark://, yarn) spawn
+        # executor Python workers that must UNPICKLE engine UDFs by
+        # module reference — without the package on their path every
+        # Arrow-batched crossing dies with ModuleNotFoundError (found
+        # by the r10 local-cluster certification sweep: 17 queries).
+        # On a shared filesystem pointing PYTHONPATH at the repo root
+        # is the deployment; a real cluster without shared storage
+        # ships a wheel via spark.submit.pyFiles instead (this conf is
+        # then harmless).  Existing PYTHONPATH entries are preserved.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prior = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{prior}" if prior else repo_root,
+        )
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — hostile-environment knobs
     # (e.g. force-spill thresholds for the spill-path certification,
     # tools/spill_certify.py) without touching call sites.  Applied
