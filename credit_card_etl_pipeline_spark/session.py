@@ -53,6 +53,12 @@ def get_spark(
         # (invalid date/number → null, etl.py:100-122,398-401); ANSI mode
         # (Spark 4 default) would turn those rows into task failures.
         .config("spark.sql.ansi.enabled", "false")
+        # ANSI-off re-enables the legacy size(NULL) = -1 sentinel, which
+        # silently poisons every count/ratio on null text (-1/-1 reads
+        # as a perfect 1.0 stopword ratio — caught by the r10
+        # null-hostile corpus).  Force SQL-standard null propagation:
+        # size(NULL) = NULL, matching DuckDB and every other engine.
+        .config("spark.sql.legacy.sizeOfNull", "false")
         # Event-time extraction does NOT ride a reader conf: the events
         # `ts` column has shipped as both nano-longs and TIMESTAMP_NTZ
         # micros across driver corpora, so functions.eventtime branches
