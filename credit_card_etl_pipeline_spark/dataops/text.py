@@ -166,3 +166,91 @@ def rolling_fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * ROLLING_BASE + t) % MERSENNE_P,
     )
+
+
+# ------------------------------------------------------------------
+# Unicode sanitization (NFC + zero-width strip + whitespace collapse)
+# ------------------------------------------------------------------
+
+#: Zero-width characters stripped before normalization: ZWSP, ZWNJ,
+#: ZWJ, and the BOM/ZWNBSP — invisible bytes that break exact-dedup
+#: and tokenization if left in training text.
+ZERO_WIDTH_RE = "[​‌‍﻿]"
+
+#: Explicit whitespace class for the collapse step: Java \s, RE2 \s,
+#: and Python unicode \s all disagree at the edges (\x0b, \x85,
+#: U+00A0, U+3000), so the contract pins the exact set and both the
+#: engine and the DuckDB oracle use it verbatim.  Escape-sequence form
+#: (not raw control chars) so the same constant embeds into a SQL
+#: string literal and still means the same RE2 pattern.
+SANITIZE_WS_RE = r"[ \t\n\r\f]+"
+
+
+def sanitize_unicode(df, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unicode-hygiene report via one Arrow-batched
+    ``mapInPandas`` pass (unicodedata has no JVM builtin; the batch
+    crossing is the cheapest correct path and stays partition-parallel
+    at any corpus size — no shuffle, no driver state).
+
+    Cleaning contract, applied in this exact order (the DuckDB oracle
+    mirrors it step for step, and Unicode's normalization stability
+    policy guarantees NFC agreement across implementations for
+    assigned code points):
+
+    1. strip zero-width characters (:data:`ZERO_WIDTH_RE`);
+    2. NFC-normalize (``unicodedata.normalize`` ↔ ``nfc_normalize``);
+    3. collapse :data:`SANITIZE_WS_RE` runs to one space, trim spaces.
+
+    Output per doc: raw/clean code-point lengths, astral and
+    zero-width counts, a null-propagating ``changed`` flag, and the
+    md5 of the cleaned UTF-8 bytes (the dedup-grade content key).
+    NULL text yields NULL metrics."""
+    import hashlib
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    zw = _re.compile(ZERO_WIDTH_RE)
+    ws = _re.compile(SANITIZE_WS_RE)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_chars_raw", T.LongType()),
+            T.StructField("n_astral", T.LongType()),
+            T.StructField("n_zero_width", T.LongType()),
+            T.StructField("changed", T.BooleanType()),
+            T.StructField("n_chars_clean", T.LongType()),
+            T.StructField("clean_md5", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                rows[id_col].append(int(doc_id))
+                if not isinstance(s, str):
+                    for k in cols[1:]:
+                        rows[k].append(None)
+                    continue
+                t0 = zw.sub("", s)
+                clean = ws.sub(
+                    " ", unicodedata.normalize("NFC", t0)
+                ).strip(" ")
+                rows["n_chars_raw"].append(len(s))
+                rows["n_astral"].append(
+                    sum(1 for ch in s if ord(ch) > 0xFFFF)
+                )
+                rows["n_zero_width"].append(len(s) - len(t0))
+                rows["changed"].append(clean != s)
+                rows["n_chars_clean"].append(len(clean))
+                rows["clean_md5"].append(
+                    hashlib.md5(clean.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -1840,6 +1840,49 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Twin of dataops.text.sanitize_unicode's cleaning contract, step for
+# step: zero-width strip → nfc_normalize (stable across conforming
+# implementations for assigned code points) → pinned-class whitespace
+# collapse + trim.  Both regex constants are shared with the engine.
+_SANITIZE_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+z AS (
+    SELECT doc_id, text,
+           regexp_replace(text, '{tx.ZERO_WIDTH_RE}', '', 'g') AS t0
+    FROM corpus
+),
+c AS (
+    SELECT doc_id, text, t0,
+           trim(regexp_replace(nfc_normalize(t0),
+                               '{tx.SANITIZE_WS_RE}', ' ', 'g')) AS clean
+    FROM z
+)
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(text) - length(regexp_replace(text,
+           '[\\x{{10000}}-\\x{{10FFFF}}]', '', 'g')) AS n_astral,
+       length(text) - length(t0) AS n_zero_width,
+       (text <> clean) AS changed,
+       length(clean) AS n_chars_clean,
+       md5(clean) AS clean_md5
+FROM c
+"""
+
+
+@query("text_unicode_sanitize", _SANITIZE_ORACLE)
+def text_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-hygiene pass every training-data pipeline needs before
+    exact dedup: zero-width strip + NFC normalization + pinned
+    whitespace collapse, reported per doc with the cleaned-content md5
+    (two visually identical docs with different code-point sequences —
+    composed vs decomposed accents, hidden ZWSP — converge to ONE
+    dedup key).  One Arrow-batched mapInPandas crossing, partition-
+    parallel, no shuffle (dataops.text.sanitize_unicode)."""
+    return tx.sanitize_unicode(
+        corpus(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 _ROLLING_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL}),
 toks AS (

@@ -1011,3 +1011,35 @@ def test_reliable_checkpoint_conf_gate(spark, tmp_path):
         assert any(files for _, _, files in os.walk(ckpt))
     finally:
         spark.conf.set(dedup.RELIABLE_CKPT_CONF, "false")
+
+
+def test_sanitize_unicode_contract(spark):
+    """The cleaning contract: ZW strip -> NFC -> pinned-class collapse;
+    NULL propagates; composed and decomposed forms converge to one md5."""
+    import hashlib
+
+    from credit_card_etl_pipeline_spark.dataops.text import sanitize_unicode
+
+    composed = "café bar"           # é as one code point
+    decomposed = "café bar"        # e + combining acute
+    df = spark.createDataFrame(
+        [
+            (0, composed),
+            (1, decomposed),
+            (2, "a​b﻿c"),      # zero-width junk
+            (3, "  \t\n  "),             # whitespace-only -> ''
+            (4, None),
+            (5, "ok \U0001f600 astral"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in sanitize_unicode(df).collect()}
+    want_md5 = hashlib.md5(composed.encode()).hexdigest()
+    assert out[0]["clean_md5"] == want_md5
+    assert out[1]["clean_md5"] == want_md5          # NFC converges
+    assert out[1]["changed"] and not out[0]["changed"]
+    assert out[2]["n_zero_width"] == 2
+    assert out[2]["clean_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert out[3]["n_chars_clean"] == 0 and out[3]["changed"]
+    assert all(v is None for k, v in out[4].items() if k != "doc_id")
+    assert out[5]["n_astral"] == 1 and not out[5]["changed"]
