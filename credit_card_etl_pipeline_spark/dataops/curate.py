@@ -216,7 +216,11 @@ def chunk_documents(
     windows advancing by ``chunk_tokens - overlap`` — the standard
     pre-tokenizer context packing step.  Pure array expressions
     (sequence of starts + slice per start), map-only: no shuffle, no
-    UDF; every document yields at least one chunk."""
+    UDF; every document with non-NULL text yields at least one chunk
+    (empty text = one single-empty-token chunk), and a NULL text
+    yields NO chunks — there is nothing to chunk, and a pseudo-chunk
+    with NULL length poisons every downstream token count (pinned by
+    the r10 null-hostile corpus)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
@@ -224,7 +228,13 @@ def chunk_documents(
     # references would otherwise each re-evaluate normalize+split)
     base = df.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
     w = F.col("__toks")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    # NULL toks -> NULL starts -> explode drops the row (no chunks)
+    starts = F.when(
+        w.isNotNull(),
+        F.sequence(
+            F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride)
+        ),
+    )
     chunk = F.explode(
         F.transform(
             starts,

@@ -161,9 +161,9 @@ def _shingle_cte(src: str, name: str) -> str:
 ),
 {name} AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(w) - 2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
+           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 3, len(w))) AS shingle
     FROM {name}_words
 )"""
 
@@ -208,24 +208,36 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK, _OVERLAP, _STRIDE = 32, 8, 24
 
+# Token-explode formulation: the obvious slice-per-start oracle
+# carries the doc's FULL token list into every start row (DuckDB
+# physically copies captured/lateral lists per element), which is
+# quadratic in document length — >15 min on the hostile corpus's
+# 200k-token docs vs ~10 s for this form, which unnests (tok, pos)
+# once and assigns each token to its 1-2 overlapping windows
+# arithmetically.  Output is bit-identical (hash gate).
 _CHUNK_ORACLE = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 words AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM corpus
 ),
-starts AS (
-    SELECT doc_id, w,
-           unnest(generate_series(1, greatest(len(w), 1), {_STRIDE})) AS s
+tokpos AS (
+    SELECT doc_id, len(w) AS L, unnest(w) AS tok,
+           unnest(generate_series(1, len(w))) AS pos
     FROM words
+),
+m AS (
+    SELECT doc_id, tok, pos,
+           unnest(generate_series(
+               greatest(0, (pos - {_CHUNK - _STRIDE + 1}) // {_STRIDE}),
+               least((pos - 1) // {_STRIDE}, (L - 1) // {_STRIDE}))) AS k
+    FROM tokpos
 )
 SELECT doc_id,
-       CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_index,
-       CAST(s AS BIGINT) AS chunk_start,
-       CAST(len(list_slice(w, s, least(s + {_CHUNK} - 1, len(w))))
-            AS BIGINT) AS n_chunk_tokens,
-       array_to_string(list_slice(w, s, least(s + {_CHUNK} - 1, len(w))), ' ')
-           AS chunk_text
-FROM starts
+       CAST(k AS BIGINT) AS chunk_index,
+       CAST(min(pos) AS BIGINT) AS chunk_start,
+       CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM m GROUP BY doc_id, k
 """
 
 
@@ -252,21 +264,19 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 w AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
 ),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM w
+),
 chunks AS (
     SELECT doc_id,
-           CAST((s - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
-           CAST(s AS BIGINT) AS chunk_start,
-           CAST(len(list_slice(toks, s,
-                least(s + {_DCHUNK} - 1, len(toks)))) AS BIGINT)
-               AS n_chunk_tokens,
-           array_to_string(list_slice(toks, s,
-                least(s + {_DCHUNK} - 1, len(toks))), ' ') AS chunk_text
-    FROM (
-        SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks), 1),
-                                      {_DCHUNK})) AS s
-        FROM w
-    )
+           CAST((pos - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
+           CAST(min(pos) AS BIGINT) AS chunk_start,
+           CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM tokpos
+    GROUP BY doc_id, (pos - 1) // {_DCHUNK}
 ),
 ranked AS (
     SELECT *,
@@ -302,9 +312,10 @@ WITH w AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
 ),
 grams AS (
-    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
-    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
-         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    SELECT doc_id,
+           unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+           unnest(list_slice(toks, 2, len(toks))) AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2)
 ),
 counts AS (
     SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram
@@ -350,10 +361,11 @@ WITH w AS (
 ),
 grams AS (
     SELECT doc_id, (lang = 'en') AS is_target,
-           CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))
+           CAST(('0x' || substr(md5(
+                unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+                unnest(list_slice(toks, 2, len(toks)))), 1, 15))
                 AS BIGINT) % {_DSIR_B} AS bucket
-    FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2),
-         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2)
 ),
 raw AS (
     SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY bucket
@@ -417,10 +429,11 @@ w AS (
 ),
 grams AS (
     SELECT is_new,
-           CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))
+           CAST(('0x' || substr(md5(
+                unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+                unnest(list_slice(toks, 2, len(toks)))), 1, 15))
                 AS BIGINT) % {_DSIR_B} AS bucket
-    FROM (SELECT is_new, toks FROM w WHERE len(toks) >= 2),
-         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    FROM (SELECT is_new, toks FROM w WHERE len(toks) >= 2)
 ),
 counts AS (
     SELECT bucket,
@@ -1069,9 +1082,9 @@ normw AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(w) - 2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
+           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 3, len(w))) AS shingle
     FROM normw
 ),
 -- hash-bucket cap, mirroring dataops.dedup.substring_containment
@@ -1230,20 +1243,18 @@ _V3_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
 ),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM w
+),
 chunks AS (
     SELECT doc_id,
-           CAST((s - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
-           CAST(len(list_slice(toks, s,
-                least(s + {_DCHUNK} - 1, len(toks)))) AS BIGINT)
-               AS n_chunk_tokens,
-           array_to_string(list_slice(toks, s,
-                least(s + {_DCHUNK} - 1, len(toks))), ' ') AS chunk_text
-    FROM (
-        SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks), 1),
-                                      {_DCHUNK})) AS s
-        FROM w
-    )
+           CAST((pos - 1) // {_DCHUNK} AS BIGINT) AS chunk_index,
+           CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM tokpos
+    GROUP BY doc_id, (pos - 1) // {_DCHUNK}
 ),
 ranked AS (
     SELECT *,
@@ -1259,9 +1270,10 @@ novelty AS (
     FROM ranked GROUP BY doc_id
 ),
 grams AS (
-    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
-    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
-         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    SELECT doc_id,
+           unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+           unnest(list_slice(toks, 2, len(toks))) AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2)
 ),
 counts AS (
     SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram
@@ -1353,9 +1365,10 @@ WITH w AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
 ),
 grams AS (
-    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
-    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2),
-         UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    SELECT doc_id,
+           unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+           unnest(list_slice(toks, 2, len(toks))) AS gram
+    FROM (SELECT doc_id, toks FROM w WHERE len(toks) >= 2)
 ),
 owners AS (
     SELECT gram, CAST(min(doc_id) AS BIGINT) AS owner FROM grams

@@ -61,9 +61,9 @@ words AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(w) - 2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
+           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 3, len(w))) AS shingle
     FROM words
 )
 """
@@ -450,9 +450,9 @@ norms AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               generate_series(1, greatest(len(w) - 2, 0)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
+           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 3, len(w))) AS shingle
     FROM norms
 ),
 -- the engine shuffles the 60-bit md5 of each shingle, never the text;
@@ -2279,8 +2279,9 @@ WITH t AS (
 ),
 t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
 b AS (
-    SELECT toks[i] || ' ' || toks[i + 1] AS bigram
-    FROM t2, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+           unnest(list_slice(toks, 2, len(toks))) AS bigram
+    FROM t2
 )
 SELECT bigram, CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
@@ -3947,9 +3948,11 @@ uni AS MATERIALIZED (
     GROUP BY t
 ),
 big AS MATERIALIZED (
-    SELECT toks[i] AS prev, toks[i+1] AS nxt, count(*) AS c
-    FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-    GROUP BY prev, nxt
+    SELECT prev, nxt, count(*) AS c FROM (
+        SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS prev,
+               unnest(list_slice(toks, 2, len(toks))) AS nxt
+        FROM w
+    ) GROUP BY prev, nxt
 ),
 best AS MATERIALIZED (
     SELECT prev, nxt FROM (
@@ -4815,10 +4818,11 @@ dsir AS (
         ),
         grams AS (
             SELECT doc_id, (lang = 'en') AS is_target,
-                   CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]),
+                   CAST(('0x' || substr(md5(
+                        unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' ||
+                        unnest(list_slice(toks, 2, len(toks)))),
                                         1, 15)) AS BIGINT) % 4096 AS bucket
-            FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2),
-                 UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+            FROM (SELECT doc_id, lang, toks FROM w WHERE len(toks) >= 2)
         ),
         raw AS (
             SELECT bucket, CAST(count(*) AS BIGINT) AS cr

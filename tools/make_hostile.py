@@ -18,8 +18,13 @@ function of src), stratified so every hostile axis hits a fixed share:
        (U+10348), CJK, Arabic RTL, combining marks, zero-width
        joiners, an embedded BOM — code-point length ≠ byte length ≠
        UTF-16 length, so any engine counting the wrong unit diverges
-* 3%   >1 MB documents (repeated phrase + unique tail: exercises
-       shingle explosion, Arrow batch sizing, spill paths)
+* 1.5% >1 MB documents made of FEW giant tokens (50 KB each):
+       exercises Arrow batch sizing / payload paths without inflating
+       token counts (DuckDB oracles are per-doc linear in tokens, but
+       a 200k-token doc makes any residual quadratic corner
+       intractable — the r10 sweep caught and fixed several)
+* 1.5% ~150 KB many-token documents (~25k tokens): exercises window /
+       chunk / shingle explosion at a tractable oracle cost
 * 4%   lang/source = literal 'nan' or '' (the pandas-artifact
        convention H17 normalizes)
 * rest  original text with a 1-in-4 chance of injected '\\r\\n' and
@@ -79,9 +84,13 @@ def mutate(doc_id: int, text: str | None) -> tuple[str | None, str | None]:
     if r < 0.37:
         s = ASTRAL_SAMPLES[h % len(ASTRAL_SAMPLES)]
         return f"{s} doc{doc_id} {s}", "astral"
+    if r < 0.385:
+        # >1 MB via ~25 giant tokens of 50 KB each
+        giant = ("tok%d" % doc_id) + "x" * 50_000
+        return " ".join([giant] * (24 + h % 4)) + f" tail {doc_id}", "huge"
     if r < 0.40:
-        reps = 12_000 + (h % 2_000)  # ~1.2-1.4 MB
-        return BIG_PHRASE * reps + f" unique tail {doc_id}", "huge"
+        reps = 1_500 + (h % 300)  # ~150-180 KB, ~25k tokens
+        return BIG_PHRASE * reps + f" unique tail {doc_id}", "manytok"
     if text is not None and h % 4 == 0:
         return text.replace(". ", ".\r\n", 2) + "   ", "crlf"
     return text, "orig"
