@@ -39,7 +39,17 @@ from .text import normalize_text, words
 #: before phones so a 4-4-4-4 run is consumed as one card, not a
 #: partial phone match.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # RFC 5321 length bounds instead of unbounded +: semantics are
+    # identical on real addresses, and the bound is what keeps Java's
+    # backtracking engine LINEAR — an unbounded class quantifier over a
+    # 50 KB non-matching token is O(len²) per start position (the
+    # streaming curation pipeline read 5+ minutes on the r10 hostile
+    # corpus's giant-token docs; bounded, it's milliseconds).  RE2
+    # (DuckDB oracle) never backtracks, so the twin is unaffected
+    # either way — the bound keeps the two pattern LANGUAGES equal.
+    ("email",
+     r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}",
+     "<EMAIL>"),
     ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

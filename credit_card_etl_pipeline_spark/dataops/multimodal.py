@@ -129,7 +129,12 @@ def decode_media(
         for pdf in batches:
             ids, sizes, feats = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
+                # NULL payload = no content (b""): fake mode yields a
+                # zero histogram / zero frames, matching SQL null
+                # semantics in the oracles; the real decoders treat
+                # empty bytes as any other invalid container (loud
+                # format error), unchanged.
+                data = b"" if payload is None else bytes(payload)
                 source = (
                     data if fake else decode_image_gray(data)[2]
                 )
@@ -190,7 +195,10 @@ def resize_images(
                 "doc_id": list(pdf[id_col]),
                 "width": [width] * len(pdf),
                 "height": [height] * len(pdf),
-                "pixels": [pix(bytes(p)) for p in pdf[payload_col]],
+                "pixels": [
+                    pix(b"" if p is None else bytes(p))
+                    for p in pdf[payload_col]
+                ],
             }
             yield pd.DataFrame(out)
 
@@ -234,7 +242,7 @@ def sample_frames(
         for pdf in batches:
             ids, nos, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
+                data = b"" if payload is None else bytes(payload)
                 if fake:
                     n = len(data) // frame_bytes
                     for fno in range(0, n, every):

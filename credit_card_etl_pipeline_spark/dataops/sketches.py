@@ -229,9 +229,13 @@ def bloom_build(
     m: int = BLOOM_M,
 ) -> DataFrame:
     """Build the filter: the DISTINCT set positions — one map-side
-    explode (k rows per key) + one dedup bounded by m."""
+    explode (k rows per key) + one dedup bounded by m.  NULL keys are
+    dropped: NULL has no md5, so it would emit NULL positions that
+    crash the bitmask assembly (null-hostile corpus, r10) — and a
+    membership filter has no meaningful entry for "no content"."""
     return (
-        df.select(
+        df.where(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     *[

@@ -161,8 +161,8 @@ def _shingle_cte(src: str, name: str) -> str:
 ),
 {name} AS (
     SELECT DISTINCT doc_id,
-           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
-           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 1, greatest(len(w) - 2, 0))) || ' ' ||
+           unnest(list_slice(w, 2, greatest(len(w) - 1, 0))) || ' ' ||
            unnest(list_slice(w, 3, len(w))) AS shingle
     FROM {name}_words
 )"""
@@ -1082,8 +1082,8 @@ normw AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
-           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 1, greatest(len(w) - 2, 0))) || ' ' ||
+           unnest(list_slice(w, 2, greatest(len(w) - 1, 0))) || ' ' ||
            unnest(list_slice(w, 3, len(w))) AS shingle
     FROM normw
 ),
@@ -1168,7 +1168,13 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words(F.col("text"))
     snippets = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(w, 1, 12)).alias("text"),
+        # concat_ws silently collapses a NULL token array to '' — a
+        # null doc's snippet must stay NULL like every other stage
+        # (and like the oracle's array_to_string null propagation)
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(" ", F.slice(w, 1, 12)),
+        ).alias("text"),
     )
     corpus = injected.unionByName(copies).unionByName(snippets)
 

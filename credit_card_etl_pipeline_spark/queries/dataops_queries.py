@@ -61,8 +61,8 @@ words AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
-           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 1, greatest(len(w) - 2, 0))) || ' ' ||
+           unnest(list_slice(w, 2, greatest(len(w) - 1, 0))) || ' ' ||
            unnest(list_slice(w, 3, len(w))) AS shingle
     FROM words
 )
@@ -450,8 +450,8 @@ norms AS (
 ),
 shingles AS (
     SELECT DISTINCT doc_id,
-           unnest(list_slice(w, 1, len(w) - 2)) || ' ' ||
-           unnest(list_slice(w, 2, len(w) - 1)) || ' ' ||
+           unnest(list_slice(w, 1, greatest(len(w) - 2, 0))) || ' ' ||
+           unnest(list_slice(w, 2, greatest(len(w) - 1, 0))) || ' ' ||
            unnest(list_slice(w, 3, len(w))) AS shingle
     FROM norms
 ),
@@ -2557,14 +2557,18 @@ _FRAMES_ORACLE = """
 WITH p AS (
     SELECT doc_id, hex(encode(text)) AS h FROM documents
 ),
-n AS (SELECT doc_id, h, length(h) // 32 AS nf FROM p),
+-- zipped unnest (positions + complete 32-hex-char frames), not a
+-- lateral that copies the full hex string per frame row — that form
+-- is quadratic in payload size (r10 hostile corpus; '.' is safe here:
+-- hex text has no newlines for RE2's '.' to miss)
 f AS (
-    SELECT doc_id, u.i AS frame_no,
-           substring(h, u.i * 32 + 1, 32) AS frame_hex
-    FROM n, UNNEST(generate_series(0, nf - 1)) AS u(i)
-    WHERE u.i % 4 = 0
+    SELECT doc_id,
+           unnest(generate_series(0, length(h) // 32 - 1)) AS frame_no,
+           unnest(regexp_extract_all(h, '.{32}')) AS frame_hex
+    FROM p
 )
-SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, frame_hex FROM f
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, frame_hex
+FROM f WHERE frame_no % 4 = 0
 """
 
 
@@ -2593,8 +2597,11 @@ WITH p AS (
 )
 SELECT doc_id,
        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-       substring(repeat(h, 64 // greatest(length(h) // 2, 1) + 1), 1, 128)
-           AS pixels_hex
+       -- COALESCE: a NULL payload tiles to the empty buffer (b"" on
+       -- the Spark side), not NULL pixels
+       substring(repeat(COALESCE(h, ''),
+                        64 // greatest(length(COALESCE(h, '')) // 2, 1) + 1),
+                 1, 128) AS pixels_hex
 FROM p
 """
 
@@ -2623,10 +2630,13 @@ WITH p AS (
     SELECT doc_id, hex(encode(text)) AS h FROM documents
 ),
 nibs AS (
+    -- high nibble of each byte pair via one linear regexp split (the
+    -- lateral substring form copies h per byte row — quadratic, r10)
     SELECT doc_id,
-           strpos('0123456789ABCDEF', substring(h, u.i * 2 + 1, 1)) - 1
+           strpos('0123456789ABCDEF',
+                  substring(unnest(regexp_extract_all(h, '..')), 1, 1)) - 1
                AS bin
-    FROM p, UNNEST(generate_series(0, length(h) // 2 - 1)) AS u(i)
+    FROM p
 ),
 counts AS (
     SELECT doc_id, bin, count(*) AS c FROM nibs GROUP BY doc_id, bin
@@ -3656,9 +3666,21 @@ def udf_vectorized_edit_distance(
 
     @pandas_udf("long")
     def dl_udf(prefixes: pd.Series) -> pd.Series:
-        return prefixes.map(
-            lambda s: _damerau_levenshtein(s, _DL_REF)
-        ).astype("int64")
+        # nullable Int64: NULL text -> NULL distance, like DuckDB's
+        # damerau_levenshtein(NULL, ref).  The distance is defined over
+        # UTF-8 BYTES, because that is what DuckDB's builtin measures
+        # (é vs e = 2, astral emoji = 4 — probed r10); a code-point
+        # variant would silently diverge on any non-ASCII corpus.
+        ref = _DL_REF.encode("utf-8")
+        return pd.Series(
+            [
+                None
+                if s is None
+                else _damerau_levenshtein(s.encode("utf-8"), ref)
+                for s in prefixes
+            ],
+            dtype="Int64",
+        )
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
     prefix = F.substring(tx.normalize_text(F.col("text")), 1, 40)
