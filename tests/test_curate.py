@@ -208,7 +208,10 @@ def test_remove_boilerplate_lines(spark):
 
 def test_remove_boilerplate_null_text(spark):
     """NULL text keeps the join-shape contract: n_lines follows
-    size(split(NULL)) (-1), n_kept 0, clean_text '' — not NULLs."""
+    size(split(NULL)) — NULL under SQL-standard null propagation
+    (spark.sql.legacy.sizeOfNull=false; the legacy -1 sentinel
+    poisoned every downstream ratio, r10 hostile corpus) — with
+    n_kept 0 and clean_text '' from the left-join coalesce."""
     from credit_card_etl_pipeline_spark.dataops.curate import (
         remove_boilerplate_lines,
     )
@@ -220,7 +223,7 @@ def test_remove_boilerplate_null_text(spark):
         r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
         for r in remove_boilerplate_lines(docs, min_docs=2).collect()
     }
-    assert out[2] == (-1, 0, "")
+    assert out[2] == (None, 0, "")
     assert out[1] == (2, 2, "a\nb")
 
 

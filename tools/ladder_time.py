@@ -6,10 +6,16 @@ whose exponents decide 100 TB feasibility).
     python tools/ladder_time.py --sfs .scale/sf1,.scale/sf10 \
         [--names a,b,c | --prefixes dedup_,ann_]
 
-Times ONLY the Spark execution (collect, result discarded) per query
-per corpus — no DuckDB in the loop, so the numbers divide cleanly
-into wall exponents.  Prints one LADDER json line:
-{name: {sf_label: seconds}}.
+Times ONLY the Spark execution (noop sink) per query per corpus — no
+DuckDB in the loop, so the numbers divide cleanly into wall
+exponents.  Prints one LADDER json line: {name: {sf_label: seconds}}.
+
+The sink is `noop`, NOT collect: collect() adds a driver transfer
+proportional to OUTPUT size, which misattributes output-heavy queries
+(r10: lineitem_prorate_cents read exponent 1.15 under collect — 366 s
+at sf10 — vs 20 s engine wall under noop; the extra 345 s was 60M
+rows crossing into the Python driver, a cost no deployed pipeline
+pays).
 """
 
 from __future__ import annotations
@@ -51,11 +57,12 @@ def main() -> int:
         for n in names:
             t0 = time.time()
             try:
-                rows = len(queries[n](spark, sf).collect())
+                queries[n](spark, sf).write.mode("overwrite").format(
+                    "noop"
+                ).save()
                 wall = round(time.time() - t0, 2)
                 out.setdefault(n, {})[label] = wall
-                print(f"LADDERQ {label} {n}: {wall}s ({rows} rows)",
-                      flush=True)
+                print(f"LADDERQ {label} {n}: {wall}s", flush=True)
             except Exception as exc:  # noqa: BLE001 — ladder must finish
                 out.setdefault(n, {})[label] = -1.0
                 print(f"LADDERQ {label} {n}: ERROR {exc!r}"[:300],
