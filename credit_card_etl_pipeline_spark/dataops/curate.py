@@ -37,19 +37,26 @@ from .text import normalize_text, words
 #: RE2-compatible PII patterns (shared verbatim with the SQL oracles —
 #: no backreferences, no lookaround).  Replacement order matters: cards
 #: before phones so a 4-4-4-4 run is consumed as one card, not a
-#: partial phone match.
+#: partial phone match.  Replacement strings use Java `$n` group
+#: syntax; the oracle builder translates to RE2's `\n`.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    # RFC 5321 length bounds instead of unbounded +: semantics are
-    # identical on real addresses, and the bound is what keeps Java's
-    # backtracking engine LINEAR — an unbounded class quantifier over a
-    # 50 KB non-matching token is O(len²) per start position (the
-    # streaming curation pipeline read 5+ minutes on the r10 hostile
-    # corpus's giant-token docs; bounded, it's milliseconds).  RE2
-    # (DuckDB oracle) never backtracks, so the twin is unaffected
-    # either way — the bound keeps the two pattern LANGUAGES equal.
+    # RFC 5321 length bounds instead of unbounded +: the bound is what
+    # keeps Java's backtracking engine LINEAR — an unbounded class
+    # quantifier over a 50 KB non-matching token is O(len²) per start
+    # position (the streaming curation pipeline read 5+ minutes on the
+    # r10 hostile corpus's giant-token docs; bounded, it's
+    # milliseconds).  RE2 (DuckDB oracle) never backtracks either way.
+    # The (^|[^class]) group emulates a left boundary — RE2 has no
+    # lookbehind — so an over-long (RFC-invalid) local part fails the
+    # match ENTIRELY instead of suffix-matching its last 64 chars and
+    # leaving the prefix unredacted.  Overflow on the TRAILING side
+    # (domain >255 / TLD >63 chars) still truncates the match, which
+    # is intended: the sensitive local@domain core is consumed and
+    # masked; only trailing excess survives.
     ("email",
-     r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}",
-     "<EMAIL>"),
+     r"(^|[^A-Za-z0-9._%+-])"
+     r"([A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63})",
+     "$1<EMAIL>"),
     ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
@@ -677,8 +684,10 @@ def remove_boilerplate_lines(
         lambda l: ~F.array_contains(F.col("__hot"), l),
     )
     # NULL text: n_kept 0 and clean_text '' (the join-shape's outer
-    # coalesce contract — size() yields -1 on NULL input, hence
-    # greatest); n_lines stays size(split(NULL)) like before
+    # coalesce contract).  session.py pins
+    # spark.sql.legacy.sizeOfNull=false, so size(NULL) is NULL and
+    # greatest(NULL, 0) = 0 (greatest skips NULLs) supplies the zero;
+    # n_lines stays size(split(NULL)) = NULL like before
     return df.crossJoin(F.broadcast(hot_arr)).select(
         F.col(id_col),
         F.size(F.split(text, "\n")).cast("long").alias("n_lines"),

@@ -359,6 +359,14 @@ def _round_checkpoint(df: DataFrame) -> DataFrame:
     the swap the 100 TB deployment makes.  Certified by
     tools/soak_exec_kill.py: a SIGKILLed executor mid-propagation
     under local-cluster completes with bit-identical labels.
+
+    ``Dataset.checkpoint(eager=True)`` runs TWO jobs over the plan —
+    the eager materializing count, then ``ReliableRDDCheckpointData``
+    re-running the lineage to write the checkpoint files — so the
+    round is persisted first: the second job then reads cached blocks
+    instead of recomputing, and the reliable path pays write I/O, not
+    double compute.  (Cache loss between the two jobs only costs a
+    recompute, never correctness.)
     """
     spark = df.sparkSession
     if str(spark.conf.get(RELIABLE_CKPT_CONF, "false")).lower() == "true":
@@ -370,7 +378,11 @@ def _round_checkpoint(df: DataFrame) -> DataFrame:
                 "spark.sparkContext.setCheckpointDir(<fault-tolerant "
                 "path>) before running iterative operators"
             )
-        return df.checkpoint(eager=True)
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 

@@ -66,7 +66,13 @@ _PII_COUNT_SQL = ",\n       ".join(
 
 _PII_SCRUB_SQL = "t"
 for _, _pat, _tok in cu.PII_PATTERNS:
-    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
+    # Replacement templates are stored in Java `$n` group syntax;
+    # DuckDB's RE2 rewrite wants `\n` (single backslash — DuckDB
+    # regular string literals do not process escapes).
+    _rewrite = _tok.replace("$", "\\")
+    _PII_SCRUB_SQL = (
+        f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_rewrite}', 'g')"
+    )
 
 _PII_ORACLE = f"""
 WITH pii AS (

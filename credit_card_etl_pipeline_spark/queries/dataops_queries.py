@@ -1620,7 +1620,16 @@ _TWO_LEVEL_ORACLE = (
 # n = |embeddings| + |injected dups| compared against the SAME flip
 # constant (read from sim.SEMANTIC_FLIP_AT at module load, so the two
 # selectors cannot drift), and each branch emits its own specialist
-# oracle's verdicts.  Exactly one branch produces rows at any n.
+# oracle's verdicts.  Exactly one branch produces ROWS at any n —
+# but DuckDB does not prune the other branch at PLAN time (the guard
+# is an uncorrelated scalar subquery, evaluated during execution), so
+# every certification run pays for BOTH specialist oracles, roughly
+# doubling this query's oracle cost at all scales.  Accepted: the
+# driver contract requires oracle_sql() to return a static SQL string
+# (no run-time n-substitution is possible for the authoritative
+# gate), certification runs at sf ≤ 1 where the doubled cost is
+# seconds, and a selector-drift bug hiding in the unpicked branch
+# would surface the moment a corpus crosses the flip.
 _AUTO_N_SQL = (
     "(SELECT count(*) + count(*) FILTER (WHERE vec_id % 10 = 0) "
     "FROM embeddings)"

@@ -33,6 +33,21 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session")
+def session_ckpt_dir(spark, tmp_path_factory):
+    """Session-scoped checkpoint dir for the shared SparkSession.
+
+    Any test exercising the reliable-checkpoint path must use THIS
+    fixture (never sc.setCheckpointDir on a function-scoped tmp_path,
+    which leaks a soon-deleted dir into every later test).  The
+    missing-dir refusal is asserted in a fresh subprocess session
+    (test_reliable_checkpoint_requires_dir_fresh_session), so pinning
+    the dir here does not shadow that branch."""
+    d = str(tmp_path_factory.mktemp("reliable_ckpt"))
+    spark.sparkContext.setCheckpointDir(d)
+    return d
+
+
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -974,11 +974,14 @@ def test_within_group_dup_ids_matches_bruteforce(spark):
     assert want  # the planted copies must actually be found
 
 
-def test_reliable_checkpoint_conf_gate(spark, tmp_path):
+def test_reliable_checkpoint_conf_gate(spark, session_ckpt_dir):
     """spark.graft.reliableCheckpoint=true switches the distributed
     propagation loop's round checkpoints to checkpoint-dir storage
-    (executor-loss safe; SIGKILL-certified by tools/soak_exec_kill.py)
-    and refuses to run without a checkpoint dir."""
+    (executor-loss safe; SIGKILL-certified by tools/soak_exec_kill.py).
+    Uses the SESSION-scoped checkpoint dir (conftest) so this test
+    neither depends on nor perturbs checkpoint state for the rest of
+    the run; the missing-dir refusal is covered order-independently by
+    test_reliable_checkpoint_requires_dir_fresh_session."""
     import os
 
     from credit_card_etl_pipeline_spark.dataops import dedup
@@ -990,16 +993,8 @@ def test_reliable_checkpoint_conf_gate(spark, tmp_path):
         [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
     )
     want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
-    sc = spark.sparkContext
     spark.conf.set(dedup.RELIABLE_CKPT_CONF, "true")
     try:
-        if sc.getCheckpointDir() is None:
-            with pytest.raises(RuntimeError, match="checkpoint"):
-                dedup.connected_components(
-                    vertices, edges, driver_edge_cap=None
-                )
-        ckpt = str(tmp_path / "reliable_ckpt")
-        sc.setCheckpointDir(ckpt)
         out = {
             r["doc_id"]: r["component"]
             for r in dedup.connected_components(
@@ -1008,9 +1003,51 @@ def test_reliable_checkpoint_conf_gate(spark, tmp_path):
         }
         assert out == want
         # reliable checkpoints actually landed on disk
-        assert any(files for _, _, files in os.walk(ckpt))
+        assert any(files for _, _, files in os.walk(session_ckpt_dir))
     finally:
         spark.conf.set(dedup.RELIABLE_CKPT_CONF, "false")
+
+
+def test_reliable_checkpoint_requires_dir_fresh_session():
+    """The missing-checkpoint-dir refusal, asserted UNCONDITIONALLY in
+    a fresh subprocess SparkSession (the shared test session has a
+    checkpoint dir pinned by conftest, so the raise branch can never
+    execute there — previously this made the assertion order-
+    dependent)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import pytest
+        from credit_card_etl_pipeline_spark.dataops import dedup
+        from credit_card_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="ckpt_gate", master="local[1]", shuffle_partitions=1
+        )
+        assert spark.sparkContext.getCheckpointDir() is None
+        spark.conf.set(dedup.RELIABLE_CKPT_CONF, "true")
+        vertices = spark.createDataFrame([(0,), (1,)], "doc_id long")
+        edges = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+        try:
+            dedup.connected_components(vertices, edges, driver_edge_cap=None)
+        except RuntimeError as e:
+            assert "checkpoint" in str(e), e
+            print("RAISED_OK")
+        else:
+            raise SystemExit("reliable path ran without a checkpoint dir")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RAISED_OK" in proc.stdout
 
 
 def test_sanitize_unicode_contract(spark):
