@@ -35,6 +35,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Idle-host wall seconds for one _canary_seconds() pass (best-of-3),
+#: measured 2026-08-16 on the 32-core driver box (pin again if the
+#: hardware or Spark version changes; see BENCH_HISTORY.md r11).  The
+#: canary is corpus-independent, so canary_wall / THIS = pure ambient
+#: machine-state ratio — the r9/r10 bench swings (42 GB /tmp spill dir
+#: evicting the page cache, concurrent Spark jobs) both spent a round
+#: of attribution effort that this number now answers at capture time.
+CANARY_IDLE_BASELINE_S = 1.9
+
+#: round_close refuses to stamp a bench-of-record whose canary ratio
+#: exceeds this (1.15 = the VERDICT r10 ask #8 threshold).
+CANARY_WARN_RATIO = 1.15
+
+
+def _canary_seconds(spark) -> float:
+    """One pass of the fixed ambient-load canary: three deterministic
+    JVM-only workloads (whole-stage-codegen arithmetic aggregate, a
+    hash-shuffle groupBy, a range-partitioned sort) over spark.range —
+    no corpus I/O, no Python, no caches — so its wall time moves ONLY
+    with machine state, never with engine or data changes."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).select(
+        F.sum((F.col("id") * 2654435761) % 1000003).alias("s")
+    ).write.mode("overwrite").format("noop").save()
+    spark.range(0, 20_000_000, 1, 32).groupBy(
+        (F.col("id") % 100000).alias("k")
+    ).agg(F.count(F.lit(1)).alias("c")).select(
+        F.sum("c").alias("n"), F.max("k").alias("mk")
+    ).write.mode("overwrite").format("noop").save()
+    spark.range(0, 10_000_000, 1, 32).orderBy(
+        F.hash("id")
+    ).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def _canary_best_of(spark, n: int = 3) -> float:
+    return round(min(_canary_seconds(spark) for _ in range(n)), 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -57,6 +98,14 @@ def main() -> int:
     # plan, not first-run initialization.
     warm = next(iter(queries.values()))
     warm(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # Ambient-load canary, PRE-sweep (post-sweep twin below): fixed
+    # JVM-only work whose idle-host cost is pinned, so
+    # canary/baseline > 1 quantifies ambient contamination (page-cache
+    # eviction, competing jobs) machine-checkably at capture time.
+    _canary_seconds(spark)  # warm the canary's own codegen once
+    canary_pre = _canary_best_of(spark)
+    print(f'BENCHQ {{"q": "__canary_pre", "sec": {canary_pre}}}', flush=True)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
@@ -82,6 +131,14 @@ def main() -> int:
             print(f'BENCHQ {{"q": "{name}", "sec": {timings[name]}}}', flush=True)
         else:
             print(f'BENCHQ {{"q": "{name}", "err": true}}', flush=True)
+
+    canary_post = _canary_best_of(spark)
+    print(
+        f'BENCHQ {{"q": "__canary_post", "sec": {canary_post}}}', flush=True
+    )
+    canary_ratio = round(
+        max(canary_pre, canary_post) / CANARY_IDLE_BASELINE_S, 3
+    )
 
     import pyspark
 
@@ -111,7 +168,26 @@ def main() -> int:
             "loadavg": loadavg_start,
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
+        # pre/post fixed canary (VERDICT r10 ask #8): corpus-independent
+        # JVM-only work timed before and after the sweep.  ratio_vs_idle
+        # compares the WORSE of the two against the pinned idle-host
+        # baseline; pre/post disagreement localizes contamination that
+        # arrived mid-sweep.  round_close warns above CANARY_WARN_RATIO.
+        "canary": {
+            "pre_s": canary_pre,
+            "post_s": canary_post,
+            "idle_baseline_s": CANARY_IDLE_BASELINE_S,
+            "ratio_vs_idle": canary_ratio,
+            "warn_ratio": CANARY_WARN_RATIO,
+        },
     }
+    if canary_ratio > CANARY_WARN_RATIO:
+        result["canary_warning"] = (
+            f"ambient canary ratio {canary_ratio} > {CANARY_WARN_RATIO} "
+            f"(pre {canary_pre}s / post {canary_post}s vs idle baseline "
+            f"{CANARY_IDLE_BASELINE_S}s): machine state is inflating "
+            "timings - not a bench of record"
+        )
     # A bench started on a busy host is not a bench of record: r07's
     # driver run started at loadavg 14.5 and read ~15% slow across the
     # board.  Flag it machine-checkably (tools/round_close.py refuses

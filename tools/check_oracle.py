@@ -11,12 +11,18 @@ comparison (exact after canonicalization).  Use before committing:
 
 ``--changed-only`` fingerprints each query (md5 of the query function's
 source + its oracle SQL + the md5 of the module file defining it + the
-sf dir) and skips entries whose fingerprint already has a recorded PASS
+md5s of every ENGINE MODULE that module transitively imports + the sf
+dir) and skips entries whose fingerprint already has a recorded PASS
 in ``tools/.oracle_check_state.json``; the state updates on every PASS,
-in both modes.  Caveat: the fingerprint sees the query module, not the
-transitive library modules it calls — after editing an operator library
-(dataops/, operators/, functions/) name the affected queries explicitly
-or run the full sweep (round close runs the full sweep regardless).
+in both modes.  The transitive-import digest (static ast walk, VERDICT
+r10 ask #5) closes the hole where editing an operator library
+(dataops/, operators/, functions/) left query-module fingerprints
+unchanged and silently skipped re-verification in local iteration.
+
+``--json-out`` artifacts carry a ``__meta__`` provenance header
+(master, sf, loadavg, wall, env — VERDICT r10 ask #3) so the
+certification axis that produced a sweep is verifiable from the
+artifact alone; tools/artifact_parity.py asserts its presence.
 """
 
 from __future__ import annotations
@@ -63,6 +69,118 @@ STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".oracle_check_state.json")
 
 
+_ENGINE_PKG = "credit_card_etl_pipeline_spark"
+_DEPS_DIGEST_CACHE: dict[str, str] = {}
+
+
+def _resolve_module_file(root: str, dotted: str) -> str | None:
+    """Dotted module name -> file path under ``root`` (the directory
+    CONTAINING the package), or None if it is not a module/package."""
+    parts = dotted.split(".")
+    as_mod = os.path.join(root, *parts) + ".py"
+    if os.path.isfile(as_mod):
+        return as_mod
+    as_pkg = os.path.join(root, *parts, "__init__.py")
+    if os.path.isfile(as_pkg):
+        return as_pkg
+    return None
+
+
+def _module_imports(
+    mod_file: str, dotted: str, root: str, pkg: str
+) -> set[str]:
+    """Statically parse ``mod_file`` and return the dotted names of
+    every ``pkg``-internal module it imports (absolute or relative).
+    ``from X import name`` also probes ``X.name`` as a submodule so
+    ``from . import curate_queries`` resolves."""
+    import ast
+
+    try:
+        with open(mod_file, "rb") as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return set()
+    is_pkg = os.path.basename(mod_file) == "__init__.py"
+    # package context for relative imports: the module's own package
+    pkg_parts = dotted.split(".") if is_pkg else dotted.split(".")[:-1]
+    found: set[str] = set()
+
+    def probe(base: str, names) -> None:
+        if base and (base == pkg or base.startswith(pkg + ".")):
+            if _resolve_module_file(root, base):
+                found.add(base)
+        for alias in names or []:
+            cand = f"{base}.{alias.name}" if base else alias.name
+            if cand == pkg or cand.startswith(pkg + "."):
+                if _resolve_module_file(root, cand):
+                    found.add(cand)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            probe("", node.names)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                probe(node.module or "", node.names)
+            else:
+                anchor = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                base = ".".join(anchor + ([node.module] if node.module else []))
+                probe(base, node.names)
+    return found
+
+
+def _engine_deps_digest(
+    mod_file: str, root: str | None = None, pkg: str = _ENGINE_PKG
+) -> str:
+    """md5 over the BYTES of every ``pkg`` module the given module file
+    transitively imports (static ast walk; VERDICT r10 ask #5).  An
+    edit to any operator library a query depends on — dataops/,
+    operators/, functions/, plans/, streaming/, session.py — now
+    invalidates that query's --changed-only fingerprint, so local
+    iteration can no longer silently skip re-verification.  Importing
+    a submodule also executes its ancestor ``__init__`` chain, so
+    those files join the closure."""
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache_key = f"{root}\x00{pkg}\x00{mod_file}"
+    hit = _DEPS_DIGEST_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    # seed: the module's own dotted name
+    rel = os.path.relpath(mod_file, root)
+    parts = rel[:-3].split(os.sep)  # strip .py
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    seen: dict[str, str] = {}
+    frontier = [(".".join(parts), mod_file)]
+    while frontier:
+        dotted, path = frontier.pop()
+        if dotted in seen:
+            continue
+        try:
+            with open(path, "rb") as fh:
+                seen[dotted] = hashlib.md5(fh.read()).hexdigest()
+        except OSError:
+            seen[dotted] = "<unreadable>"
+            continue
+        deps = set(_module_imports(path, dotted, root, pkg))
+        # ancestor __init__ chain of every dep (package import side
+        # effects are part of the behavior the fingerprint must see)
+        for d in list(deps):
+            segs = d.split(".")
+            for i in range(1, len(segs)):
+                deps.add(".".join(segs[:i]))
+        for d in deps:
+            if d not in seen:
+                f = _resolve_module_file(root, d)
+                if f:
+                    frontier.append((d, f))
+    digest = hashlib.md5(
+        "\n".join(f"{k}:{v}" for k, v in sorted(seen.items())).encode()
+    ).hexdigest()
+    _DEPS_DIGEST_CACHE[cache_key] = digest
+    return digest
+
+
 def _fingerprint(fn, oracle: str | None, sf: str) -> str:
     import inspect
 
@@ -78,6 +196,8 @@ def _fingerprint(fn, oracle: str | None, sf: str) -> str:
         mod_file = inspect.getfile(fn)
         with open(mod_file, "rb") as fh:
             parts.append(hashlib.md5(fh.read()).hexdigest())
+        # transitive engine-library closure (VERDICT r10 ask #5)
+        parts.append(_engine_deps_digest(mod_file))
     except (OSError, TypeError):
         parts.append(repr(time.time()))  # unhashable source: never skip
     return hashlib.md5("\x00".join(parts).encode()).hexdigest()
@@ -111,6 +231,8 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from credit_card_etl_pipeline_spark.session import get_spark
 
+    t_sweep0 = time.time()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     # An in-memory DuckDB connection has NO temp directory, so a big
@@ -245,8 +367,37 @@ def main() -> int:
             state[name] = fps[name]
             print(f"PASS  {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
     if args.json_out:
+        import platform
+
+        import pyspark
+
+        # Provenance header (VERDICT r10 ask #3): without it, a sweep
+        # run under local-cluster[2,8,3072] is indistinguishable from a
+        # local[32] sweep by inspecting the artifact — the judge had to
+        # re-run queries to verify the multi-executor axis was real.
+        # artifact_parity.py asserts this block's presence on current-
+        # round CORRECTNESS artifacts.
+        out_doc = {
+            "__meta__": {
+                "tool": "tools/check_oracle.py",
+                "argv": sys.argv[1:],
+                "master": spark.sparkContext.master,
+                "sf": args.sf,
+                "loadavg": loadavg_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "wall_s": round(time.time() - t_sweep0, 1),
+                "generated_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "pyspark": pyspark.__version__,
+                "python": platform.python_version(),
+                "env_master": os.environ.get("SPARK_GRAFT_MASTER"),
+                "n_queries": len(record),
+            },
+            **record,
+        }
         with open(args.json_out, "w") as fh:
-            json.dump(record, fh, indent=1)
+            json.dump(out_doc, fh, indent=1)
         print(f"wrote {args.json_out} ({len(record)} queries)")
     try:
         with open(STATE_PATH, "w") as fh:

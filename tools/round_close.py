@@ -111,6 +111,21 @@ def main() -> int:
             print(f"FAIL  bench-of-record  {rec['loaded_host_warning']}")
             results["bench"] = False
         else:
+            # Ambient canary (VERDICT r10 ask #8): bench.py timed a
+            # fixed corpus-independent JVM workload pre/post sweep; a
+            # ratio over the pinned idle baseline means machine state
+            # (page cache, background IO) inflated the numbers even
+            # though loadavg looked clean.  Warn loudly at capture time
+            # — the flag ships inside the stamped record either way.
+            if rec.get("canary_warning"):
+                print(f"WARN  bench-canary  {rec['canary_warning']}")
+            else:
+                c = rec.get("canary", {})
+                print(
+                    "PASS  bench-canary  ratio_vs_idle="
+                    f"{c.get('ratio_vs_idle')} (pre {c.get('pre_s')}s / "
+                    f"post {c.get('post_s')}s)"
+                )
             # Stamp the idle-host bench as this round's COMMITTED record
             # (VERDICT r9 ask #7): BENCH_FULL.json gets overwritten by
             # loaded-host driver runs, so the per-query + loadavg

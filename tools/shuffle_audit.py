@@ -117,7 +117,21 @@ def main() -> int:
         "compute shuffle-bytes exponents between two of them "
         "(VERDICT r8 ask #4)",
     )
+    ap.add_argument(
+        "--exclude",
+        default=None,
+        help="comma-separated name=reason pairs to skip AND record "
+        "in-file as excluded_other, so a scale audit's query set ∪ "
+        "exclusions still equals the registry (VERDICT r10 ask #4 — "
+        "SHUFFLE_AUDIT_SF1.json shipped 197 queries with the "
+        "exclusion list living only in a commit message)",
+    )
     args = ap.parse_args()
+    excluded_other: dict[str, str] = {}
+    for pair in (args.exclude or "").split(","):
+        if pair.strip():
+            n, _, why = pair.partition("=")
+            excluded_other[n.strip()] = why.strip() or "excluded"
 
     log_dir = tempfile.mkdtemp(prefix="sg_eventlog_")
     # Disable queries.load's single-row-group spread guard: with it on,
@@ -148,7 +162,15 @@ def main() -> int:
     # artifact's query set ∪ exclusions always equals the registry
     # (tools/artifact_parity.py enforces this at round close).
     excluded_streaming = sorted(n for n in names if n.startswith("stream_"))
-    names = [n for n in names if not n.startswith("stream_")]
+    names = [
+        n
+        for n in names
+        if not n.startswith("stream_") and n not in excluded_other
+    ]
+
+    t_sweep0 = time.time()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    master_used = sc.master
 
     errors: dict[str, str] = {}
     wall: dict[str, float] = {}
@@ -216,11 +238,35 @@ def main() -> int:
         if m.get("shuffle_write_bytes", 0) == 0
         and m.get("shuffle_read_bytes", 0) == 0
     )
+    import platform
+
+    import pyspark
+
     summary = {
+        # provenance header (VERDICT r10 ask #3): the certification
+        # axis (master, host state, wall) must be verifiable from the
+        # artifact alone; master_used is captured from the LIVE context
+        # before spark.stop() below would lose it
+        "__meta__": {
+            "tool": "tools/shuffle_audit.py",
+            "argv": sys.argv[1:],
+            "master": master_used,
+            "sf": args.sf,
+            "loadavg": loadavg_start,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "wall_s": round(time.time() - t_sweep0, 1),
+            "generated_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "pyspark": pyspark.__version__,
+            "python": platform.python_version(),
+            "env_master": os.environ.get("SPARK_GRAFT_MASTER"),
+        },
         "sf": args.sf,
         "n_queries": len(queries_out),
         "errors": errors,
         "excluded_streaming": excluded_streaming,
+        "excluded_other": excluded_other,
         "zero_shuffle_queries": zero_shuffle,
         "totals": {
             k: sum(m.get(k, 0) for m in queries_out.values())
