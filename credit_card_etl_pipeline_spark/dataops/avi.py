@@ -103,23 +103,51 @@ def encode_avi_mjpeg(
 
 
 def _walk(data: bytes, off: int, end: int):
-    """Yield (fourcc, body_start, body_size) for sibling chunks."""
+    """Yield (fourcc, body_start, body_size) for sibling chunks.  A
+    chunk whose declared size runs past ``end`` is a truncated or
+    corrupt stream — raise, never silently clamp (a clamped frame
+    list read as a successful decode before r11)."""
     while off + 8 <= end:
         cid = data[off : off + 4]
         size = struct.unpack_from("<I", data, off + 4)[0]
-        yield cid, off + 8, min(size, end - off - 8)
+        if off + 8 + size > end:
+            raise ValueError(
+                f"truncated AVI chunk {cid!r} (declares {size} bytes "
+                f"past container end)"
+            )
+        yield cid, off + 8, size
         off += 8 + size + (size & 1)
 
 
 def decode_avi(data: bytes) -> tuple[int, int, list[bytes]]:
     """→ (width, height, [jpeg_frame_bytes]) for a baseline MJPEG AVI.
 
-    Walks the RIFF tree tolerantly (unknown chunks skipped), reads the
-    frame dimensions from the stream-format BITMAPINFOHEADER, and
+    Walks the RIFF tree tolerantly (unknown chunk TYPES skipped), reads
+    the frame dimensions from the stream-format BITMAPINFOHEADER, and
     collects every video frame chunk (``..dc``/``..db``) from the
-    ``movi`` list, descending into ``rec `` groups."""
+    ``movi`` list, descending into ``rec `` groups.
+
+    Corrupt-input contract (certified by tests/test_codec_hostile.py):
+    zero-length / wrong-magic / truncated / bit-flipped streams raise
+    ``ValueError``; non-MJPG compression raises ``NotImplementedError``;
+    no other exception type escapes."""
+    try:
+        return _decode_avi(data)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt AVI stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_avi(data: bytes) -> tuple[int, int, list[bytes]]:
     if data[:4] != AVI_MAGIC or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
+    declared = struct.unpack_from("<I", data, 4)[0]
+    if 8 + declared > len(data):
+        raise ValueError(
+            f"truncated AVI (RIFF declares {declared} bytes, "
+            f"stream has {len(data) - 8})"
+        )
     width = height = 0
     compression = b""
     frames: list[bytes] = []

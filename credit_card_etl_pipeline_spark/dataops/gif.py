@@ -24,7 +24,12 @@ GIF_MAGICS = (b"GIF87a", b"GIF89a")
 # LZW (GIF variant)
 # ------------------------------------------------------------------
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
+    """``max_out`` caps the decoded size (LZW expands up to O(n²) of
+    the input on crafted streams — a corrupt frame must raise, not
+    wedge the task)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
@@ -59,6 +64,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
                 raise ValueError("corrupt LZW stream (code gap)")
             out += entry
             prev = entry
+            if max_out is not None and len(out) > max_out:
+                raise ValueError(
+                    f"LZW output exceeds frame size {max_out} "
+                    "(corrupt GIF frame)"
+                )
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
     return bytes(out)
@@ -157,10 +167,31 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
     """All composited frames of a GIF as (width, height, luminance
     bytes) over the full logical screen.  Disposal methods 0/1 (leave),
     2 (restore background), 3 (restore previous) and per-frame
-    transparency are honoured."""
+    transparency are honoured.
+
+    Corrupt-input contract (certified by tests/test_codec_hostile.py):
+    zero-length / wrong-magic / truncated (no 0x3B trailer) /
+    bit-flipped streams raise ``ValueError``; no other exception type
+    escapes; allocations are capped by a dimension sanity check."""
+    try:
+        return _decode_gif_frames(data)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt GIF stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     width, height = struct.unpack("<HH", data[6:10])
+    if not (0 < width * height <= 1 << 26):
+        raise ValueError(
+            f"implausible GIF dimensions {width}x{height} "
+            "(corrupt header?)"
+        )
     packed = data[10]
     bg_index = data[11]
     pos = 13
@@ -176,10 +207,12 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
     disposal = 0
     prev_canvas: bytes | None = None
 
+    saw_trailer = False
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension
             label = data[pos]
@@ -193,6 +226,11 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
         if block != 0x2C:  # image descriptor expected
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         fx, fy, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        if fw * fh > 1 << 26:
+            raise ValueError(
+                f"implausible GIF frame dimensions {fw}x{fh} "
+                "(corrupt descriptor?)"
+            )
         fpacked = data[pos + 8]
         pos += 9
         lct = gct
@@ -204,7 +242,7 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
         min_code = data[pos]
         pos += 1
         lzw, pos = _sub_blocks(data, pos)
-        indices = _lzw_decode(lzw, min_code)
+        indices = _lzw_decode(lzw, min_code, max_out=fw * fh)
         if len(indices) < fw * fh:
             indices = indices + bytes(fw * fh - len(indices))
         rows = [indices[r * fw : (r + 1) * fw] for r in range(fh)]
@@ -238,6 +276,10 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
             canvas = bytearray(prev_canvas)
         disposal = 0
         transparent = None
+    if not saw_trailer:
+        # a partial frame list from a cut stream must not read as a
+        # successful decode
+        raise ValueError("truncated GIF stream (no 0x3B trailer)")
     return frames
 
 

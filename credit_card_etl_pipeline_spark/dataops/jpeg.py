@@ -452,7 +452,24 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     LUMINANCE plane (the Y component IS gray for JFIF YCbCr; chroma
     blocks are entropy-decoded to keep the bit stream in sync, then
     discarded without the IDCT).  Progressive / arithmetic / 12-bit
-    streams raise ``NotImplementedError``."""
+    streams raise ``NotImplementedError``.
+
+    Corrupt-input contract (certified by tests/test_codec_hostile.py):
+    zero-length / wrong-magic / truncated / bit-flipped streams raise
+    ``ValueError``; valid-but-unsupported profiles raise
+    ``NotImplementedError``; no other exception type escapes, and the
+    output allocation is capped by an SOF dimension sanity check."""
+    try:
+        return _decode_jpeg_gray(data)
+    except (struct.error, IndexError, OverflowError, KeyError) as e:
+        # KeyError: a bit-flipped table id missing from qtables /
+        # huffman decode dicts
+        raise ValueError(
+            f"corrupt JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -473,6 +490,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2:  # pos += 0/1 would re-read the same marker forever
+            raise ValueError(f"bad JPEG segment length {seglen} at {pos}")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
             p = 0
@@ -502,6 +521,11 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             precision = body[0]
             height, width = struct.unpack(">HH", body[1:5])
+            if not (0 < width * height <= 1 << 26):
+                raise ValueError(
+                    f"implausible JPEG dimensions {width}x{height} "
+                    "(corrupt SOF?)"
+                )
             ncomp = body[5]
             if precision != 8:
                 raise NotImplementedError("non-8-bit precision")
@@ -536,6 +560,12 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 tsel = body[2 + si * 2]
                 scan_tabs[cs] = (tsel >> 4, tsel & 0x0F)
             pos += seglen
+            # entropy data byte-stuffs 0xFF (as FF 00 / RSTn), so a
+            # raw FF D9 after SOS can only be the EOI; its absence
+            # means the stream was cut mid-scan and a complete-looking
+            # MCU walk must not read as success
+            if b"\xff\xd9" not in data[pos:]:
+                raise ValueError("truncated JPEG stream (no EOI)")
             return _decode_scan_interleaved(
                 data,
                 pos,

@@ -28,16 +28,58 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 #: channels per color type (PNG spec 4.1.1)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: corrupt-header allocation guard: a forged IHDR (or a zlib bomb
+#: behind one) must fail loudly, not wedge the task in a multi-GB
+#: bytearray.  2^26 pixels (64 MP) is far beyond any fixture this
+#: engine decodes; raise, never allocate, past it.
+MAX_PIXELS = 1 << 26
+MAX_SIDE = 1 << 15
+
+
+def _check_dims(width: int, height: int, kind: str = "PNG") -> None:
+    if not (
+        0 < width <= MAX_SIDE
+        and 0 < height <= MAX_SIDE
+        and width * height <= MAX_PIXELS
+    ):
+        raise ValueError(
+            f"implausible {kind} dimensions {width}x{height} "
+            f"(corrupt header?)"
+        )
+
+
+def _bounded_inflate(z: bytes, expect: int) -> bytes:
+    """zlib inflate capped at the header-derived expected size: a
+    compression bomb behind a small forged IHDR raises instead of
+    allocating unbounded output."""
+    d = zlib.decompressobj()
+    raw = d.decompress(z, expect + 1)
+    if len(raw) > expect or d.unconsumed_tail:
+        raise ValueError(
+            f"PNG pixel data exceeds expected {expect} bytes "
+            "(corrupt header or compression bomb)"
+        )
+    return raw
+
 
 def _chunks(data: bytes):
     off = 8
+    saw_iend = False
     while off + 8 <= len(data):
         length = struct.unpack_from(">I", data, off)[0]
         ctype = data[off + 4 : off + 8]
+        if off + 12 + length > len(data):  # payload + 4-byte CRC
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r} (declares {length} "
+                f"bytes + CRC past end of stream)"
+            )
         yield ctype, data[off + 8 : off + 8 + length]
         off += 12 + length  # length + type + payload + crc
         if ctype == b"IEND":
+            saw_iend = True
             return
+    if not saw_iend:
+        raise ValueError("truncated PNG stream (no IEND chunk)")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -87,7 +129,22 @@ def _unfilter(
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, pixels) — pixels are row-major
-    interleaved samples; palette images are expanded to RGB."""
+    interleaved samples; palette images are expanded to RGB.
+
+    Corrupt-input contract (certified by tests/test_codec_hostile.py):
+    zero-length / wrong-magic / truncated / bit-flipped streams raise
+    ``ValueError``; valid-but-unsupported profiles raise
+    ``NotImplementedError``.  No other exception type escapes, and no
+    allocation is driven by unvalidated header fields."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt PNG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     width = height = 0
@@ -103,15 +160,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             palette = payload
         elif ctype == b"IDAT":
             idat += payload
+    if width == 0 and height == 0 and depth == 0:
+        raise ValueError("PNG has no IHDR chunk")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
     if interlace:
         raise NotImplementedError("interlaced (Adam7) PNG")
     if color not in _CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    _check_dims(width, height)
     bpp = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
     expect = height * (width * bpp + 1)
+    raw = _bounded_inflate(bytes(idat), expect)
     if len(raw) != expect:
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected {expect}"
@@ -232,7 +292,16 @@ def encode_png(
 def decode_apng_frames(data: bytes) -> list[tuple[int, int, int, bytes]]:
     """Decode every frame of an APNG → list of (width, height,
     channels, pixels).  A plain (non-animated) PNG decodes as one
-    frame."""
+    frame.  Same corrupt-input contract as :func:`decode_png`."""
+    try:
+        return _decode_apng_frames(data)
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt APNG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_apng_frames(data: bytes) -> list[tuple[int, int, int, bytes]]:
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     width = height = depth = color = interlace = 0
@@ -269,14 +338,22 @@ def decode_apng_frames(data: bytes) -> list[tuple[int, int, int, bytes]]:
     if depth != 8 or interlace:
         raise NotImplementedError("APNG frames must be 8-bit, no interlace")
     if not has_actl or not frames_data:
-        w, h, ch, px = decode_png(data)
+        w, h, ch, px = _decode_png(data)
         return [(w, h, ch, px)]
+    if color not in _CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    _check_dims(width, height, "APNG")
     bpp = _CHANNELS[color]
+    expect = height * (width * bpp + 1)
     out = []
     for raw in frames_data:
-        samples = _unfilter(
-            zlib.decompress(bytes(raw)), width, height, bpp
-        )
+        inflated = _bounded_inflate(bytes(raw), expect)
+        if len(inflated) != expect:
+            raise ValueError(
+                f"APNG frame data length {len(inflated)} != "
+                f"expected {expect}"
+            )
+        samples = _unfilter(inflated, width, height, bpp)
         out.append((width, height, bpp, bytes(samples)))
     return out
 

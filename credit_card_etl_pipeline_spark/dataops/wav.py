@@ -20,16 +20,42 @@ WAV_MAGIC = b"RIFF"
 
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """→ (sample_rate, n_channels, interleaved integer samples)."""
+    """→ (sample_rate, n_channels, interleaved integer samples).
+
+    Corrupt-input contract (certified by tests/test_codec_hostile.py):
+    zero-length / wrong-magic / truncated / bit-flipped streams raise
+    ``ValueError``; non-PCM formats and unsupported bit depths raise
+    ``NotImplementedError``; no other exception type escapes."""
+    try:
+        return _decode_wav(data)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt WAV stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     if data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    declared = struct.unpack_from("<I", data, 4)[0]
+    if 8 + declared > len(data):
+        raise ValueError(
+            f"truncated WAV (RIFF declares {declared} bytes, "
+            f"stream has {len(data) - 8})"
+        )
     off = 12
     fmt = None
+    saw_data = False
     samples: list[int] = []
     rate = channels = bits = 0
     while off + 8 <= len(data):
         cid = data[off : off + 4]
         size = struct.unpack_from("<I", data, off + 4)[0]
+        if off + 8 + size > len(data):
+            raise ValueError(
+                f"truncated WAV chunk {cid!r} (declares {size} bytes "
+                "past end of stream)"
+            )
         body = data[off + 8 : off + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -43,6 +69,7 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
+            saw_data = True
             if bits == 8:  # unsigned
                 samples = [b - 128 for b in body]
             elif bits == 16:
@@ -56,6 +83,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         off += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None:
         raise ValueError("WAV file has no fmt chunk")
+    if not saw_data:
+        raise ValueError("WAV file has no data chunk (truncated?)")
     return rate, channels, samples
 
 

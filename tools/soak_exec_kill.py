@@ -20,10 +20,26 @@ SIGKILLs one CoarseGrainedExecutorBackend while the loop is running:
   block lived on the victim — the artifact records what happened).
 
     python tools/soak_exec_kill.py [--n 2000000] [--chain-len 16]
+                                   [--queries-sf .scale/sf1]
                                    [--out SOAK_EXECKILL.json]
 
-Writes one JSON artifact and exits non-zero unless the reliable run
-survived the kill with correct labels.
+Beyond connected components, the soak also kills an executor under
+(VERDICT r10 ask #2):
+
+* ``tpch_q21_sole_late_supplier`` — the shuffle-heaviest batch query
+  (4 lineitem scans, 3 joins, 2 aggregates): the victim's shuffle
+  files die with it, so completion exercises FetchFailed → stage
+  resubmission → lineage recompute, and the result hash must equal
+  the no-kill baseline run bit-for-bit;
+* ``stream_foreachbatch_upsert`` — a real micro-batch stream (one
+  file per trigger) merging per-batch aggregates into the versioned
+  upsert sink: the kill lands mid-drain, failed tasks re-run, and
+  EXACTLY-ONCE is verified by hashing the final state table against
+  both the no-kill streaming baseline and the plain batch aggregate.
+
+Writes one JSON artifact and exits non-zero unless every kill row
+completed with matching hashes (and the kill actually landed while
+the run was in flight).
 """
 
 from __future__ import annotations
@@ -39,6 +55,19 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def df_hash(df) -> tuple[str, int]:
+    """Order-insensitive value hash of a DataFrame (same
+    canonicalization as tools/check_oracle.py, so 'bit-identical'
+    here means exactly what the oracle gate means by it)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check_oracle import frame_digest
+
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    h, _ = frame_digest(cols, rows)
+    return h, len(rows)
 
 
 def executor_pids(app_id: str) -> list[int]:
@@ -60,6 +89,9 @@ def main() -> int:
     ap.add_argument("--master", default="local-cluster[2,4,2048]")
     ap.add_argument("--kill-frac", type=float, default=0.4,
                     help="kill at this fraction of the dry-run wall")
+    ap.add_argument("--queries-sf", default=".scale/sf1",
+                    help="corpus for the batch/streaming kill rows "
+                    "(big enough that the kill lands mid-flight)")
     ap.add_argument("--out", default="SOAK_EXECKILL.json")
     args = ap.parse_args()
 
@@ -119,6 +151,11 @@ def main() -> int:
         "n_vertices": n,
         "chain_len": k,
         "checkpoint_dir": ckpt_dir,
+        "queries_sf": args.queries_sf,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "generated_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
     }
 
     # --- dry run (reliable ckpt, no kill): calibrates the kill delay
@@ -192,10 +229,110 @@ def main() -> int:
     report["control_local_ckpt_with_kill"] = control
     print(json.dumps({"control_local_ckpt_with_kill": control}), flush=True)
 
+    # ============ kill rows for a shuffle-heavy batch query and a ====
+    # ============ real streaming query (VERDICT r10 ask #2) ==========
+    def wait_two_executors():
+        for _ in range(90):
+            if len(executor_pids(app_id)) >= 2:
+                return True
+            time.sleep(1)
+        return False
+
+    def kill_certify(label: str, run_fn) -> dict:
+        """Baseline run (no kill) -> hash; then the same run with an
+        executor SIGKILL at kill_frac of the baseline wall; completed
+        + hash parity + the kill landing mid-flight are the row."""
+        wait_two_executors()
+        t0 = time.perf_counter()
+        base_hash, base_rows = df_hash(run_fn())
+        base_wall = time.perf_counter() - t0
+        row: dict = {
+            "baseline_wall_s": round(base_wall, 2),
+            "baseline_rows": base_rows,
+            "baseline_hash": base_hash,
+        }
+        wait_two_executors()
+        k_rec: dict = {}
+        # the kill run is WARMER than the baseline (page cache, codegen)
+        # so it finishes faster; aim earlier than the CC section's
+        # kill_frac or the kill can land after a fast warm run
+        kt = threading.Thread(
+            target=kill_one_executor,
+            args=(base_wall * min(args.kill_frac, 0.25), k_rec),
+        )
+        t0 = time.perf_counter()
+        kt.start()
+        try:
+            kh, kr = df_hash(run_fn())
+            wall = time.perf_counter() - t0
+            row.update(
+                completed=True,
+                wall_s=round(wall, 2),
+                rows=kr,
+                hash_match=kh == base_hash,
+                kill_landed_mid_flight=(
+                    k_rec.get("kill_at_s") is not None
+                    and wall > k_rec["kill_at_s"]
+                ),
+            )
+        except Exception as exc:  # noqa: BLE001 - recorded, gates exit
+            row.update(
+                completed=False,
+                error=f"{type(exc).__name__}: {exc}"[:400],
+            )
+        kt.join()
+        row.update(k_rec)
+        report[label] = row
+        print(json.dumps({label: row}), flush=True)
+        return row
+
+    from credit_card_etl_pipeline_spark.queries import QUERIES
+
+    qsf = args.queries_sf
+    batch_row = kill_certify(
+        "batch_q21_with_kill",
+        lambda: QUERIES["tpch_q21_sole_late_supplier"](spark, qsf),
+    )
+
+    # exactly-once reference: the plain batch aggregate the streaming
+    # sink must converge to (independent of any streaming machinery)
+    ev = spark.read.parquet(os.path.join(qsf, "events.parquet"))
+    batch_agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    agg_hash, _ = df_hash(batch_agg)
+    stream_row = kill_certify(
+        "stream_upsert_with_kill",
+        lambda: QUERIES["stream_foreachbatch_upsert"](spark, qsf),
+    )
+    stream_row["batch_aggregate_hash"] = agg_hash
+    stream_row["exactly_once_vs_batch"] = (
+        stream_row.get("completed", False)
+        and stream_row.get("baseline_hash") == agg_hash
+        and stream_row.get("hash_match", False)
+    )
+    print(
+        json.dumps(
+            {"stream_exactly_once_vs_batch":
+             stream_row["exactly_once_vs_batch"]}
+        ),
+        flush=True,
+    )
+
     ok = (
         report["dry_run"]["labels_wrong"] == 0
         and reliable.get("labels_correct", False)
         and reliable.get("killed_pid") is not None
+        and batch_row.get("completed", False)
+        and batch_row.get("hash_match", False)
+        and batch_row.get("kill_landed_mid_flight", False)
+        and batch_row.get("killed_pid") is not None
+        and stream_row.get("exactly_once_vs_batch", False)
+        and stream_row.get("kill_landed_mid_flight", False)
+        and stream_row.get("killed_pid") is not None
     )
     report["pass"] = ok
     with open(args.out, "w") as fh:
