@@ -3378,6 +3378,115 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Corrupt-media decode verdicts: the per-cell failure taxonomy of the
+# vendored codecs, certified Spark-side against an oracle (the batch
+# twin of tests/test_codec_hostile.py — a 100 TB media corpus WILL
+# contain truncated/mislabeled blobs, and a pipeline that wedges or
+# silently part-decodes on them loses the batch)
+# ====================================================================
+
+_CORRUPT_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 6
+           WHEN 0 THEN 'ok'
+           WHEN 4 THEN 'unsupported'
+           ELSE 'corrupt'
+       END AS verdict,
+       CASE WHEN doc_id % 6 = 0 THEN CAST(8 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 6 = 0 THEN CAST(8 AS BIGINT) END AS height
+FROM documents
+"""
+
+
+@query("multimodal_corrupt_decode_verdicts", _CORRUPT_DECODE_ORACLE)
+def multimodal_corrupt_decode_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hostile-media certification as a REGISTERED query: per document
+    a PNG blob is synthesized in one of six deterministic corruption
+    classes (valid / truncated / wrong magic / zero-length / valid-
+    but-interlaced / forged 30000² dimensions) and pushed through the
+    production decode path inside Arrow-batched mapInPandas.  The
+    decode's documented contract — ValueError for corrupt bytes,
+    NotImplementedError for unsupported-but-valid profiles, clean
+    (width, height) otherwise — becomes a per-row verdict the DuckDB
+    oracle predicts from doc_id alone.  Any contract drift (a leaked
+    IndexError kills the task; a silent partial decode flips a verdict
+    to 'ok') breaks the hash.  Scale shape: map-only, no shuffle, no
+    driver state; corrupt cells cost one exception, never a task."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..dataops import png as pngc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        interlaced = (
+            pngc.PNG_MAGIC
+            + pngc._chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+            )
+            + pngc._chunk(b"IDAT", zlib.compress(bytes(72)))
+            + pngc._chunk(b"IEND", b"")
+        )
+        forged_dims = (
+            pngc.PNG_MAGIC
+            + pngc._chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 30000, 30000, 8, 0, 0, 0, 0),
+            )
+            + pngc._chunk(b"IDAT", zlib.compress(bytes(72)))
+            + pngc._chunk(b"IEND", b"")
+        )
+        for pdf in batches:
+            ids, verdicts, ws, hs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i64 = int(doc_id)
+                pixels = bytes(
+                    (i64 * 31 + p * 7) % 256 for p in range(64)
+                )
+                valid = pngc.encode_png(8, 8, 1, pixels)
+                blob = {
+                    0: valid,
+                    1: valid[: len(valid) * 3 // 5],  # truncated
+                    2: b"XX" + valid[2:],             # wrong magic
+                    3: b"",                           # zero-length
+                    4: interlaced,                    # unsupported
+                    5: forged_dims,                   # corrupt header
+                }[i64 % 6]
+                try:
+                    w, h, _ch, _px = pngc.decode_png(blob)
+                    verdicts.append("ok")
+                    ws.append(w)
+                    hs.append(h)
+                except NotImplementedError:
+                    verdicts.append("unsupported")
+                    ws.append(None)
+                    hs.append(None)
+                except ValueError:
+                    verdicts.append("corrupt")
+                    ws.append(None)
+                    hs.append(None)
+                ids.append(i64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "verdict": verdicts,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, "doc_id long, verdict string, width long, height long"
+    )
+
+
+# ====================================================================
 # REAL video container: AVI/MJPEG frame sampling (vendored RIFF
 # container + the baseline JPEG codec per frame; lossy inside, so the
 # oracle pins dims + error bound like the JPEG roundtrip)
