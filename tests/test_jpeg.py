@@ -111,13 +111,19 @@ def test_color_420_odd_dims():
     assert len(px) == w * h
 
 
-def test_truncated_stream_decodes_prefix_blocks():
+def test_truncated_stream_raises():
+    """Pre-r11 the decoder tolerantly returned prefix blocks from a
+    cut stream; the corrupt-input contract (VERDICT r10 ask #7,
+    tests/test_codec_hostile.py) makes EVERY truncation loud — a
+    partial decode read as success hides corruption in a media
+    corpus."""
+    import pytest
+
     img = np.full((16, 16), 90, dtype=np.uint8)
     data = encode_jpeg_gray(16, 16, img.tobytes())
     # chop the tail (drop EOI and some entropy bytes)
-    w, h, px = decode_jpeg_gray(data[:-6])
-    assert (w, h) == (16, 16)
-    assert len(px) == 256
+    with pytest.raises(ValueError, match="EOI|corrupt"):
+        decode_jpeg_gray(data[:-6])
 
 
 def test_multimodal_routes_jpeg_magic():

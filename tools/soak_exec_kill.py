@@ -86,7 +86,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--chain-len", type=int, default=16)
-    ap.add_argument("--master", default="local-cluster[2,4,2048]")
+    ap.add_argument(
+        "--master", default="local-cluster[2,4,6144]",
+        help="2 executors x 4 cores; 6 GiB each — tpch_q21 at sf1 "
+        "needs ~1 GiB/task of join/sort headroom (2048 starved with "
+        "UNABLE_TO_ACQUIRE_MEMORY after the kill-churn retries)",
+    )
     ap.add_argument("--kill-frac", type=float, default=0.4,
                     help="kill at this fraction of the dry-run wall")
     ap.add_argument("--queries-sf", default=".scale/sf1",
@@ -327,10 +332,17 @@ def main() -> int:
     from credit_card_etl_pipeline_spark.queries import QUERIES
 
     qsf = args.queries_sf
-    batch_row = kill_certify(
-        "batch_q21_with_kill",
-        lambda: QUERIES["tpch_q21_sole_late_supplier"](spark, qsf),
-    )
+    try:
+        batch_row = kill_certify(
+            "batch_q21_with_kill",
+            lambda: QUERIES["tpch_q21_sole_late_supplier"](spark, qsf),
+        )
+    except Exception as exc:  # noqa: BLE001 - keep the CC rows
+        batch_row = {
+            "completed": False,
+            "error": f"{type(exc).__name__}: {exc}"[:400],
+        }
+        report["batch_q21_with_kill"] = batch_row
 
     # exactly-once reference: the plain batch aggregate the streaming
     # sink must converge to (independent of any streaming machinery)
@@ -342,10 +354,17 @@ def main() -> int:
         .alias("value_cents"),
     )
     agg_hash, _ = df_hash(batch_agg)
-    stream_row = kill_certify(
-        "stream_upsert_with_kill",
-        lambda: QUERIES["stream_foreachbatch_upsert"](spark, qsf),
-    )
+    try:
+        stream_row = kill_certify(
+            "stream_upsert_with_kill",
+            lambda: QUERIES["stream_foreachbatch_upsert"](spark, qsf),
+        )
+    except Exception as exc:  # noqa: BLE001 - keep the earlier rows
+        stream_row = {
+            "completed": False,
+            "error": f"{type(exc).__name__}: {exc}"[:400],
+        }
+        report["stream_upsert_with_kill"] = stream_row
     stream_row["batch_aggregate_hash"] = agg_hash
     stream_row["exactly_once_vs_batch"] = (
         stream_row.get("completed", False)
