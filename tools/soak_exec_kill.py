@@ -87,10 +87,11 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--chain-len", type=int, default=16)
     ap.add_argument(
-        "--master", default="local-cluster[2,4,6144]",
-        help="2 executors x 4 cores; 6 GiB each — tpch_q21 at sf1 "
-        "needs ~1 GiB/task of join/sort headroom (2048 starved with "
-        "UNABLE_TO_ACQUIRE_MEMORY after the kill-churn retries)",
+        "--master", default="local-cluster[2,4,12288]",
+        help="2 executors x 4 cores; 12 GiB each — tpch_q21 at sf1 "
+        "wants >1 GiB/task of concurrent join/sort reservations "
+        "(2048 and 6144 both starved with UNABLE_TO_ACQUIRE_MEMORY "
+        "once kill-churn retries stacked tasks onto one executor)",
     )
     ap.add_argument("--kill-frac", type=float, default=0.4,
                     help="kill at this fraction of the dry-run wall")
@@ -108,12 +109,22 @@ def main() -> int:
     spark = get_spark(
         app_name="soak_exec_kill",
         master=args.master,
+        # 64 partitions halve per-task sort/join reservations vs the
+        # session default 32 — the 8-core cluster runs them in waves
+        shuffle_partitions=64,
         # the soak deliberately churns executors; 4 task failures can
         # all land on one half-shutdown executor before the master
         # notices it (observed: baseline q21 aborted on a 'Shutting
         # down' pool right after the control kill) — give the
-        # scheduler room to route around the churn
-        extra_conf={"spark.task.maxFailures": "8"},
+        # scheduler room to route around the churn.
+        # executor.memory must be set EXPLICITLY: local-cluster[n,c,m]
+        # sizes the WORKER at m MiB, but executors still launch with
+        # the 1g default — three soak attempts OOMed identically at
+        # worker 2/6/12 GiB because every executor was actually 1 GiB
+        extra_conf={
+            "spark.task.maxFailures": "8",
+            "spark.executor.memory": "10g",
+        },
     )
     app_id = spark.sparkContext.applicationId
     ckpt_dir = tempfile.mkdtemp(prefix="soak_exec_kill_ckpt_")
