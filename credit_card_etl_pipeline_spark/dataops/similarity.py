@@ -91,6 +91,71 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the ``k`` nearest candidates carrying a DIFFERENT
+    label — the near-miss negatives a contrastive or reranker training
+    loop wants alongside its positives.
+
+    Same bandwidth shape as :func:`cosine_topk`: the anchor set is
+    broadcast (anchors are few — a sampled probe set, not the corpus),
+    candidates stream map-side with one integer dot product each, and
+    the only shuffle is the per-anchor top-k window on ``query_id``.
+    The label inequality is part of the join condition, so same-label
+    candidates are dropped before scoring ever leaves the map side.
+    Ties break on candidate id for cross-engine determinism.
+    """
+    cand = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("cvec"),
+        _norm2(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("cand_id") != F.col("query_id"))
+        & (F.col("cand_label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "cand_id",
+        "cand_label",
+        (
+            _dot(F.col("qv"), F.col("cvec"))
+            / F.sqrt(F.col("qnorm").cast("double") * F.col("cnorm").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "cand_id",
+            "cand_label",
+            "cosine",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # IVF (inverted-file) approximate variant
 # ------------------------------------------------------------------

@@ -5800,3 +5800,248 @@ def ann_hamming_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").cast("long").alias("n_hits"),
         (F.count("__hit") / 5.0).alias("recall_at_5"),
     )
+
+
+# ====================================================================
+# Hard-negative mining (contrastive-training data op)
+# ====================================================================
+
+_HARDNEG_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, label, {_QUANT_SQL} AS v FROM embeddings
+),
+normed AS (
+    SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM vecs
+),
+queries AS (SELECT * FROM normed WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS cand_id, c.label AS cand_label,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN normed c
+      ON c.vec_id <> q.vec_id AND c.label <> q.label
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, cand_id, cand_label, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_hard_negatives", _HARDNEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector (vec_id % 100 == 0, broadcast) the 5 nearest candidates with
+    a DIFFERENT label — the near-miss negatives an embedding or
+    reranker fine-tune wants next to its positives.  Same
+    integer-quantized cosine and bandwidth shape as ann_cosine_topk;
+    the label inequality rides the broadcast-join condition, so
+    same-label candidates never leave the map side.  See
+    dataops.similarity.hard_negative_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
+    )
+    anchors = vecs.where(F.col("vec_id") % 100 == 0)
+    return sim.hard_negative_topk(vecs, anchors, k=5)
+
+
+# ====================================================================
+# BM25 ranked retrieval (integer-exact; see dataops.retrieval)
+# ====================================================================
+
+#: Fixed corpus query: one rare term ('dup' — high idf) against two
+#: common ones, so the idf spread and the tf-saturation both matter to
+#: the ranking.
+_BM25_TERMS = ["dup", "spark", "window"]
+
+from ..dataops import retrieval as rt  # noqa: E402
+
+_BM25_ORACLE = rt.bm25_oracle_sql(_BM25_TERMS, k=10)
+
+
+@query("docs_bm25_search", _BM25_ORACLE)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 3-term bag-of-words query under
+    integer-exact BM25 (k1=1.2, b=0.75; rational idf — same
+    cross-engine-exact idf as text_tfidf_top_terms).  One
+    tokenize+explode pass, per-term tf as conditional aggregates in a
+    single groupBy(doc_id), corpus stats as a crossJoined 1-row
+    aggregate, TakeOrdered top-k — no driver collect, no corpus-sized
+    join.  The oracle SQL is GENERATED from the same term list
+    (dataops.retrieval.bm25_oracle_sql), so engine and oracle cannot
+    drift."""
+    docs = load(spark, sf_dir, "documents")
+    return rt.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+# ====================================================================
+# Classifier-quality AUC (histogram-exact Mann-Whitney)
+# ====================================================================
+
+_AUC_ORACLE = f"""
+WITH base AS (
+    SELECT source AS grp,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+           coalesce(len(string_split({_NORM_SQL}, ' ')), -1) AS score
+    FROM documents
+),
+hist AS (
+    SELECT grp, score,
+           CAST(sum(is_pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+    FROM base GROUP BY grp, score
+),
+pref AS (
+    SELECT grp, n_pos, n_neg,
+           2 * n_pos * (sum(n_neg) OVER (PARTITION BY grp ORDER BY score ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_neg)
+               + n_pos * n_neg AS num_x2
+    FROM hist
+)
+SELECT grp, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+            ELSE (sum(num_x2) * 1000000) // (2 * sum(n_pos) * sum(n_neg))
+            END AS BIGINT) AS auc_ppm
+FROM pref GROUP BY grp
+"""
+
+
+@query("quality_score_auc", _AUC_ORACLE)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (ppm, exact integer Mann-Whitney with half-tie credit)
+    of a document quality score — token count — against a binary label
+    (lang = 'en'), per source.  The scalable AUC shape: corpus-sized
+    data stops at a partial-aggregatable groupBy(group, score)
+    histogram; the rank prefix-sum windows over the TINY histogram,
+    never the corpus.  See dataops.evaluate.binary_auc_by_group.
+    Null-hostile: null lang counts negative, null text scores -1 on
+    both engines (window null-ordering divergence pre-empted by the
+    coalesce)."""
+    from ..dataops import evaluate as ev
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("grp"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        F.coalesce(
+            F.size(tx.words(F.col("text"))).cast("long"), F.lit(-1)
+        ).alias("score"),
+    )
+    return ev.binary_auc_by_group(base)
+
+
+# ====================================================================
+# PMI collocations (corpus association mining)
+# ====================================================================
+
+_PMI_ORACLE = f"""
+WITH t AS (
+    SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+pairs AS (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM t2
+),
+bi AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+    FROM pairs GROUP BY w1, w2
+),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ) GROUP BY w
+),
+scal AS (
+    SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n1,
+           (SELECT CAST(sum(n_xy) AS BIGINT) FROM bi) AS n2
+),
+scored AS (
+    SELECT b.w1, b.w2, b.n_xy, u1.n_w AS n_x, u2.n_w AS n_y,
+           (CAST(b.n_xy AS DOUBLE) * CAST(s.n1 AS DOUBLE)
+                * CAST(s.n1 AS DOUBLE))
+               / (CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)
+                  * CAST(s.n2 AS DOUBLE)) AS pmi_ratio
+    FROM bi b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN scal s
+    WHERE b.n_xy >= 5
+)
+SELECT * FROM scored ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+"""
+
+
+@query("text_pmi_collocations", _PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams by pointwise-mutual-information ratio
+    (p(xy) / (p(x)p(y)) — the log is monotone, so ranking skips it and
+    the score stays IEEE-identical double arithmetic over exact int64
+    counts).  Collocation mining is the corpus-statistics complement of
+    text_bigram_counts (raw frequency): it surfaces ASSOCIATED pairs,
+    the signal tokenizer-vocab and boilerplate analyses want.  Shape:
+    one bigram explode + one unigram explode, two vocabulary-sized
+    joins AFTER the min-support prune (n_xy >= 5), scalar totals as
+    1-row crossJoins — nothing corpus-sized past the groupBys."""
+    docs = load(spark, sf_dir, "documents")
+    w = tx.words(F.col("text"))
+    toks = docs.select(F.explode(w).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    pairs = docs.select(w.alias("toks")).where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    scal = uni.agg(F.sum("n_w").cast("long").alias("n1")).crossJoin(
+        bi.agg(F.sum("n_xy").cast("long").alias("n2"))
+    )
+    scored = (
+        bi.where(F.col("n_xy") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (
+                    F.col("n_xy").cast("double")
+                    * F.col("n1").cast("double")
+                    * F.col("n1").cast("double")
+                )
+                / (
+                    F.col("n_x").cast("double")
+                    * F.col("n_y").cast("double")
+                    * F.col("n2").cast("double")
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2")
+    ).limit(50)

@@ -54,6 +54,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ann_recall_at_5": "broadcast probe frame (exact vs approx compare)",
     "ann_abtt_corrected_topk": "broadcast corrected query frame",
     "ann_hamming_recall_at_5": "broadcast probe frame",
+    "ann_hard_negatives": "broadcast anchor frame (non-equi label filter)",
     # Sketch estimates: the merged register/sketch state is ONE row (or
     # d×w bounded CMS rows), cross-joined onto the exact-side scalar for
     # the error report — sketches.py.
@@ -70,6 +71,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "dsir_importance_weights": "1-row gram totals per model",
     "corpus_drift_tv": "1-row per-side totals + 1-row TV scalar",
     "corpus_token_budget_fill": "1-row budget threshold",
+    "docs_bm25_search": "1-row corpus stats (N/sumdl/per-term df)",
+    "text_pmi_collocations": "1-row unigram/bigram totals",
     "curation_pipeline_v3": "1-row corpus totals (typicality stage)",
     "curation_pipeline_v4": "1-row DSIR totals (gate stage)",
     # Events analytics: 1-row anchors/totals and min/max-derived day
