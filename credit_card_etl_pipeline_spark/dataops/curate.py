@@ -34,8 +34,9 @@ from .text import normalize_text, words
 # PII scrubbing
 # ------------------------------------------------------------------
 
-#: RE2-compatible PII patterns (shared verbatim with the SQL oracles —
-#: no backreferences, no lookaround).  Replacement order matters: cards
+#: RE2-compatible PII patterns — the SQL-oracle source of truth (no
+#: backreferences, no lookaround; the JVM runs the semantically equal
+#: PII_PATTERNS_ENGINE below).  Replacement order matters: cards
 #: before phones so a 4-4-4-4 run is consumed as one card, not a
 #: partial phone match.  Replacement strings use Java `$n` group
 #: syntax; the oracle builder translates to RE2's `\n`.
@@ -63,18 +64,48 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: Engine-side twins of PII_PATTERNS.  Only the email entry differs:
+#: the JVM runs the left boundary as a zero-width lookbehind
+#: ``(?<![class])`` instead of RE2's consuming ``(^|[^class])``
+#: alternation.  Semantically identical — both accept a match iff the
+#: preceding char is outside the local-part class (or string start),
+#: and the lookbehind consumes nothing while the alternation's
+#: captured char is re-inserted by ``$1``, so replacement output,
+#: match count, and the scan-continuation position (end of the email
+#: core in both forms) all coincide; test_curate pins the equivalence
+#: on the adversarial corpus.  The split exists because the leading
+#: ``(^|[^...])`` alternation defeats Java regex's first-character
+#: scan optimization (every position starts a group trial): measured
+#: at sf0.1, the alternation costs 2.6x over the lookbehind form
+#: (BENCH_HISTORY r11 — the one accepted r11 regression, now
+#: reclaimed).  DuckDB keeps the RE2-compatible PII_PATTERNS — RE2
+#: has no lookbehind, and never backtracks, so the alternation is
+#: free there.
+PII_PATTERNS_ENGINE: list[tuple[str, str, str]] = [
+    (
+        kind,
+        r"(?<![A-Za-z0-9._%+-])"
+        r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}",
+        "<EMAIL>",
+    )
+    if kind == "email"
+    else (kind, pat, token)
+    for kind, pat, token in PII_PATTERNS
+]
+
+
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-kind PII occurrence counts (computed BEFORE scrubbing)."""
     return {
         kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
-        for kind, pat, _ in PII_PATTERNS
+        for kind, pat, _ in PII_PATTERNS_ENGINE
     }
 
 
 def pii_scrub(col: Column) -> Column:
     """Mask every PII match, applying patterns in declaration order."""
     out = col
-    for _, pat, token in PII_PATTERNS:
+    for _, pat, token in PII_PATTERNS_ENGINE:
         out = F.regexp_replace(out, pat, token)
     return out
 

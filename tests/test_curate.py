@@ -406,3 +406,46 @@ def test_token_budget_quotas_sum_exactly(spark):
     for r in out:
         if r.selected:
             assert r.cum_tokens <= r.quota_tokens
+
+
+def test_pii_engine_lookbehind_equals_oracle_alternation(spark):
+    """PII_PATTERNS_ENGINE's email lookbehind must replace and count
+    EXACTLY like the RE2 alternation the oracles run — on the
+    boundary-adversarial cases: over-long RFC-invalid local parts
+    (the partial-redaction leak the guard closes), class-char and
+    non-class-char left contexts, string start, adjacent emails with
+    zero/one separators, and greedy-TLD absorption."""
+    cases = [
+        "a@b.co",                             # string start
+        " a@b.co",                            # non-class boundary
+        "+a@b.co",                            # class-char boundary: no match
+        "x" * 100 + "@example.com end",       # over-long local: no match
+        "a@b.cc x@y.zz",                      # one-separator adjacency
+        "a@b.ccx@y.zz",                       # zero-separator (greedy TLD)
+        "a@b.cc+x@y.zz",                      # class-char separator
+        "(a@b.co) [c@d.io] {e@f.gg}",         # punctuation boundaries
+        "mail:user.name+tag@sub.domain-x.org!",
+        "@@a@b.co@@",
+        "éa@b.co",                       # non-ASCII boundary char
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    # oracle-form (RE2 alternation, consuming group) applied via Spark
+    kind, oracle_pat, oracle_tok = cu.PII_PATTERNS[0]
+    assert kind == "email" and "(^|" in oracle_pat
+    out = df.select(
+        "doc_id",
+        cu.pii_scrub(F.col("text")).alias("engine"),
+        F.regexp_replace("text", oracle_pat, oracle_tok).alias("oracle_repl"),
+        cu.pii_counts(F.col("text"))["email"].alias("engine_n"),
+        F.size(F.regexp_extract_all("text", F.lit(oracle_pat), 0))
+        .cast("long")
+        .alias("oracle_n"),
+    ).collect()
+    for r in out:
+        # scrub applies all four patterns; email is the only kind in
+        # these cases, so the oracle-form replace must agree exactly
+        assert r["engine"] == r["oracle_repl"], r
+        assert r["engine_n"] == r["oracle_n"], r
