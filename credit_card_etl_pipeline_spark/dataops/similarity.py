@@ -24,6 +24,57 @@ from pyspark.sql import functions as F
 #: Fixed quantization scale for cross-engine-exact arithmetic.
 QUANT_SCALE = 1000
 
+#: Embedding validity contract (see :func:`valid_embeddings`).
+EMBEDDING_DIM = 64
+#: Vectors whose largest |component| is below this are degenerate at
+#: QUANT_SCALE (they quantize to ~zero and make cosine 0/0); the
+#: threshold sits far from any real component (corpus components are
+#: O(0.1)) so float rounding can't flip a verdict across engines.
+EMBEDDING_MIN_ABS = 0.01
+
+
+def valid_embeddings(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The garbage-row gate every embedding consumer runs behind.
+
+    At 100 TB an embedding table ALWAYS carries malformed rows —
+    nulls from failed encoder batches, wrong-dim vectors from a model
+    swap, NaN/Inf from fp16 overflow, zero vectors from padding.  The
+    engine's contract: a row participates in similarity math iff
+
+    * ``id_col`` and ``vec_col`` are non-null,
+    * the vector has exactly EMBEDDING_DIM components,
+    * every component is non-null and finite (no NaN/Inf — Spark would
+      silently cast NaN to 0 at quantization while DuckDB errors, the
+      worst kind of divergence),
+    * max |component| > EMBEDDING_MIN_ABS (sub-quantization-scale
+      vectors would hit 0/0 in cosine).
+
+    One Arrow-free map-side array scan per row — no shuffle, no UDF.
+    The DuckDB twin is ``_EMB_VALID_SQL`` (queries.dataops_queries),
+    applied to every embeddings oracle, so hostile-corpus sweeps
+    certify the contract itself.  Per-element predicates are wrapped
+    in coalesce(..., false): a NULL component must fail the row in
+    BOTH engines (DuckDB's bool_and aggregate would silently skip
+    nulls; Spark's forall would return null and drop the row).
+    """
+    v = F.col(vec_col)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    finite = F.forall(
+        dv,
+        lambda x: F.coalesce(
+            (~F.isnan(x)) & (F.abs(x) < F.lit(float("inf"))), F.lit(False)
+        ),
+    )
+    return df.where(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & (F.size(v) == EMBEDDING_DIM)
+        & finite
+        & (F.array_max(F.transform(dv, F.abs)) > EMBEDDING_MIN_ABS)
+    )
+
 
 def quantize(vec: Column) -> Column:
     """float array → integer array (round(x * QUANT_SCALE))."""

@@ -506,6 +506,34 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+#: DuckDB twin of dataops.similarity.valid_embeddings — the
+#: garbage-row gate every embedding consumer runs behind (non-null
+#: id/vector, exact dim, all components non-null AND finite, max
+#: |component| above the quantization floor).  coalesce(..., false)
+#: per element because bool_and SKIPS nulls (a null component must
+#: fail the row, as it does in Spark).  Applied to every registered
+#: oracle that reads `FROM embeddings` by _apply_embeddings_contract()
+#: at the bottom of this module — one definition, zero per-query
+#: drift.  No integer casts in the predicate: WHERE clauses have no
+#: evaluation-order guarantee, and CAST(NaN AS BIGINT) errors in
+#: DuckDB.
+_EMB_VALID_SQL = (
+    "vec_id IS NOT NULL AND embedding IS NOT NULL "
+    "AND len(embedding) = 64 "
+    "AND coalesce(list_aggregate(list_transform(embedding, "
+    "x -> coalesce(isfinite(CAST(x AS DOUBLE)), false)), 'bool_and'), "
+    "false) "
+    "AND list_aggregate(list_transform(embedding, "
+    "x -> abs(CAST(x AS DOUBLE))), 'max') > 0.01"
+)
+
+
+def emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings under the validity contract
+    (dataops.similarity.valid_embeddings) — the only way queries in
+    this module read the table."""
+    return sim.valid_embeddings(load(spark, sf_dir, "embeddings"))
+
 _ANN_BASE_SQL = f"""
 vecs AS (
     SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
@@ -534,7 +562,7 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     return emb.select(
         "vec_id",
         sim.quantize(
@@ -844,7 +872,7 @@ def ann_ivf_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls into a hash-checked DuckDB oracle."""
     n = _EMB_COUNT_CACHE.get(sf_dir)
     if n is None:
-        n = load(spark, sf_dir, "embeddings").count()
+        n = emb_valid(spark, sf_dir).count()
         _EMB_COUNT_CACHE[sf_dir] = n
     k = sim.ivf_auto_k(n, floor_k=_IVF_K)
     key = (sf_dir, k, _IVF_ITERS)
@@ -1007,7 +1035,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment switches to the literal-array higher-order form
     (similarity.assign_cluster), so the plan grows as data, not
     generated code."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     dups = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -1374,7 +1402,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: LSH bucket join (never
     all-pairs) + exact integer-quantized re-scoring; pairs at
     cosine >= 0.999 (injected duplicates guarantee hits)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     dups = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -1540,7 +1568,7 @@ def dedup_semantic_hierarchical(
     DuckDB oracle bit-for-bit (grid-exact integer arithmetic end to
     end); keep-lowest-id verdicts, injected exact duplicates
     guarantee hits."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     dups = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -1676,7 +1704,7 @@ def dedup_semantic_auto(
     internal to the specialized queries."""
     n = _SEMDEDUP_COUNT_CACHE.get(sf_dir)
     if n is None:
-        emb = load(spark, sf_dir, "embeddings")
+        emb = emb_valid(spark, sf_dir)
         base_n = emb.count()
         # injected dups replicate every 10th vec_id, same all branches
         n = base_n + emb.where(F.col("vec_id") % 10 == 0).count()
@@ -1723,7 +1751,7 @@ def dedup_semantic_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from count(*) with the identical IEEE ceil∘sqrt — same pattern as
     ann_ivf_auto_k.  Keep-lowest-id verdicts; injected exact
     duplicates guarantee hits."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     dups = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -2487,7 +2515,7 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode spreads (label, dim) over the cluster — a |labels|×|dims|
     aggregate, partial-combined map-side, never a per-vector shuffle
     of full arrays."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     q = sim.quantize(
         F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
@@ -2544,7 +2572,7 @@ def embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     as cross-multiplied integers — no division).  Centroids and
     per-label sums broadcast; the distance pass is map-only — see
     dataops.similarity.centroid_outlier_verdicts."""
-    vecs = load(spark, sf_dir, "embeddings").select(
+    vecs = emb_valid(spark, sf_dir).select(
         "vec_id",
         "label",
         sim.quantize(
@@ -5086,7 +5114,7 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
     comps = dd.connected_components(c.select("doc_id"), pairs)
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     plant = emb.where(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
@@ -5843,7 +5871,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label inequality rides the broadcast-join condition, so
     same-label candidates never leave the map side.  See
     dataops.similarity.hard_negative_topk."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = emb_valid(spark, sf_dir)
     vecs = emb.select(
         "vec_id",
         "label",
@@ -6045,3 +6073,36 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2")
     ).limit(50)
+
+
+# ====================================================================
+# Embeddings validity contract — applied to every oracle uniformly
+# ====================================================================
+
+def _apply_embeddings_contract() -> int:
+    """Rewrite every registered oracle that reads ``FROM embeddings``
+    to read the validity-filtered relation instead (the DuckDB twin of
+    dataops.similarity.valid_embeddings — see _EMB_VALID_SQL).
+
+    One rewrite point instead of 20 hand-edited CTEs: the contract is
+    a property of the RELATION, not of any one query, so applying it
+    uniformly here means a future embedding query cannot forget the
+    gate (tests assert no unfiltered read survives).  str.replace does
+    not rescan its replacement text, so the inner ``FROM embeddings``
+    of the filter subquery is not rewritten recursively.
+    """
+    filtered = (
+        f"FROM (SELECT vec_id, embedding, label FROM embeddings "
+        f"WHERE {_EMB_VALID_SQL}) embeddings"
+    )
+    n = 0
+    from . import ORACLES
+
+    for name, sql in list(ORACLES.items()):
+        if "FROM embeddings" in sql:
+            ORACLES[name] = sql.replace("FROM embeddings", filtered)
+            n += 1
+    return n
+
+
+_N_EMB_ORACLES = _apply_embeddings_contract()

@@ -3,7 +3,12 @@
 (VERDICT r9 ask #5): same tables, same schema, but the documents table
 is rewritten to attack the text/curate/dedup families' weak points —
 the H17 ''/'nan' null-convention trap, regex operators, per-code-point
-length math, and any hidden assumption that documents are small ASCII.
+length math, and any hidden assumption that documents are small ASCII —
+and the embeddings table is rewritten to attack the ann/semantic
+families (null/empty/wrong-dim/zero/NaN/Inf/null-component vectors,
+null ids/labels — see mutate_embedding; the validity contract in
+similarity.valid_embeddings + _EMB_VALID_SQL must exclude each class
+identically in both engines).
 
     python tools/make_hostile.py [--src /root/testdata/sf0.01]
                                  [--dst .scale/hostile01]
@@ -108,6 +113,44 @@ def mutate_meta(doc_id: int, lang: str | None, source: str | None):
     return lang, source
 
 
+def mutate_embedding(vec_id: int, emb, label):
+    """(new_vec_id, new_embedding, new_label, tag) — pure fn of vec_id.
+
+    The garbage classes a 100 TB embedding table actually contains
+    (failed encoder batches, model-swap dim changes, fp16 overflow,
+    padding rows) — each must be EXCLUDED identically by the engine's
+    validity contract (similarity.valid_embeddings) and the oracle's
+    _EMB_VALID_SQL, or similarity math diverges (Spark casts NaN to 0
+    at quantization; DuckDB errors)."""
+    h = int.from_bytes(
+        hashlib.md5(f"hostile-emb:{vec_id}".encode()).digest()[:8], "big"
+    )
+    r = (h % 10_000) / 10_000.0
+    e = list(emb)
+    if r < 0.04:
+        return vec_id, None, label, "null_vec"
+    if r < 0.07:
+        return vec_id, [], label, "empty"
+    if r < 0.10:
+        return vec_id, e[:32], label, "wrong_dim"
+    if r < 0.13:
+        return vec_id, [0.0] * len(e), label, "zero"
+    if r < 0.16:
+        e[h % len(e)] = float("nan")
+        return vec_id, e, label, "nan"
+    if r < 0.19:
+        e[h % len(e)] = float("inf") if h % 2 else float("-inf")
+        return vec_id, e, label, "inf"
+    if r < 0.21:
+        e[h % len(e)] = None
+        return vec_id, e, label, "null_component"
+    if r < 0.23:
+        return vec_id, e, None, "null_label"
+    if r < 0.245:
+        return None, e, label, "null_id"
+    return vec_id, e, label, "orig"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.01")
@@ -123,6 +166,31 @@ def main() -> int:
             continue
         src_p = os.path.join(args.src, fname)
         dst_p = os.path.join(args.dst, fname)
+        if fname == "embeddings.parquet":
+            t = pq.read_table(src_p)
+            pdf = t.to_pandas()
+            etags: dict[str, int] = {}
+            ids, vecs, labels = [], [], []
+            for vec_id, emb, label in zip(
+                pdf["vec_id"], pdf["embedding"], pdf["label"]
+            ):
+                ni, ne, nl, tag = mutate_embedding(
+                    int(vec_id), list(emb), label
+                )
+                etags[tag] = etags.get(tag, 0) + 1
+                ids.append(ni)
+                vecs.append(ne)
+                labels.append(None if nl is None else int(nl))
+            out = pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                    "label": pa.array(labels, type=pa.int32()),
+                }
+            )
+            pq.write_table(out, dst_p)
+            print(f"hostile embeddings: {len(ids)} rows, {etags}")
+            continue
         if fname != "documents.parquet":
             if os.path.isdir(src_p):
                 shutil.copytree(src_p, dst_p, dirs_exist_ok=True)
