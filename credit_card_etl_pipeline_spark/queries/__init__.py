@@ -100,6 +100,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     guard, not a scale crutch.
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # row-validity contract (functions.contracts): null-key /
+        # null-ts / NaN-value rows never reach an operator — on EVERY
+        # read path (the audit early-return below included).  Applied
+        # here — the one batch read point — and in
+        # streaming.windows.events_stream; the DuckDB twin is spliced
+        # into every events oracle below (_apply_events_contract).
+        from ..functions.contracts import valid_events
+
+        df = valid_events(df)
     if os.environ.get("SPARK_GRAFT_NO_SCAN_SPREAD"):
         # tools/shuffle_audit.py disables the spread so measured shuffle
         # bytes are the ALGORITHM's data movement, not the local-corpus
@@ -154,3 +164,32 @@ from . import (  # noqa: E402,F401
     streaming_queries,
     warehouse_queries,
 )
+
+
+def _apply_events_contract() -> int:
+    """Splice the events validity predicate (functions.contracts.
+    EVENTS_VALID_SQL — the DuckDB twin of the gate load() applies
+    engine-side) into every registered oracle that reads the events
+    table.  Runs AFTER all query-family imports, so it covers every
+    module's oracles uniformly — a future events query cannot read the
+    raw table (tests assert no unfiltered read survives).  str.replace
+    never rescans its replacement, so the inner FROM events of the
+    filter subquery is not rewritten recursively.  Aliased reads
+    (``FROM events e``) are rewritten first so the subquery takes the
+    query's own alias instead of a duplicate default one.
+    """
+    from ..functions.contracts import EVENTS_VALID_SQL
+
+    sub = f"FROM (SELECT * FROM events WHERE {EVENTS_VALID_SQL})"
+    n = 0
+    for name, sql in list(ORACLES.items()):
+        if "FROM events" not in sql:
+            continue
+        sql = sql.replace("FROM events e ", f"{sub} e ")
+        sql = sql.replace("FROM events", f"{sub} events")
+        ORACLES[name] = sql
+        n += 1
+    return n
+
+
+_N_EVENTS_ORACLES = _apply_events_contract()

@@ -6076,6 +6076,121 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Reciprocal-rank fusion (hybrid retrieval combiner)
+# ====================================================================
+
+#: RRF smoothing constant (Cormack et al. 2009's k=60).
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings
+),
+enc AS (
+    SELECT vec_id, v, list_dot_product(v, v) AS n2, {_PACK_SQL} AS w
+    FROM vecs
+),
+queries AS (SELECT * FROM enc WHERE vec_id % 100 = 0),
+exact_ranked AS (
+    SELECT query_id, cand_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v)
+                            / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))
+                            DESC, c.vec_id) AS rank
+        FROM queries q JOIN enc c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+),
+coarse AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(bit_count(xor(q.w, c.w)) AS BIGINT) AS hamming,
+           list_dot_product(q.v, c.v)
+               / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+    FROM queries q JOIN enc c ON c.vec_id <> q.vec_id
+),
+s1 AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, cand_id) AS rk1
+    FROM coarse
+),
+ham_ranked AS (
+    SELECT query_id, cand_id, rank FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM s1 WHERE rk1 <= 32
+    ) WHERE rank <= 10
+),
+fused AS (
+    SELECT coalesce(e.query_id, h.query_id) AS query_id,
+           coalesce(e.cand_id, h.cand_id) AS cand_id,
+           coalesce(1000000 // ({_RRF_K} + e.rank), 0)
+               + coalesce(1000000 // ({_RRF_K} + h.rank), 0) AS rrf_x1e6,
+           CAST(e.rank IS NOT NULL AS BIGINT)
+               + CAST(h.rank IS NOT NULL AS BIGINT) AS n_systems
+    FROM exact_ranked e
+    FULL OUTER JOIN ham_ranked h
+      ON h.query_id = e.query_id AND h.cand_id = e.cand_id
+)
+SELECT query_id, cand_id, rrf_x1e6, n_systems,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_x1e6 DESC, cand_id) AS rk
+    FROM fused
+) WHERE rk <= 5
+"""
+
+
+@query("ann_rrf_fusion", _RRF_ORACLE)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems (exact cosine
+    and two-stage binary-Hamming, top-10 each): rrf = Σ 1/(60+rank),
+    computed as integer ppm (1e6 div (60+rank)) so fused scores are
+    bit-identical across engines.  RRF is the standard hybrid-search
+    combiner (lexical+vector, or here cheap-vs-exact vector paths) —
+    score-scale-free, so no per-system normalization stage is needed.
+    Shape: both rankings reuse the broadcast-anchor + per-query window
+    pattern; the fusion itself is a full outer join on two k×|queries|
+    lists (tiny) + one more window."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") % 100 == 0)
+    a = sim.cosine_topk(vecs, queries, k=10).select(
+        "query_id", "cand_id", F.col("rank").alias("rank_a")
+    )
+    b = sim.ann_hamming_topk(vecs, queries, k=10, m=32).select(
+        "query_id", "cand_id", F.col("rank").alias("rank_b")
+    )
+    fused = a.join(b, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000L div ({_RRF_K} + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000L div ({_RRF_K} + rank_b)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_x1e6"),
+        (
+            F.col("rank_a").isNotNull().cast("long")
+            + F.col("rank_b").isNotNull().cast("long")
+        ).alias("n_systems"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_x1e6"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rrf_x1e6", "n_systems", "rk")
+    )
+
+
+# ====================================================================
 # Embeddings validity contract — applied to every oracle uniformly
 # ====================================================================
 

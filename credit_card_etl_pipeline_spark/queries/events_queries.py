@@ -449,6 +449,10 @@ WITH iv AS (
            epoch_us(ts)
              + CAST(round(value * 100) AS BIGINT) * 10000 AS e
     FROM events
+    -- a row without a valid non-negative duration defines NO interval
+    -- (a NULL end boundary would also sort differently per engine:
+    -- Spark windows put nulls first, DuckDB last)
+    WHERE value IS NOT NULL AND value >= 0
 ),
 bounds AS (
     SELECT event_type, s AS t, 1 AS d FROM iv
@@ -493,7 +497,11 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     would range-partition on t with boundary-count carry-in, the
     standard two-pass prefix-sum split."""
     ev = load(spark, sf_dir, "events")
-    iv = ev.select(
+    iv = ev.where(
+        # twin of the oracle's duration guard: no interval without a
+        # valid non-negative duration
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
         "event_type",
         event_micros(ev).alias("s"),
         (

@@ -239,14 +239,22 @@ def merchant_unknown_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ====================================================================
 
 _JSON_ORACLE = """
-WITH built AS (
-    SELECT event_id,
-           CAST(props ->> '$.k' AS BIGINT) AS k,
-           '{"id": ' || CAST(event_id AS VARCHAR)
-           || ', "vals": [' || (props ->> '$.k') || ', '
-           || CAST(CAST(props ->> '$.k' AS BIGINT) * 2 AS VARCHAR)
-           || '], "u": {"uid": ' || CAST(user_id AS VARCHAR) || '}}' AS doc
+WITH safe AS (
+    -- malformed/empty props parse to NULL, matching Spark's
+    -- PERMISSIVE from_json (DuckDB's ->> ERRORS on junk JSON; the
+    -- hostile corpus plants truncated documents)
+    SELECT event_id, user_id,
+           CASE WHEN json_valid(props) THEN props ->> '$.k' END AS kstr
     FROM events
+),
+built AS (
+    SELECT event_id,
+           CAST(kstr AS BIGINT) AS k,
+           '{"id": ' || CAST(event_id AS VARCHAR)
+           || ', "vals": [' || kstr || ', '
+           || CAST(CAST(kstr AS BIGINT) * 2 AS VARCHAR)
+           || '], "u": {"uid": ' || CAST(user_id AS VARCHAR) || '}}' AS doc
+    FROM safe
 )
 SELECT event_id, k,
        CAST(doc ->> '$.vals[1]' AS BIGINT) AS second_val,
@@ -415,9 +423,11 @@ WITH e AS (
 SELECT event_id, user_id,
        us - lag(us) OVER w AS us_since_prev,
        lead(event_id) OVER w AS next_event_id,
-       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY vc, event_id)
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY vc NULLS FIRST, event_id)
             AS BIGINT) AS value_quartile,
-       cume_dist() OVER (PARTITION BY user_id ORDER BY vc) AS value_cume
+       cume_dist() OVER (PARTITION BY user_id
+                         ORDER BY vc NULLS FIRST) AS value_cume
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 """
@@ -905,7 +915,11 @@ WITH e AS (
 ),
 bucketed AS (
     SELECT vc,
-           CAST(ntile(10) OVER (ORDER BY vc, event_id) AS BIGINT) AS bucket
+           -- explicit NULLS FIRST: Spark runs this SAME string, and
+           -- its ASC default (nulls first) differs from DuckDB's
+           -- (nulls last) — null values land in bucket 1 on both
+           CAST(ntile(10) OVER (ORDER BY vc NULLS FIRST, event_id)
+                AS BIGINT) AS bucket
     FROM e
 )
 SELECT bucket,
@@ -2106,8 +2120,13 @@ def lineitem_prorate_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_ORACLE = """
 WITH built AS (
+    -- json_valid guard: malformed/empty props → NULL k, matching
+    -- Spark's PERMISSIVE from_json (json_extract_string ERRORS on
+    -- junk JSON)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_valid(props) THEN
+               CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k,
            user_id
     FROM events
 ),

@@ -174,7 +174,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is taken from the actual parquet footer via a one-off batch
     read (driver-side metadata only, no data scan)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return _spread(spark, _table_stream(spark, sf_dir, "events", schema))
+    from ..functions.contracts import valid_events
+
+    # same row-validity contract the batch read point (queries.load)
+    # applies — stream and batch must agree on which rows exist
+    return valid_events(
+        _spread(spark, _table_stream(spark, sf_dir, "events", schema))
+    )
 
 
 def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:

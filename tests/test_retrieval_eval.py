@@ -191,3 +191,29 @@ def test_pmi_query_deterministic_and_bounded(spark):
     # ranking is by descending ratio
     ratios = [r["pmi_ratio"] for r in a]
     assert ratios == sorted(ratios, reverse=True)
+
+
+# ------------------------------------------------------------------
+# RRF fusion (registered query: structure + determinism)
+# ------------------------------------------------------------------
+
+def test_rrf_fusion_properties(spark):
+    from credit_card_etl_pipeline_spark.queries import QUERIES
+
+    fn = QUERIES["ann_rrf_fusion"]
+    a = fn(spark, "/root/testdata/sf0.001").collect()
+    b = fn(spark, "/root/testdata/sf0.001").collect()
+    assert a == b
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["rrf_x1e6"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # both systems rank top-10; a candidate in both lists carries
+        # n_systems == 2 and the max possible fused score is bounded
+        # by 2 * 1e6/61
+        assert all(1 <= r["n_systems"] <= 2 for r in rows)
+        assert all(r["rrf_x1e6"] <= 2 * (1_000_000 // 61) for r in rows)

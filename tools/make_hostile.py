@@ -151,6 +151,57 @@ def mutate_embedding(vec_id: int, emb, label):
     return vec_id, e, label, "orig"
 
 
+def mutate_event(event_id: int, row: dict) -> tuple[dict, str]:
+    """(new_row, tag) — pure fn of event_id.
+
+    Row-level garbage (null keys/ts, NaN/Inf values) must be EXCLUDED
+    by the events validity contract (functions.contracts.valid_events
+    + EVENTS_VALID_SQL) identically in both engines — null event-time
+    otherwise diverges on ORDERING (Spark nulls-first vs DuckDB
+    nulls-last).  Column-level messiness ('nan'/'' event_type,
+    malformed/empty/null JSON props, negative values) flows THROUGH
+    the contract: operators own those semantics."""
+    h = int.from_bytes(
+        hashlib.md5(f"hostile-ev:{event_id}".encode()).digest()[:8], "big"
+    )
+    r = (h % 10_000) / 10_000.0
+    out = dict(row)
+    if r < 0.03:
+        out["event_id"] = None
+        return out, "null_id"
+    if r < 0.06:
+        out["ts"] = None
+        return out, "null_ts"
+    if r < 0.09:
+        out["user_id"] = None
+        return out, "null_user"
+    if r < 0.11:
+        out["value"] = float("nan")
+        return out, "nan_value"
+    if r < 0.13:
+        out["value"] = float("inf") if h % 2 else float("-inf")
+        return out, "inf_value"
+    if r < 0.16:
+        out["value"] = None
+        return out, "null_value"
+    if r < 0.18:
+        out["value"] = -abs(out["value"] or 1.0)
+        return out, "neg_value"
+    if r < 0.20:
+        out["event_type"] = "nan" if h % 2 else ""
+        return out, "nan_type"
+    if r < 0.22:
+        out["props"] = '{"k": 69'  # truncated JSON
+        return out, "junk_props"
+    if r < 0.24:
+        out["props"] = None
+        return out, "null_props"
+    if r < 0.25:
+        out["props"] = ""
+        return out, "empty_props"
+    return out, "orig"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.01")
@@ -166,6 +217,41 @@ def main() -> int:
             continue
         src_p = os.path.join(args.src, fname)
         dst_p = os.path.join(args.dst, fname)
+        if fname == "events.parquet":
+            t = pq.read_table(src_p)
+            pdf = t.to_pandas()
+            vtags: dict[str, int] = {}
+            cols: dict[str, list] = {c: [] for c in pdf.columns}
+            for rec in pdf.to_dict("records"):
+                nr, tag = mutate_event(int(rec["event_id"]), rec)
+                vtags[tag] = vtags.get(tag, 0) + 1
+                for c in cols:
+                    cols[c].append(nr[c])
+            out = pa.table(
+                {
+                    "event_id": pa.array(
+                        [None if v is None else int(v)
+                         for v in cols["event_id"]], type=pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [None if v is None or v != v else v
+                         for v in cols["ts"]],
+                        type=t.schema.field("ts").type,
+                    ),
+                    "user_id": pa.array(
+                        [None if v is None else int(v)
+                         for v in cols["user_id"]], type=pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        cols["event_type"], type=pa.string()
+                    ),
+                    "value": pa.array(cols["value"], type=pa.float64()),
+                    "props": pa.array(cols["props"], type=pa.string()),
+                }
+            )
+            pq.write_table(out, dst_p)
+            print(f"hostile events: {len(pdf)} rows, {vtags}")
+            continue
         if fname == "embeddings.parquet":
             t = pq.read_table(src_p)
             pdf = t.to_pandas()

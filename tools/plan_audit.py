@@ -55,6 +55,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ann_abtt_corrected_topk": "broadcast corrected query frame",
     "ann_hamming_recall_at_5": "broadcast probe frame",
     "ann_hard_negatives": "broadcast anchor frame (non-equi label filter)",
+    "ann_rrf_fusion": "broadcast anchor frames (both fused rankings)",
     # Sketch estimates: the merged register/sketch state is ONE row (or
     # d×w bounded CMS rows), cross-joined onto the exact-side scalar for
     # the error report — sketches.py.
