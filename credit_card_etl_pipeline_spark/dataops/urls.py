@@ -1,0 +1,147 @@
+"""URL canonicalization for web-crawl dedup.
+
+The first dedup pass of every web-scale training-data pipeline is not
+MinHash — it is URL-level: the same page is crawled under dozens of
+spellings (host case, default ports, ``www.`` prefixes, tracking
+params, param order, fragments, trailing slashes).  Collapsing those
+BEFORE content dedup removes the bulk of exact duplicates with a pure
+map-side string pass — no shuffle until the final hash groupBy, and
+that groupBy is partial-aggregatable.
+
+Everything here is a single JVM-side column expression (regexp /
+split / filter / array_sort — whole-stage codegen, no Python), with a
+DuckDB twin (:func:`canonical_url_sql`) built from the same policy
+constants so engine and oracle cannot drift.
+
+Canonicalization policy (documented, deterministic):
+
+1. scheme and host lowercased;
+2. default ports stripped (``:80`` for http, ``:443`` for https —
+   only when they match the scheme);
+3. leading ``www.`` stripped from the host;
+4. fragment dropped;
+5. trailing slashes stripped from the path; empty path becomes ``/``;
+6. tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``), remaining params sorted bytewise and
+   rejoined — param ORDER never splits a group.
+
+Scale: the expression is embarrassingly parallel; the groupBy in
+:func:`url_dedup_groups` shuffles one (canonical_url, count, min_id)
+row per distinct URL after map-side partial aggregation.  At 100 TB
+the distinct-URL set is the web's URL space — the aggregation keys
+are short strings and AQE handles the skew of hot hosts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Query-param prefixes dropped during canonicalization.  ``ref`` is
+#: matched as a whole key; ``utm_`` as a key prefix.  Kept as ONE
+#: regex alternation so the Spark lambda and the DuckDB twin share it.
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url_sql: str) -> Column:
+    """Canonical form of the URL computed by Spark-SQL fragment
+    ``url_sql`` (typically just a column name) per the module policy —
+    one nested JVM expression (no UDF, no shuffle)."""
+    return F.expr(_spark_canonical_sql(url_sql))
+
+
+def _spark_canonical_sql(u: str) -> str:
+    """Spark-SQL expression string computing the canonical URL of the
+    expression ``u``.  Structured as nested lets via a chain of
+    aliased subexpressions inside one ``concat``."""
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    nofrag = f"element_at(split({rest}, '#'), 1)"
+    hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
+    host = (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END, '^www\\\\.', '')"
+    )
+    pathq = f"substring({nofrag}, length(regexp_extract({nofrag}, '^([^/?]*)', 1)) + 1)"
+    rawpath = f"element_at(split({pathq}, '\\\\?'), 1)"
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    qs = (
+        f"CASE WHEN instr({pathq}, '?') > 0 "
+        f"THEN substring({pathq}, instr({pathq}, '?') + 1) ELSE '' END"
+    )
+    params = (
+        f"filter(split({qs}, '&'), "
+        f"x -> x != '' AND NOT x rlike '{TRACKING_PARAM_RE}')"
+    )
+    qs2 = f"array_join(array_sort({params}), '&')"
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs2} = '' THEN '' ELSE concat('?', {qs2}) END)"
+    )
+
+
+def canonical_url_sql(u: str) -> str:
+    """DuckDB twin of :func:`canonical_url` over SQL fragment ``u`` —
+    same policy constants, list functions instead of HOF lambdas."""
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    nofrag = f"string_split({rest}, '#')[1]"
+    hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
+    host = (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END, '^www\\.', '')"
+    )
+    pathq = f"substr({nofrag}, length({hostport}) + 1)"
+    rawpath = f"string_split({pathq}, '?')[1]"
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    qs = (
+        f"CASE WHEN strpos({pathq}, '?') > 0 "
+        f"THEN substr({pathq}, strpos({pathq}, '?') + 1) ELSE '' END"
+    )
+    params = (
+        f"list_filter(string_split({qs}, '&'), "
+        f"x -> x != '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))"
+    )
+    # coalesce: DuckDB's array_to_string yields NULL for an empty
+    # filter result, and DuckDB concat SKIPS null args — without the
+    # coalesce a query-less URL would grow a bare trailing '?'.
+    qs2 = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs2} = '' THEN '' ELSE concat('?', {qs2}) END)"
+    )
+
+
+def url_dedup_groups(
+    df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse URL spelling variants: one row per canonical URL with
+    the copy count and the minimum id as the canonical document.
+
+    Map-side canonicalization + one partial-aggregatable groupBy —
+    the only shuffle carries (canonical_url, partial count, partial
+    min), already reduced per map task.
+    """
+    return (
+        df.select(
+            canonical_url(url_col).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )

@@ -6191,6 +6191,68 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# URL canonicalization dedup (web-crawl first-pass dedup)
+# ====================================================================
+
+from ..dataops import urls as ur  # noqa: E402
+
+
+def _url_corpus_sql(cast_t: str, intdiv: str) -> str:
+    """Deterministic URL spellings synthesized from doc_id — four
+    variants per group (host case, default port, www., tracking
+    params, param order, fragment, trailing slash) that all
+    canonicalize to the same URL.  Groups are CONSECUTIVE id runs
+    (doc_id div 4) so the collapse is non-vacuous at every corpus
+    size.  Same fragment runs on BOTH engines (only the string cast
+    type and integer-division operator differ)."""
+    g = f"(doc_id {intdiv} 4)"
+    gs = f"CAST({g} AS {cast_t})"
+    dom = f"concat('site', CAST({g} % 7 AS {cast_t}), '.org')"
+    return f"""CASE doc_id % 4
+        WHEN 0 THEN concat('https://', {dom}, '/page/', {gs}, '?a=1&b=2')
+        WHEN 1 THEN concat('HTTPS://WWW.', upper({dom}), ':443/page/',
+                           {gs}, '/?b=2&utm_source=news&a=1#top')
+        WHEN 2 THEN concat('https://www.', {dom}, '/page/', {gs},
+                           '?utm_campaign=x&a=1&b=2')
+        ELSE concat('https://', {dom}, ':443/page/', {gs},
+                    '/?a=1&fbclid=abc123&b=2')
+        END"""
+
+
+_URL_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_url_corpus_sql('VARCHAR', '//')} AS url
+    FROM documents
+)
+SELECT {ur.canonical_url_sql('url')} AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM raw
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("docs_url_canonical_dedup", _URL_ORACLE)
+def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl first-pass dedup: canonicalize URL spelling variants
+    (host case, default ports, ``www.``, tracking params, param order,
+    fragments, trailing slashes — dataops.urls policy) and collapse to
+    one row per canonical URL with copy count and min-id canonical
+    doc.  The canonicalization is ONE nested JVM expression (regexp +
+    split + filter + array_sort — whole-stage codegen, no UDF); the
+    only shuffle is the partial-aggregatable groupBy on the canonical
+    string.  The oracle's canonicalizer is GENERATED from the same
+    policy constants (dataops.urls.canonical_url_sql) so engine and
+    oracle cannot drift."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", F.expr(_url_corpus_sql("STRING", "div")).alias("url")
+    )
+    return ur.url_dedup_groups(raw).orderBy("canonical_url")
+
+
+# ====================================================================
 # Embeddings validity contract — applied to every oracle uniformly
 # ====================================================================
 

@@ -1080,3 +1080,62 @@ def test_sanitize_unicode_contract(spark):
     assert out[3]["n_chars_clean"] == 0 and out[3]["changed"]
     assert all(v is None for k, v in out[4].items() if k != "doc_id")
     assert out[5]["n_astral"] == 1 and not out[5]["changed"]
+
+
+# ------------------------------------------------------------------
+# URL canonicalization (dataops.urls)
+# ------------------------------------------------------------------
+
+_URL_CASES = [
+    # (raw, expected canonical)
+    ("https://Example.COM/a/b?x=2&a=1", "https://example.com/a/b?a=1&x=2"),
+    ("HTTPS://WWW.EXAMPLE.COM:443/a/b/?a=1&x=2#frag",
+     "https://example.com/a/b?a=1&x=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/", "http://example.com:8080/"),  # non-default
+    ("https://example.com:80/", "https://example.com:80/"),  # wrong scheme
+    ("https://example.com", "https://example.com/"),  # bare host -> '/'
+    ("https://example.com/p?utm_source=x&utm_medium=y&fbclid=z&gclid=q"
+     "&msclkid=m&ref=r", "https://example.com/p"),
+    ("https://example.com/p?ref=r&real=1", "https://example.com/p?real=1"),
+    ("https://example.com/p///", "https://example.com/p"),
+    ("https://example.com/p?b=2&a=1&b=1", "https://example.com/p?a=1&b=1&b=2"),
+]
+
+
+def test_canonical_url_policy(spark):
+    from credit_card_etl_pipeline_spark.dataops import urls as ur
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(_URL_CASES)],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", ur.canonical_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(_URL_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_duckdb_twin_parity(spark):
+    import duckdb
+
+    from credit_card_etl_pipeline_spark.dataops import urls as ur
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(_URL_CASES)],
+        "i long, url string",
+    )
+    spark_out = {
+        r["i"]: r["c"]
+        for r in df.select("i", ur.canonical_url("url").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, (raw, _) in enumerate(_URL_CASES):
+        duck = con.execute(
+            f"SELECT {ur.canonical_url_sql('url')} "
+            "FROM (SELECT ? AS url)",
+            [raw],
+        ).fetchone()[0]
+        assert duck == spark_out[i], f"{raw!r}: duck {duck!r} != spark"
