@@ -889,3 +889,81 @@ def pack_sequences(
         .alias("last_seq"),
         (F.col("start_tok") % seq_tokens).cast("long").alias("seq_offset"),
     )
+
+
+# ------------------------------------------------------------------
+# Distribution-matched sampling (importance resampling to a target)
+# ------------------------------------------------------------------
+
+def distribution_matched_sample(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    id_col: str,
+    hash_salt: str = "lm:",
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance resampling so the sampled rows are
+    UNIFORM over the observed values of ``bucket_col`` — the
+    "match the length/domain distribution" step of a training-data
+    pipeline, without an RNG (same rows on any engine, any
+    partitioning, any day).
+
+    Per-bucket acceptance threshold (integer ppm, exact):
+
+        threshold_b = min(ppm, (N * ppm) // (B * n_b))
+
+    where N = corpus size, B = number of observed buckets, n_b = the
+    bucket's count: over-represented buckets are down-sampled to the
+    uniform share, under-represented buckets keep everything (this is
+    rejection-free importance resampling truncated at weight 1).
+    A row is kept iff md5(salt || id) % ppm < threshold_b.
+
+    Shape at 100 TB: the bucket histogram is a partial-aggregatable
+    groupBy collapsing to B rows; totals are a 1-row aggregate over
+    it; both broadcast back to the corpus scan (no corpus-sized
+    shuffle).  The acceptance filter is a pure map-side predicate.
+
+    Returns one summary row per bucket:
+    (bucket, n_before, threshold_ppm, n_sampled).
+    """
+    from ..functions.hashing import md5_int60
+
+    b = F.col(bucket_col)
+    stats = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    tot = stats.agg(
+        F.sum("n_before").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    thresholds = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "threshold_ppm",
+            F.least(
+                F.lit(ppm).cast("long"),
+                F.expr(f"(n_total * {ppm}) div (n_buckets * n_before)"),
+            ),
+        )
+        .select("bucket", "n_before", "threshold_ppm")
+    )
+    u_ppm = (
+        md5_int60(F.concat(F.lit(hash_salt), F.col(id_col).cast("string")))
+        % ppm
+    )
+    sampled = (
+        df.select(b.alias("bucket"), u_ppm.alias("u_ppm"))
+        .join(F.broadcast(thresholds), "bucket")
+        .where(F.col("u_ppm") < F.col("threshold_ppm"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return thresholds.join(sampled, "bucket", "left").select(
+        "bucket",
+        "n_before",
+        "threshold_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias(
+            "n_sampled"
+        ),
+    )

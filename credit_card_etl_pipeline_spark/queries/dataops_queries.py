@@ -6253,6 +6253,81 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# Distribution-matched sampling (length-uniform resample)
+# ====================================================================
+
+#: Null-hostile length bucket, clamped to [0, 9] (greatest BEFORE the
+#: integer division — floor-vs-truncate divergence on negatives).
+_LEN_BUCKET = (
+    "CASE WHEN n_chars IS NULL THEN -1 "
+    "ELSE least(greatest(n_chars, 0) {div} 100, 9) END"
+)
+
+_LEN_MATCH_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST({_LEN_BUCKET.format(div='//')} AS BIGINT) AS bucket
+    FROM documents
+),
+s AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_before
+    FROM b GROUP BY bucket
+),
+t AS (
+    SELECT CAST(sum(n_before) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM s
+),
+th AS (
+    SELECT bucket, n_before,
+           least(CAST(1000000 AS BIGINT),
+                 (n_total * 1000000) // (n_buckets * n_before))
+               AS threshold_ppm
+    FROM s, t
+),
+samp AS (
+    SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM b JOIN th USING (bucket)
+    WHERE {md5_int60_sql("'lm:' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < threshold_ppm
+    GROUP BY b.bucket
+)
+SELECT th.bucket, th.n_before, th.threshold_ppm,
+       coalesce(samp.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM th LEFT JOIN samp USING (bucket)
+ORDER BY th.bucket
+"""
+
+
+@query("documents_length_matched_sample", _LEN_MATCH_ORACLE)
+def documents_length_matched_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Importance-resample the corpus so sampled docs are UNIFORM over
+    10 length buckets (the "match the target length distribution"
+    curation step), deterministically — acceptance is an integer-ppm
+    md5 threshold, not an RNG, so the same rows survive on any engine
+    / partitioning / day.  Over-represented buckets are down-sampled
+    to the uniform share; under-represented keep everything
+    (truncated-weight importance resampling,
+    dataops.curate.distribution_matched_sample).  Scale shape: bucket
+    histogram is a partial-aggregatable groupBy to ≤11 rows; both it
+    and the 1-row totals broadcast back; the accept filter is pure
+    map-side.  Returns the per-bucket before/threshold/after summary."""
+    from ..dataops.curate import distribution_matched_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_LEN_BUCKET.format(div="div"))
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return distribution_matched_sample(
+        docs, bucket_col="len_bucket", id_col="doc_id"
+    ).orderBy("bucket")
+
+
+# ====================================================================
 # Embeddings validity contract — applied to every oracle uniformly
 # ====================================================================
 

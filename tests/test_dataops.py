@@ -1139,3 +1139,38 @@ def test_canonical_url_duckdb_twin_parity(spark):
             [raw],
         ).fetchone()[0]
         assert duck == spark_out[i], f"{raw!r}: duck {duck!r} != spark"
+
+
+def test_distribution_matched_sample(spark):
+    from credit_card_etl_pipeline_spark.dataops.curate import (
+        distribution_matched_sample,
+    )
+
+    # bucket 0: 900 rows (hot), bucket 1: 90, bucket 2: 10 (rare)
+    rows = (
+        [(i, 0) for i in range(900)]
+        + [(i + 1000, 1) for i in range(90)]
+        + [(i + 2000, 2) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, bucket long")
+    out = {
+        r["bucket"]: r.asDict()
+        for r in distribution_matched_sample(
+            df, bucket_col="bucket", id_col="doc_id"
+        ).collect()
+    }
+    # uniform target share = 1000/3 per bucket
+    assert out[0]["threshold_ppm"] == (1000 * 1_000_000) // (3 * 900)
+    assert out[1]["threshold_ppm"] == 1_000_000  # under-represented: keep all
+    assert out[2]["threshold_ppm"] == 1_000_000
+    assert out[1]["n_sampled"] == 90 and out[2]["n_sampled"] == 10
+    # hot bucket downsampled to ~the uniform share (md5 is uniform-ish)
+    assert 200 <= out[0]["n_sampled"] <= 500
+    # determinism: same call, same rows
+    again = {
+        r["bucket"]: r["n_sampled"]
+        for r in distribution_matched_sample(
+            df, bucket_col="bucket", id_col="doc_id"
+        ).collect()
+    }
+    assert again == {b: d["n_sampled"] for b, d in out.items()}
