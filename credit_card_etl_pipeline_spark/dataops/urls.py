@@ -118,9 +118,13 @@ def canonical_url_sql(u: str) -> str:
     # filter result, and DuckDB concat SKIPS null args — without the
     # coalesce a query-less URL would grow a bare trailing '?'.
     qs2 = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    # Outer NULL guard for the same concat asymmetry: Spark's concat
+    # propagates a NULL url to a NULL canonical; DuckDB's would skip
+    # the NULL fragments and emit a junk non-null string.
     return (
+        f"CASE WHEN {u} IS NULL THEN NULL ELSE "
         f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {qs2} = '' THEN '' ELSE concat('?', {qs2}) END)"
+        f"CASE WHEN {qs2} = '' THEN '' ELSE concat('?', {qs2}) END) END"
     )
 
 

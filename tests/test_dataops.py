@@ -1132,6 +1132,21 @@ def test_canonical_url_duckdb_twin_parity(spark):
         for r in df.select("i", ur.canonical_url("url").alias("c")).collect()
     }
     con = duckdb.connect()
+    # NULL url: both engines must yield NULL (DuckDB concat would
+    # otherwise skip the null fragments and emit junk)
+    assert (
+        con.execute(
+            f"SELECT {ur.canonical_url_sql('url')} "
+            "FROM (SELECT CAST(NULL AS VARCHAR) AS url)"
+        ).fetchone()[0]
+        is None
+    )
+    null_spark = (
+        spark.createDataFrame([(None,)], "url string")
+        .select(ur.canonical_url("url").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert null_spark is None
     for i, (raw, _) in enumerate(_URL_CASES):
         duck = con.execute(
             f"SELECT {ur.canonical_url_sql('url')} "
