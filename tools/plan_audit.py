@@ -89,6 +89,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     # average/threshold is a 1-row frame joined with <,> conditions.
     "customers_above_avg_no_urgent": "1-row avg(acctbal) scalar (Q22)",
     "tpch_q11_important_stock": "1-row value-threshold scalar",
+    # Distribution-matched sampling: the 1-row (n_total, n_buckets)
+    # aggregate cross-joined onto the ≤11-row bucket histogram
+    # (curate.distribution_matched_sample — F.broadcast'ed).
+    "documents_length_matched_sample": "1-row corpus totals onto bucket histogram",
 }
 
 VIOLATION_NODES = ("CartesianProduct", "BatchEvalPython")
