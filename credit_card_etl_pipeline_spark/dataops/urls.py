@@ -50,6 +50,46 @@ def canonical_url(url_sql: str) -> Column:
     return F.expr(_spark_canonical_sql(url_sql))
 
 
+def canonical_host(url_sql: str) -> Column:
+    """Canonical host (lowercased, default port and ``www.``
+    stripped) of the URL computed by Spark-SQL fragment ``url_sql`` —
+    the key for host-level rollups and domain blocklist joins."""
+    return F.expr(_spark_host_sql(url_sql))
+
+
+def canonical_host_sql(u: str) -> str:
+    """DuckDB twin of :func:`canonical_host`."""
+    return _duck_host_sql(u)
+
+
+def _spark_host_sql(u: str) -> str:
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    nofrag = f"element_at(split({rest}, '#'), 1)"
+    hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
+    return (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END, '^www\\\\.', '')"
+    )
+
+
+def _duck_host_sql(u: str) -> str:
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    nofrag = f"string_split({rest}, '#')[1]"
+    hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
+    return (
+        f"regexp_replace(CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END, '^www\\.', '')"
+    )
+
+
 def _spark_canonical_sql(u: str) -> str:
     """Spark-SQL expression string computing the canonical URL of the
     expression ``u``.  Structured as nested lets via a chain of
@@ -58,13 +98,7 @@ def _spark_canonical_sql(u: str) -> str:
     rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
     nofrag = f"element_at(split({rest}, '#'), 1)"
     hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
-    host = (
-        f"regexp_replace(CASE WHEN {scheme} = 'http' "
-        f"THEN regexp_replace({hostport}, ':80$', '') "
-        f"WHEN {scheme} = 'https' "
-        f"THEN regexp_replace({hostport}, ':443$', '') "
-        f"ELSE {hostport} END, '^www\\\\.', '')"
-    )
+    host = _spark_host_sql(u)
     pathq = f"substring({nofrag}, length(regexp_extract({nofrag}, '^([^/?]*)', 1)) + 1)"
     rawpath = f"element_at(split({pathq}, '\\\\?'), 1)"
     path = (
@@ -93,13 +127,7 @@ def canonical_url_sql(u: str) -> str:
     rest = f"regexp_replace({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
     nofrag = f"string_split({rest}, '#')[1]"
     hostport = f"lower(regexp_extract({nofrag}, '^([^/?]*)', 1))"
-    host = (
-        f"regexp_replace(CASE WHEN {scheme} = 'http' "
-        f"THEN regexp_replace({hostport}, ':80$', '') "
-        f"WHEN {scheme} = 'https' "
-        f"THEN regexp_replace({hostport}, ':443$', '') "
-        f"ELSE {hostport} END, '^www\\.', '')"
-    )
+    host = _duck_host_sql(u)
     pathq = f"substr({nofrag}, length({hostport}) + 1)"
     rawpath = f"string_split({pathq}, '?')[1]"
     path = (
@@ -147,5 +175,43 @@ def url_dedup_groups(
         .agg(
             F.count("*").cast("long").alias("n_copies"),
             F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def host_blocklist_rollup(
+    df: DataFrame,
+    blocked_hosts: list[str],
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain filtering + host-level crawl profile: drop documents
+    whose canonical host is on the blocklist (broadcast anti-join —
+    the real-world blocklist is ~100k domains, far under the
+    broadcast threshold), then roll up per surviving host: document
+    count and distinct-canonical-URL count.
+
+    Scale shape: host extraction is map-side expression work; the
+    anti-join broadcasts the blocklist (never shuffles the corpus);
+    the rollup is a partial-aggregatable groupBy on the host (the
+    distinct count shuffles (host, canonical_url) pairs once — bounded
+    by the crawl's URL space, with hot hosts handled by AQE).
+    """
+    spark = df.sparkSession
+    blocked = spark.createDataFrame(
+        [(h,) for h in blocked_hosts], "host string"
+    )
+    hosts = df.select(
+        canonical_host(url_col).alias("host"),
+        canonical_url(url_col).alias("canonical_url"),
+        F.col(id_col),
+    )
+    return (
+        hosts.join(F.broadcast(blocked), "host", "left_anti")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canonical_url").cast("long").alias("n_urls"),
         )
     )

@@ -6252,6 +6252,51 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ur.url_dedup_groups(raw).orderBy("canonical_url")
 
 
+#: Blocklisted canonical hosts for the rollup query (2 of the 7
+#: synthesized domains).
+_BLOCKED_HOSTS = ["site2.org", "site5.org"]
+
+_HOST_ROLLUP_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_url_corpus_sql('VARCHAR', '//')} AS url
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           {ur.canonical_host_sql('url')} AS host,
+           {ur.canonical_url_sql('url')} AS canonical_url
+    FROM raw
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls
+FROM h
+WHERE host IS NULL
+   OR host NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_HOSTS)})
+GROUP BY host
+ORDER BY host
+"""
+
+
+@query("docs_host_blocklist_rollup", _HOST_ROLLUP_ORACLE)
+def docs_host_blocklist_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Domain filtering + host-level crawl profile: canonical-host
+    extraction (map-side expression), broadcast ANTI-join against the
+    blocklist (a real blocklist is ~100k domains — never shuffle the
+    corpus for it), then a per-host rollup of document count and
+    distinct canonical URLs.  The oracle mirrors the anti-join's
+    null-key semantics explicitly (IS NULL OR NOT IN) so a null host
+    survives filtering on both engines.  See
+    dataops.urls.host_blocklist_rollup."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", F.expr(_url_corpus_sql("STRING", "div")).alias("url")
+    )
+    return ur.host_blocklist_rollup(raw, _BLOCKED_HOSTS).orderBy("host")
+
+
 # ====================================================================
 # Distribution-matched sampling (length-uniform resample)
 # ====================================================================

@@ -1189,3 +1189,25 @@ def test_distribution_matched_sample(spark):
         ).collect()
     }
     assert again == {b: d["n_sampled"] for b, d in out.items()}
+
+
+def test_host_blocklist_rollup(spark):
+    from credit_card_etl_pipeline_spark.dataops import urls as ur
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://WWW.Bad.com:443/x"),
+            (1, "http://bad.com:80/y?utm_source=z"),
+            (2, "https://good.org/a?b=2&a=1"),
+            (3, "https://good.org/a?a=1&b=2"),  # same canonical as 2
+            (4, "https://good.org/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["host"]: r.asDict()
+        for r in ur.host_blocklist_rollup(df, ["bad.com"]).collect()
+    }
+    assert "bad.com" not in out            # both spellings blocked
+    assert out["good.org"]["n_docs"] == 3
+    assert out["good.org"]["n_urls"] == 2  # 2 and 3 collapse
