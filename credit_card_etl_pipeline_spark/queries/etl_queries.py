@@ -742,10 +742,11 @@ _stream_ds_counter = iter(range(1_000_000))
 @query("stream_ingest_datasource", _INGEST_ORACLE)
 def stream_ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same ingest as a STREAMING Python Data Source (Spark 4
-    SimpleDataSourceStreamReader): the statement directory is tailed
-    file-by-file — each micro-batch delivers one file's lines, offsets
-    count files consumed, and readBetweenOffsets makes checkpoint
-    replays exact.  The landed line stream feeds the identical
+    SimpleDataSourceStreamReader): the statement directory is tailed —
+    each micro-batch delivers every file that arrived since the last
+    offset (FileStreamSource shape; ``max_files_per_batch`` throttles),
+    offsets count files consumed, and readBetweenOffsets makes
+    checkpoint replays exact.  The landed line stream feeds the identical
     parse-union, checked against the SAME pinned expected table — so
     batch reader, mapInPandas path, and streaming reader are proven
     feed-equivalent.  The production shape for continuous statement

@@ -42,9 +42,10 @@ def test_datasource_matches_mapinpandas_feed(spark, tmp_path):
 
 
 def test_stream_reader_offsets_and_replay_parity():
-    # pure-python contract: batches advance one file per read(); a
-    # checkpoint replay (readBetweenOffsets) over the full range must
-    # reproduce exactly the union of the per-batch reads.
+    # pure-python contract at the throttled (one-file-per-batch)
+    # granularity: a checkpoint replay (readBetweenOffsets) over the
+    # full range must reproduce exactly the union of the per-batch
+    # reads.
     from credit_card_etl_pipeline_spark.queries.etl_queries import (
         _FIXTURE_DIR,
     )
@@ -52,7 +53,9 @@ def test_stream_reader_offsets_and_replay_parity():
         BankStatementStreamReader,
     )
 
-    r = BankStatementStreamReader({"path": str(_FIXTURE_DIR)})
+    r = BankStatementStreamReader(
+        {"path": str(_FIXTURE_DIR), "max_files_per_batch": "1"}
+    )
     off = r.initialOffset()
     assert off == {"i": 0}
     batches, offsets = [], [off]
@@ -69,3 +72,38 @@ def test_stream_reader_offsets_and_replay_parity():
     assert replay == [row for b in batches for row in b]
     # partial replay: a single middle batch
     assert list(r.readBetweenOffsets(offsets[1], offsets[2])) == batches[1]
+
+
+def test_stream_reader_default_batches_all_available():
+    # default (unthrottled) contract — the FileStreamSource shape: ONE
+    # micro-batch consumes every file not yet seen, and its rows equal
+    # the concatenation of the per-file throttled batches (so batch
+    # granularity never changes the landed data).
+    from credit_card_etl_pipeline_spark.queries.etl_queries import (
+        _FIXTURE_DIR,
+    )
+    from credit_card_etl_pipeline_spark.sources.datasource import (
+        BankStatementStreamReader,
+    )
+
+    throttled = BankStatementStreamReader(
+        {"path": str(_FIXTURE_DIR), "max_files_per_batch": "1"}
+    )
+    per_file: list[tuple] = []
+    off = throttled.initialOffset()
+    while True:
+        rows, nxt = throttled.read(off)
+        if nxt == off:
+            break
+        per_file.extend(rows)
+        off = nxt
+    n_files = int(off["i"])
+    assert n_files >= 4
+
+    r = BankStatementStreamReader({"path": str(_FIXTURE_DIR)})
+    rows, nxt = r.read(r.initialOffset())
+    assert nxt == {"i": n_files}  # everything consumed in one batch
+    assert list(rows) == per_file
+    # next poll: no new files -> empty batch, same offset
+    rows2, nxt2 = r.read(nxt)
+    assert list(rows2) == [] and nxt2 == nxt
