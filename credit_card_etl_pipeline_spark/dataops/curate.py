@@ -394,7 +394,10 @@ def lm_typicality(
     counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    total = counts.agg(F.sum("c").cast("long").alias("t"))
+    # Σc over grams = gram-row count: one map-side count on the cached
+    # gram stream instead of re-running the groupBy(gram) shuffle that
+    # ``counts`` (consumed lazily by the scoring join) would re-run.
+    total = grams.agg(F.count(F.lit(1)).cast("long").alias("t"))
     scored = (
         grams.join(counts, "gram")
         .crossJoin(F.broadcast(total))
@@ -456,12 +459,17 @@ def dsir_weights(
     aggregations (fit + per-doc score), same as :func:`lm_typicality`.
     Docs with fewer than two tokens have no features and are absent.
     """
-    from ..functions import caching
     from ..functions.hashing import md5_int60
 
-    # exploded gram buckets feed the raw fit, the target fit, and the
-    # scoring join — persist once
-    grams = caching.track(
+    # exploded gram buckets feed the raw fit and the scoring join —
+    # materialize ONCE, eagerly: a lazy persist loses the race when
+    # AQE launches the fit's and the score's map stages concurrently
+    # (both miss the cache and both re-run the tokenize+explode+md5
+    # pass — observed as twin identical stages at sf0.1); the eager
+    # localCheckpoint also truncates the corpus subplan so Catalyst
+    # re-optimizes a constant-size scan per consumer.  Blocks are
+    # released by the ContextCleaner when the frame goes out of scope.
+    grams = (
         df.select(
             F.col(id_col),
             target_pred.alias("is_target"),
@@ -477,7 +485,7 @@ def dsir_weights(
             "is_target",
             (md5_int60(F.col("gram")) % n_buckets).alias("bucket"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # BOTH models in one aggregation pass: the raw count and the
     # target-conditional count share the bucket shuffle (a separate
@@ -490,9 +498,17 @@ def dsir_weights(
         .cast("long")
         .alias("ct"),
     )
-    totals = model.agg(
-        F.sum("cr").cast("long").alias("tr"),
-        F.sum("ct").cast("long").alias("tt"),
+    # Σcr over buckets = gram-row count and Σct = target-gram count, so
+    # the scalar totals come straight off the materialized gram stream
+    # as one map-side-combinable count — NOT from ``model``, whose plan
+    # would re-run the full bucket aggregation a second time (the model
+    # is consumed lazily by broadcast(model) below; re-deriving totals
+    # from it doubled the bucket-aggregate pass over the gram stream).
+    totals = grams.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
     )
     bits_raw = F.floor(F.log2(F.col("tr") + n_buckets)) - F.floor(
         F.log2(F.col("cr") + 1)
@@ -549,6 +565,11 @@ def dsir_fit(
         .cast("long")
         .alias("ct"),
     )
+    # materialize the bounded (≤ n_buckets rows) model ONCE: `totals`
+    # and the returned crossJoin each embed the model plan, and without
+    # the checkpoint the full gram explode + bucket aggregation runs
+    # twice — one corpus pass per consumer at any scale.
+    model = model.localCheckpoint(eager=True)
     totals = model.agg(
         F.sum("cr").cast("long").alias("tr"),
         F.sum("ct").cast("long").alias("tt"),

@@ -1079,7 +1079,18 @@ def centroid_outlier_verdicts(
     pass is map-only after a broadcast join, and the per-label Σd2
     reduction shuffles one (label, long) pair per vector.  Never a
     per-vector-pair computation.
+
+    The input is consumed THREE times (centroid fit, the Σd2
+    reduction, the verdict pass) and the distance frame twice — both
+    are persisted (functions.caching) so the caller's vector plan and
+    the zip_with distance aggregate run once, not 3×/2×.  Measured
+    sf0.1 (curation_pipeline_v4): the un-persisted shape re-ran the
+    upstream quantize/validity scan as six sequential single-task
+    stages ≈ 5s of an 8.9s query.
     """
+    from ..functions import caching
+
+    df = caching.track(df.persist())
     lab = F.col(label_col).cast("long").alias("label")
     stats = (
         df.select(lab, F.posexplode(F.col(vec_col)).alias("pos", "x"))
@@ -1112,6 +1123,7 @@ def centroid_outlier_verdicts(
         ).alias("d2"),
         "n_members",
     )
+    d = caching.track(d.persist())
     sums = d.groupBy("label").agg(
         F.sum("d2").cast("long").alias("label_d2_sum")
     )

@@ -5114,21 +5114,22 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(sig, bands=2, rows=4, max_bucket_size=None)
     comps = dd.connected_components(c.select("doc_id"), pairs)
 
-    emb = emb_valid(spark, sf_dir)
-    plant = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    # quantize ONCE on the base table and derive the planted copies
+    # from the already-quantized rows: quantize(embedding) is
+    # deterministic per row, so the union of (base, plant) quantized
+    # equals quantizing the union — but pays one validity-filter +
+    # quantize pass over the parquet scan instead of two.
+    ebase = emb_valid(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        sim.quantize(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("qvec"),
     )
-    evecs = (
-        emb.select("vec_id", "embedding", "label")
-        .unionByName(plant)
-        .select(
-            "vec_id",
-            "label",
-            sim.quantize(
-                F.transform(F.col("embedding"), lambda x: x.cast("double"))
-            ).alias("qvec"),
-        )
+    plant = ebase.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "qvec"
     )
+    evecs = ebase.unionByName(plant)
     outv = sim.centroid_outlier_verdicts(evecs).select(
         F.col("vec_id").alias("doc_id"), "is_outlier"
     )

@@ -387,6 +387,30 @@ def test_dsir_fit_score_matches_fused_weights(spark):
     assert {r.doc_id: (r.n, r.b) for r in split} == fused
 
 
+def test_dsir_totals_equal_model_column_sums(spark):
+    # r11 optimization guard: the scalar totals are now computed
+    # straight off the gram stream (dsir_weights / lm_typicality) or a
+    # checkpointed model (dsir_fit) instead of re-aggregating the model
+    # plan — this pins the invariant the rewrite relies on:
+    # tr == Σcr and tt == Σct over the fitted buckets.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma alpha beta"),
+            (2, "de", "delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    model = cu.dsir_fit(df, F.col("lang") == "en")
+    rows = model.collect()
+    assert rows, "model must not be empty"
+    tr, tt = rows[0].tr, rows[0].tt
+    assert all(r.tr == tr and r.tt == tt for r in rows)
+    assert tr == sum(r.cr for r in rows) == 8  # 4 + 4 bigrams
+    assert tt == sum(r.ct for r in rows) == 4  # the en doc's bigrams
+
+
 def test_token_budget_quotas_sum_exactly(spark):
     # largest-remainder property: per-source quotas sum to the budget
     # exactly, and the greedy fill never exceeds a source's quota.
