@@ -661,36 +661,61 @@ def substring_containment(
     from ..functions.hashing import md5_int60
 
     norm = normalize_text(F.col(text_col))
-    # token count and anchor shingle derive from ONE projected token
-    # array (three inline-split references would re-split per use);
-    # the token column is dropped before base fans out to the joins
-    base = df.select(F.col(id_col), norm.alias("__norm")).select(
-        F.col(id_col),
-        "__norm",
-        F.split(F.col("__norm"), " ").alias("__toks"),
-    )
-    sized = base.select(
-        F.col(id_col),
-        "__norm",
-        F.size("__toks").cast("long").alias("__ntoks"),
-        F.concat_ws(" ", F.slice("__toks", 1, n)).alias("__anchor"),
+    # The normalized+sized view fans out to FIVE consumers (anchors,
+    # the shingle table, the container length gate, and both verify
+    # text joins) — materialize it ONCE.  Without the checkpoint each
+    # consumer re-ran the caller's upstream plan plus the normalize
+    # regex and tokenize per branch (measured at sf0.1 in
+    # curation_pipeline_v2: the final save re-derived this chain four
+    # times; at scale that is four corpus passes for one).  The token
+    # array itself is NOT stored — it inflates the checkpoint by the
+    # full token count per doc; the one consumer that needs tokens
+    # (the shingle branch, itself checkpointed below when capped)
+    # re-splits the already-normalized text.
+    sized = (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .select(
+            F.col(id_col),
+            "__norm",
+            F.split(F.col("__norm"), " ").alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            "__norm",
+            F.size("__toks").cast("long").alias("__ntoks"),
+            F.concat_ws(" ", F.slice("__toks", 1, n)).alias("__anchor"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__toks",
+                    F.greatest(F.size("__toks") - (n - 1), F.lit(1)),
+                    n,
+                ),
+            ).alias("__last"),
+        )
+        .localCheckpoint(eager=True)
     )
     anchors = sized.where(F.col("__ntoks") >= n).select(
         F.col(id_col).alias("contained_id"),
         F.col("__ntoks").alias("contained_tokens"),
         md5_int60(F.col("__anchor")).alias("__h"),
     )
-    sh = base.select(
+    # materialize the hashed shingle view once: it feeds the frequency
+    # aggregate (when capped), the anchor join, AND the last-shingle
+    # candidate gate below (same re-scan hazard as the LSH banded
+    # view); 16 bytes/row, a fraction of the text form
+    sh_all = sized.select(
         F.col(id_col),
-        F.explode(_token_shingles(F.col("__toks"), n)).alias("shingle"),
-    ).select(F.col(id_col), md5_int60(F.col("shingle")).alias("__h"))
+        F.explode(
+            _token_shingles(F.split(F.col("__norm"), " "), n)
+        ).alias("shingle"),
+    ).select(
+        F.col(id_col), md5_int60(F.col("shingle")).alias("__h")
+    ).localCheckpoint(eager=True)
+    sh = sh_all
     if max_anchor_bucket is not None:
-        # materialize once: the hashed view feeds the frequency
-        # aggregate AND the anchor join (same re-scan hazard as the
-        # LSH banded view); 16 bytes/row, a fraction of the text form
-        sh = sh.localCheckpoint(eager=True)
-        freq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__sn"))
-        sh = sh.join(
+        freq = sh_all.groupBy("__h").agg(F.count(F.lit(1)).alias("__sn"))
+        sh = sh_all.join(
             freq.where(F.col("__sn") <= max_anchor_bucket).drop("__sn"),
             "__h",
         )
@@ -717,10 +742,32 @@ def substring_containment(
     cand = cand.join(container_len, "container_id").where(
         F.col("contained_tokens") <= F.col("__b_len")
     )
-    contained_txt = base.select(
+    # Last-shingle gate (ids only, BEFORE any text attaches): a
+    # token-aligned containment puts EVERY a-shingle — in particular
+    # a's last n-gram — among b's distinct shingles, so requiring a
+    # (container_id, last-shingle-hash) hit against the UNCAPPED
+    # shingle table prunes only never-verifiable pairs (the capped
+    # table must not be used here: a true pair whose last shingle sat
+    # in an over-cap bucket would be lost).  Anchor-only candidates
+    # are dominated by hot first-trigrams (boilerplate openers);
+    # measured sf0.1 curation_pipeline_v2: 38 598 length-gated
+    # candidates, 981 verified — this gate removes ~97% of the
+    # text-attach shuffle and contains() work on 16-byte rows.
+    last_h = sized.where(F.col("__ntoks") >= n).select(
+        F.col(id_col).alias("contained_id"),
+        md5_int60(F.col("__last")).alias("__lh"),
+    )
+    cand = cand.join(last_h, "contained_id").join(
+        sh_all.select(
+            F.col(id_col).alias("container_id"), F.col("__h").alias("__lh")
+        ),
+        ["container_id", "__lh"],
+        "left_semi",
+    )
+    contained_txt = sized.select(
         F.col(id_col).alias("contained_id"), F.col("__norm").alias("__a_norm")
     )
-    container_txt = base.select(
+    container_txt = sized.select(
         F.col(id_col).alias("container_id"), F.col("__norm").alias("__b_norm")
     )
     return (

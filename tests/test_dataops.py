@@ -378,6 +378,31 @@ def test_substring_containment_anchor_cap(spark):
     assert capped == []
 
 
+def test_substring_containment_hot_last_shingle_survives_cap(spark):
+    # r11 optimization guard: the last-shingle candidate gate must
+    # probe the UNCAPPED shingle table.  Contained doc 1's FIRST
+    # trigram 'u1 u2 u3' is unique (anchor survives cap=2) but its
+    # LAST trigram 'h1 h2 h3' appears in 4 docs (over the cap) — a
+    # gate that consulted the capped table would lose the true pair.
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 u3 h1 h2 h3"),
+            (2, "pre u1 u2 u3 h1 h2 h3 post"),   # contains 1
+            (3, "other words then h1 h2 h3"),    # hot-tail filler
+            (4, "more filler ending h1 h2 h3"),  # hot-tail filler
+        ],
+        "doc_id long, text string",
+    )
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        substring_containment,
+    )
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment(docs, max_anchor_bucket=2).collect()
+    }
+    assert (1, 2) in pairs
+
+
 def test_bloom_no_false_negatives_and_mergeable(spark):
     from credit_card_etl_pipeline_spark.dataops.sketches import (
         bloom_build,
