@@ -223,6 +223,42 @@ def _dot_f(a: Column, b: Column) -> Column:
     )
 
 
+# -- SQL-text twins of the literal-expression builders ---------------
+#
+# Building centroid-literal expressions through the Column API costs
+# one py4j round-trip per F.lit/operator: a k=8 × dim=16 codebook is
+# ~500 driver↔JVM calls, and profiling showed PLAN CONSTRUCTION (not
+# execution) dominating the ANN queries' wall clock (~4s build vs ~1s
+# exec for ann_pq_topk at sf0.1).  Rendering the same expression as
+# ONE SQL string parsed JVM-side by F.expr is ~100x cheaper to build
+# and analyzes to the identical tree (CreateArray of foldable literals
+# constant-folds to the same array Literal; the lambda forms below are
+# the textual spelling of the exact F.zip_with/F.aggregate calls), so
+# results are bit-identical.  ``repr(float)`` round-trips doubles
+# exactly and every centroid sits on the 2^-20 grid, so the text is
+# lossless.
+
+def _f64_sql(v: float) -> str:
+    return repr(float(v)) + "D"
+
+
+def _arr64_sql(values) -> str:
+    return "array(" + ", ".join(_f64_sql(v) for v in values) + ")"
+
+
+def _dot_sql(vec_sql: str, values) -> str:
+    """SQL text of ``_dot_f(vec, literal array)`` — same tree."""
+    return (
+        "aggregate(zip_with(" + vec_sql + ", " + _arr64_sql(values)
+        + ", (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quote a column name for use in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 #: Centroid components live on this fixed binary grid (multiples of
 #: 2⁻²⁰): every centroid value, every v·c product, and every 64-term
 #: dot sum is then EXACTLY representable in a double, so dot products
@@ -311,8 +347,16 @@ def ivf_fit(
 ASSIGN_LITERAL_MAX_K = 16
 
 
-def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+def assign_cluster(
+    vec: "Column | str", centroids: list[list[float]]
+) -> Column:
     """Nearest-centroid id by maximum dot product, lowest cell on ties.
+
+    ``vec`` may be a Column or SQL text naming the vector expression;
+    the SQL form builds the whole assignment as ONE ``F.expr`` string
+    (one py4j call) instead of ~k·dim Column-API calls — same analyzed
+    tree, see the SQL-twin note above — and is what the hot fit/query
+    paths use.
 
     Small codebooks (k <= ASSIGN_LITERAL_MAX_K): one literal dot
     expression per centroid, evaluated JVM-side with whole-stage
@@ -328,6 +372,25 @@ def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     sequential and the quantized inputs keep every product exact in
     f64, so the sums are order-independent), but plan size grows as
     data, not code."""
+    if isinstance(vec, str):
+        if len(centroids) <= ASSIGN_LITERAL_MAX_K:
+            structs = ", ".join(
+                f"named_struct('negdot', -({_dot_sql(vec, c)}), "
+                f"'cell', CAST({i} AS BIGINT))"
+                for i, c in enumerate(centroids)
+            )
+            return F.expr(
+                f"element_at(array_sort(array({structs})), 1).cell"
+            )
+        cents = (
+            "array(" + ", ".join(_arr64_sql(c) for c in centroids) + ")"
+        )
+        return F.expr(
+            "element_at(array_sort(transform(" + cents + ", (c, i) -> "
+            "named_struct('negdot', -(aggregate(zip_with(" + vec + ", c, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)), "
+            "'cell', CAST(i AS BIGINT)))), 1).cell"
+        )
     if len(centroids) <= ASSIGN_LITERAL_MAX_K:
         entries = F.array(
             *[
@@ -382,7 +445,7 @@ def assign_cells(
     argmax is precisely the lowest-cell tie rule."""
     if len(centroids) <= ASSIGN_LITERAL_MAX_K:
         return df.withColumn(
-            out_col, assign_cluster(F.col(vec_col), centroids)
+            out_col, assign_cluster(_qcol(vec_col), centroids)
         )
     import numpy as np
 
@@ -431,21 +494,20 @@ def _probe_cells(
         _norm2(F.col(vec_col)).alias("qnorm"),
     )
     if len(centroids) <= ASSIGN_LITERAL_MAX_K:
-        dots = F.array(
-            *[
-                F.struct(
-                    (-_dot_lit(F.col("qv"), c)).alias("negdot"),
-                    F.lit(i).cast("long").alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        structs = ", ".join(
+            f"named_struct('negdot', -({_dot_sql('qv', c)}), "
+            f"'cell', CAST({i} AS BIGINT))"
+            for i, c in enumerate(centroids)
         )
         return base.select(
             "query_id",
             "qv",
             "qnorm",
             F.explode(
-                F.slice(F.array_sort(dots), 1, nprobe)["cell"]
+                F.expr(
+                    f"slice(array_sort(array({structs})), 1, {int(nprobe)})"
+                    ".cell"
+                )
             ).alias("cell"),
         )
     import numpy as np
@@ -840,10 +902,17 @@ def pq_fit(
 
 
 def pq_codes(
-    vec: Column, books: list[list[list[float]]], *, dim: int = 64
+    vec: "Column | str", books: list[list[list[float]]], *, dim: int = 64
 ) -> list[Column]:
-    """Sub-vector -> nearest-centroid code, one per subspace."""
+    """Sub-vector -> nearest-centroid code, one per subspace.  ``vec``
+    as SQL text takes the one-expr-string build path (see the SQL-twin
+    note above)."""
     sub = dim // len(books)
+    if isinstance(vec, str):
+        return [
+            assign_cluster(f"slice({vec}, {s * sub + 1}, {sub})", book)
+            for s, book in enumerate(books)
+        ]
     return [
         assign_cluster(F.slice(vec, s * sub + 1, sub), book)
         for s, book in enumerate(books)
@@ -872,11 +941,12 @@ def ann_pq_topk(
     tiny query set over the code table — map-only, no shuffle until
     the per-query top-k window."""
     sub = dim // len(books)
+    vec_sql = _qcol(vec_col)
     cand = df.select(
         F.col(id_col).alias("cand_id"),
         *[
             code.alias(f"code{s}")
-            for s, code in enumerate(pq_codes(F.col(vec_col), books, dim=dim))
+            for s, code in enumerate(pq_codes(vec_sql, books, dim=dim))
         ],
     )
     # the ADC lookup tables depend ONLY on the query: materialize the
@@ -889,13 +959,13 @@ def ann_pq_topk(
         F.col(id_col).alias("query_id"),
         _norm2(F.col(vec_col)).alias("qnorm"),
         *[
-            F.array(
-                *[
-                    _dot_lit(
-                        F.slice(F.col(vec_col), s * sub + 1, sub), c
+            F.expr(
+                "array(" + ", ".join(
+                    _dot_sql(
+                        f"slice({vec_sql}, {s * sub + 1}, {sub})", c
                     )
                     for c in book
-                ]
+                ) + ")"
             ).alias(f"tab{s}")
             for s, book in enumerate(books)
         ],
@@ -909,8 +979,8 @@ def ann_pq_topk(
         adc = adc + F.element_at(
             F.col(f"tab{s}"), F.col(f"code{s}").cast("int") + 1
         )
-        norms = F.array(
-            *[F.lit(float(sum(x * x for x in c))) for c in book]
+        norms = F.expr(
+            _arr64_sql([float(sum(x * x for x in c)) for c in book])
         )
         rnorm = rnorm + F.element_at(
             norms, F.col(f"code{s}").cast("int") + 1

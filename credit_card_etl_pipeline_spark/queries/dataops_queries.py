@@ -946,7 +946,7 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantized(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
     vecs.withColumn(
-        "cell", sim.assign_cluster(F.col("qvec"), centroids)
+        "cell", sim.assign_cluster("qvec", centroids)
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     idx = spark.read.parquet(path)
     newb = vecs.where(F.col("vec_id") % 50 == 0).select(
@@ -1586,7 +1586,7 @@ def dedup_semantic_hierarchical(
             assigned0 = pv.select(
                 "vec_id",
                 "qvec",
-                sim.assign_cluster(F.col("qvec"), coarse).alias("cell"),
+                sim.assign_cluster("qvec", coarse).alias("cell"),
             )
             subbook = sim.sub_fit(
                 assigned0, k_sub=_SUB_K, iters=_SUB_ITERS
@@ -1599,7 +1599,7 @@ def dedup_semantic_hierarchical(
         "vec_id",
         "qvec",
         sim._norm2(F.col("qvec")).alias("n2"),
-        sim.assign_cluster(F.col("qvec"), coarse).alias("cell"),
+        sim.assign_cluster("qvec", coarse).alias("cell"),
     )
     leaves = sim.assign_subcells(assigned, subbook)
     # same vectorized verdict stage as dedup_semantic_clusters, keyed

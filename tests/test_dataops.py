@@ -1236,3 +1236,48 @@ def test_host_blocklist_rollup(spark):
     assert "bad.com" not in out            # both spellings blocked
     assert out["good.org"]["n_docs"] == 3
     assert out["good.org"]["n_urls"] == 2  # 2 and 3 collapse
+
+
+def test_assign_cluster_sql_text_matches_column_form(spark):
+    """The SQL-text build path (one F.expr string, r11 plan-construction
+    optimization) must produce the exact rows of the Column-API form on
+    both codebook regimes (literal k<=16 and transform/aggregate
+    k>16), including tie-breaks."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    # duplicate vectors force exact dot ties across centroids
+    vecs += [(100 + i, vecs[i][1]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select("vec_id", sim.quantize(F.col("embedding")).alias("qvec"))
+    for k in (4, sim.ASSIGN_LITERAL_MAX_K + 2):
+        centroids = sim.ivf_fit(q, k=k, iters=1)
+        col_form = q.select(
+            "vec_id", sim.assign_cluster(F.col("qvec"), centroids).alias("c")
+        ).collect()
+        sql_form = q.select(
+            "vec_id", sim.assign_cluster("qvec", centroids).alias("c")
+        ).collect()
+        assert sorted(map(tuple, col_form)) == sorted(map(tuple, sql_form))
+
+
+def test_pq_codes_sql_text_matches_column_form(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select("vec_id", sim.quantize(F.col("embedding")).alias("qvec"))
+    books = sim.pq_fit(q, m=2, k=4, iters=1, dim=8)
+    a = q.select(
+        "vec_id",
+        *[c.alias(f"c{s}") for s, c in enumerate(
+            sim.pq_codes(F.col("qvec"), books, dim=8))],
+    ).collect()
+    b = q.select(
+        "vec_id",
+        *[c.alias(f"c{s}") for s, c in enumerate(
+            sim.pq_codes("qvec", books, dim=8))],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
