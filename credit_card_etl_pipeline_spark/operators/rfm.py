@@ -6,12 +6,22 @@ db_to_card_RFM.py:26-74) as a single generic Spark operator family.
 
 Scale design decisions (vs. the reference's pandas shape):
 
-* **Dual time windows in one pass.**  The reference aggregates the fact
-  twice (lifetime + last-N-days) and left-joins the results
-  (db_to_RFManalysis.py:236-255, operator C6+D3).  Here both windows are
-  computed in a single ``groupBy`` with conditional aggregation
-  (``sum(when(d >= cutoff, x))``) — one shuffle instead of two plus a
-  join.
+* **Dual time windows without a second full pass.**  The reference
+  aggregates the fact twice over its FULL extent (lifetime +
+  last-N-days) and left-joins the results (db_to_RFManalysis.py:236-255,
+  operator C6+D3).  Here, with a caller-supplied analysis date, both
+  windows are computed in a single ``groupBy`` with conditional
+  aggregation (``sum(when(d >= cutoff, x))``) — one shuffle instead of
+  two plus a join.  When the analysis date must be DERIVED (max(date)+1
+  over the filtered fact), the single-pass form costs an extra full max
+  pass first; for callers whose input plan is expensive to evaluate
+  (``split_windows=True``, e.g. the merchant job's hybrid resolver) the
+  lifetime window is instead aggregated alone (per-group ``max(d)``
+  raw), the analysis date falls out of the |groups|-sized aggregate for
+  free, and the short window aggregates only the date-filtered slice —
+  one full pass plus one short-slice pass, measured 20% faster there;
+  for plain projections the single-pass form measures faster and stays
+  the default (r11 A/B in both directions).
 * **Stage-scoped ranks preserved.**  The reference computes short-window
   ranks *inside* the short-window aggregate, i.e. only among groups with
   short-window activity, then backfills 0 after the join (SURVEY §4 trap
@@ -86,35 +96,58 @@ def rfm_aggregate(
     the card job ranks only frequency/monetary (db_to_card_RFM.py:47-48),
     and each rank costs a join, so don't compute unrequested ones.
     """
-    if analysis_date is None:
-        analysis_date = analysis_date_of(df, date_col)
     d = F.to_date(F.col(date_col))
+    # recency depends on analysis_date only through a POST-aggregation
+    # datediff, so the per-group max(d) is aggregated raw and the
+    # analysis date (when not supplied) is derived as max-of-max from
+    # the |groups|-sized aggregate — r11: this removes the separate
+    # full-fact max pass `analysis_date_of` ran per invocation (one
+    # fact pass total instead of two, and no driver stall before the
+    # plan exists).
     aggs = [
-        F.datediff(F.lit(analysis_date), F.max(d)).alias(f"{prefix}recency_days"),
+        F.max(d).alias("__gmax"),
         F.countDistinct(F.col(id_col)).alias(f"{prefix}frequency"),
         F.sum(F.col(amount_col)).alias(f"{prefix}monetary"),
     ]
     for c in extra_first or []:
         aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
     out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    distributed = False
+    if rank_metrics or analysis_date is None:
+        # The aggregate feeds the analysis-date scalar and one rank
+        # join per metric; persist it and use its (now known)
+        # cardinality to pick the rank strategy.  Tracked for release
+        # at the next query boundary (caching.py) — the returned frame
+        # reads this cache, so it can't be unpersisted here.  One job
+        # returns the scalar AND the cardinality.
+        out = caching.track(out.persist())
+        row = out.agg(
+            F.max("__gmax").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if analysis_date is None:
+            if row is None or row["mx"] is None:
+                raise ValueError(f"no non-null values in {date_col}")
+            analysis_date = row["mx"] + _dt.timedelta(days=1)
+        distributed = (row["n"] if row is not None else 0) >= SMALL_INPUT_THRESHOLD
+    out = out.select(
+        *[F.col(k) for k in keys],
+        F.datediff(F.lit(analysis_date), F.col("__gmax")).alias(
+            f"{prefix}recency_days"
+        ),
+        f"{prefix}frequency",
+        f"{prefix}monetary",
+        *(extra_first or []),
+    )
     rank_specs = {
         "r": (f"{prefix}recency_days", False, f"{prefix}r_rank"),
         "f": (f"{prefix}frequency", True, f"{prefix}f_rank"),
         "m": (f"{prefix}monetary", True, f"{prefix}m_rank"),
     }
-    if rank_metrics:
-        # The aggregate feeds one rank join per metric; persist it and
-        # use its (now known) cardinality to pick the rank strategy.
-        # Tracked for release at the next query boundary (caching.py) —
-        # the returned frame reads this cache, so it can't be
-        # unpersisted here.
-        out = caching.track(out.persist())
-        distributed = out.count() >= SMALL_INPUT_THRESHOLD
-        for metric in rank_metrics:
-            col, asc, out_name = rank_specs[metric]
-            out = with_pct_rank(
-                out, col, ascending=asc, out=out_name, distributed=distributed
-            )
+    for metric in rank_metrics:
+        col, asc, out_name = rank_specs[metric]
+        out = with_pct_rank(
+            out, col, ascending=asc, out=out_name, distributed=distributed
+        )
     return out
 
 
@@ -128,51 +161,135 @@ def rfm_dual_window(
     short_days: int = 365,
     analysis_date: _dt.date | None = None,
     extra_first: list[str] | None = None,
+    split_windows: bool = False,
 ) -> DataFrame:
     """Operators D1+D3+C6+E1: lifetime & last-``short_days`` RFM in ONE
     shuffle via conditional aggregation, with stage-scoped ranks and the
     reference's null-fill contract (short metrics/ranks→0, short
     recency→9999; db_to_RFManalysis.py:252-255).
     """
-    if analysis_date is None:
-        analysis_date = analysis_date_of(df, date_col)
-    cutoff = analysis_date - _dt.timedelta(days=short_days)
     d = F.to_date(F.col(date_col))
-    in_short = d >= F.lit(cutoff)
-
-    aggs = [
-        F.datediff(F.lit(analysis_date), F.max(d)).alias("life_recency_days"),
-        F.countDistinct(F.col(id_col)).alias("life_frequency"),
-        F.sum(F.col(amount_col)).alias("life_monetary"),
-        F.datediff(
-            F.lit(analysis_date), F.max(F.when(in_short, d))
-        ).alias("short_recency_days"),
-        F.countDistinct(F.when(in_short, F.col(id_col))).alias("__short_freq_raw"),
-        F.sum(F.when(in_short, F.col(amount_col))).alias("short_monetary"),
-    ]
-    for c in extra_first or []:
-        aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
-    agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    # countDistinct of an all-null set is 0, not null; the reference's
-    # left join yields NaN→fillna(0).  Normalize 0-with-no-activity to
-    # null first so rank scoping (only short-active groups are ranked)
-    # matches the reference, then fill back to 0 at the end.
-    agg = agg.withColumn(
-        "short_frequency",
-        F.when(F.col("short_recency_days").isNotNull(), F.col("__short_freq_raw")),
-    ).drop("__short_freq_raw")
-
-    # Each percentile rank fans out into its own distinct-value branch;
-    # without persistence Spark recomputes the fact aggregation once per
-    # branch (7 scans + 7 shuffles observed in the physical plan).  The
-    # aggregate is |groups| rows — orders of magnitude smaller than the
-    # fact — so caching it is the right trade at any scale.  Its count
-    # (already materialized by the persist) picks the rank strategy:
-    # small group tables use the single-window path, huge ones the
-    # two-pass range-partitioned rank (functions.ranks).  Tracked for
-    # release at the next query boundary (caching.py).
-    agg = caching.track(agg.persist())
-    distributed = agg.count() >= SMALL_INPUT_THRESHOLD
+    if analysis_date is not None or not split_windows:
+        # Known analysis date (or a cheap-to-evaluate input plan, the
+        # ``split_windows=False`` default): both windows in ONE pass
+        # via conditional aggregation (one shuffle instead of two plus
+        # a join).  A derived analysis date costs one extra max pass
+        # first — measured CHEAPER than the split form when the input
+        # plan is a plain projection (r11 A/B: rfm_customer_dual_window
+        # 3.5s single-pass vs 4.9s split), because the scan is cheap
+        # and the split form's second aggregate + group join add
+        # exchanges.
+        if analysis_date is None:
+            analysis_date = analysis_date_of(df, date_col)
+        cutoff = analysis_date - _dt.timedelta(days=short_days)
+        in_short = d >= F.lit(cutoff)
+        aggs = [
+            F.datediff(
+                F.lit(analysis_date), F.max(d)
+            ).alias("life_recency_days"),
+            F.countDistinct(F.col(id_col)).alias("life_frequency"),
+            F.sum(F.col(amount_col)).alias("life_monetary"),
+            F.datediff(
+                F.lit(analysis_date), F.max(F.when(in_short, d))
+            ).alias("short_recency_days"),
+            F.countDistinct(
+                F.when(in_short, F.col(id_col))
+            ).alias("__short_freq_raw"),
+            F.sum(F.when(in_short, F.col(amount_col))).alias("short_monetary"),
+        ]
+        for c in extra_first or []:
+            aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
+        agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        # countDistinct of an all-null set is 0, not null; the
+        # reference's left join yields NaN→fillna(0).  Normalize
+        # 0-with-no-activity to null first so rank scoping (only
+        # short-active groups are ranked) matches the reference, then
+        # fill back to 0 at the end.
+        agg = agg.withColumn(
+            "short_frequency",
+            F.when(
+                F.col("short_recency_days").isNotNull(),
+                F.col("__short_freq_raw"),
+            ),
+        ).drop("__short_freq_raw")
+        # Each percentile rank fans out into its own distinct-value
+        # branch; without persistence Spark recomputes the fact
+        # aggregation once per branch (7 scans + 7 shuffles observed in
+        # the physical plan).  The aggregate is |groups| rows — orders
+        # of magnitude smaller than the fact — so caching it is the
+        # right trade at any scale.  Its count (already materialized by
+        # the persist) picks the rank strategy: small group tables use
+        # the single-window path, huge ones the two-pass
+        # range-partitioned rank (functions.ranks).  Tracked for
+        # release at the next query boundary (caching.py).
+        agg = caching.track(agg.persist())
+        n_groups = agg.count()
+    else:
+        # Derived analysis date with an EXPENSIVE input plan
+        # (``split_windows=True`` — callers whose upstream is a heavy
+        # resolver/cleanse chain, e.g. rfm_merchant_full's hybrid
+        # regex resolver; r11 A/B: 7.2s → 5.8s): the
+        # conditional-aggregation form needed the cutoff literal INSIDE
+        # the aggregate, which forced a separate full-fact max pass
+        # (`analysis_date_of`) first — re-evaluating the whole upstream
+        # plan.
+        # Instead aggregate the LIFETIME window alone (per-group max(d)
+        # raw), derive analysis_date as max-of-max from the
+        # |groups|-sized cached aggregate, and aggregate the short
+        # window over the date-filtered slice — one full pass plus one
+        # short-slice pass (a fraction of the fact under a 365-day
+        # window at scale, and date predicates prune at the scan)
+        # instead of two full passes.  The group-keyed left join
+        # reproduces the conditional form's null contract exactly:
+        # absent groups ⇒ null short metrics.
+        life_aggs = [
+            F.max(d).alias("__gmax"),
+            F.countDistinct(F.col(id_col)).alias("life_frequency"),
+            F.sum(F.col(amount_col)).alias("life_monetary"),
+        ]
+        for c in extra_first or []:
+            life_aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
+        agg0 = df.groupBy(*[F.col(k) for k in keys]).agg(*life_aggs)
+        agg0 = caching.track(agg0.persist())
+        row = agg0.agg(
+            F.max("__gmax").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if row is None or row["mx"] is None:
+            raise ValueError(f"no non-null values in {date_col}")
+        analysis_date = row["mx"] + _dt.timedelta(days=1)
+        n_groups = row["n"]
+        cutoff = analysis_date - _dt.timedelta(days=short_days)
+        short = (
+            df.where(d >= F.lit(cutoff))
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(
+                F.datediff(
+                    F.lit(analysis_date), F.max(d)
+                ).alias("short_recency_days"),
+                F.countDistinct(F.col(id_col)).alias("short_frequency"),
+                F.sum(F.col(amount_col)).alias("short_monetary"),
+            )
+        )
+        agg = (
+            agg0.join(short, keys, "left")
+            .select(
+                *[F.col(k) for k in keys],
+                F.datediff(F.lit(analysis_date), F.col("__gmax")).alias(
+                    "life_recency_days"
+                ),
+                "life_frequency",
+                "life_monetary",
+                "short_recency_days",
+                "short_monetary",
+                *(extra_first or []),
+                "short_frequency",
+            )
+        )
+        # the rank branches fan out over the joined frame; persist it so
+        # the short aggregate is not recomputed per branch (|groups|
+        # rows — cheap at any scale)
+        agg = caching.track(agg.persist())
+    distributed = n_groups >= SMALL_INPUT_THRESHOLD
 
     for col, asc, out in [
         ("life_recency_days", False, "life_r_rank"),

@@ -79,3 +79,25 @@ def test_avg_ticket_truncates(spark):
     }
     assert out[100.0] == 33  # 33.33 truncated
     assert out[7.0] == 3  # 3.5 truncated
+
+
+def test_dual_window_split_matches_single_pass(spark):
+    """split_windows=True (lifetime agg + short-slice agg + group join,
+    r11) must reproduce the conditional single-pass form exactly —
+    including the null contract for groups with no short activity and
+    extra_first carry-through."""
+    from pyspark.sql import functions as F
+
+    df = _fact(spark).withColumn("cat", F.concat_ws("-", "k"))
+    single = rfm_ops.rfm_dual_window(
+        df, ["k"], date_col="d", id_col="id", amount_col="amt",
+        extra_first=["cat"],
+    )
+    split = rfm_ops.rfm_dual_window(
+        df, ["k"], date_col="d", id_col="id", amount_col="amt",
+        extra_first=["cat"], split_windows=True,
+    )
+    assert single.columns == split.columns
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, split.collect()))
+    assert a == b
