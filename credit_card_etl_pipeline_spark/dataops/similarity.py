@@ -246,6 +246,10 @@ def _arr64_sql(values) -> str:
     return "array(" + ", ".join(_f64_sql(v) for v in values) + ")"
 
 
+def _arr_long_sql(values) -> str:
+    return "array(" + ", ".join(f"{int(x)}L" for x in values) + ")"
+
+
 def _dot_sql(vec_sql: str, values) -> str:
     """SQL text of ``_dot_f(vec, literal array)`` — same tree."""
     return (
@@ -1256,41 +1260,52 @@ def top_pc(
     )
     center = [int(r["c"]) for r in stats]
     dim = len(center)
-    c_lit = F.array(*[F.lit(c).cast("long") for c in center])
+
+    # centered vectors are consumed once per power iteration; persist
+    # them so the upstream plan (validity filter + quantize) runs ONCE
+    # instead of once per iteration (r11 — was `iters` re-evaluations),
+    # and build the center/direction literal arrays as single SQL
+    # strings (see the SQL-twin note above) instead of O(dim) py4j
+    # calls per iteration.
     xc = df.select(
         F.col(id_col),
-        F.zip_with(F.col(vec_col), c_lit, lambda x, c: x - c).alias("xc"),
-    )
-
-    v = [scale] + [0] * (dim - 1)
-    for _ in range(iters):
-        v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        proj = xc.select(
-            "xc",
-            F.aggregate(
-                F.zip_with(F.col("xc"), v_lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("s"),
-        ).select("xc", F.expr(f"CAST(s div {scale} AS BIGINT)").alias("sp"))
-        u_rows = (
-            proj.select(F.posexplode("xc").alias("pos", "x"), "sp")
-            .groupBy("pos")
-            .agg(F.sum(F.col("x") * F.col("sp")).cast("long").alias("u"))
-            .orderBy("pos")
-            .collect()
-        )
-        u = [0] * dim
-        for r in u_rows:
-            u[int(r["pos"])] = int(r["u"])
-        m = max(abs(x) for x in u)
-        if m == 0:  # fully degenerate corpus: all centered vectors 0
-            v = [0] * dim
-            break
-        # truncate toward zero (matches Spark div / DuckDB //)
-        v = [
-            (abs(x) * scale // m) * (1 if x >= 0 else -1) for x in u
-        ]
+        F.expr(
+            f"zip_with({_qcol(vec_col)}, {_arr_long_sql(center)}, "
+            "(x, c) -> x - c)"
+        ).alias("xc"),
+    ).persist()
+    try:
+        v = [scale] + [0] * (dim - 1)
+        for _ in range(iters):
+            proj = xc.select(
+                "xc",
+                F.expr(
+                    f"aggregate(zip_with(xc, {_arr_long_sql(v)}, (a, b) -> a * b), "
+                    "0L, (acc, t) -> acc + t)"
+                ).alias("s"),
+            ).select(
+                "xc", F.expr(f"CAST(s div {scale} AS BIGINT)").alias("sp")
+            )
+            u_rows = (
+                proj.select(F.posexplode("xc").alias("pos", "x"), "sp")
+                .groupBy("pos")
+                .agg(F.sum(F.col("x") * F.col("sp")).cast("long").alias("u"))
+                .orderBy("pos")
+                .collect()
+            )
+            u = [0] * dim
+            for r in u_rows:
+                u[int(r["pos"])] = int(r["u"])
+            m = max(abs(x) for x in u)
+            if m == 0:  # fully degenerate corpus: all centered vectors 0
+                v = [0] * dim
+                break
+            # truncate toward zero (matches Spark div / DuckDB //)
+            v = [
+                (abs(x) * scale // m) * (1 if x >= 0 else -1) for x in u
+            ]
+    finally:
+        xc.unpersist(False)
     return v
 
 
@@ -1322,7 +1337,7 @@ def abtt_topk(
     windows partition per query."""
     w = [_trunc_div(x, v_shrink) for x in v_scaled]
     ww = sum(x * x for x in w)
-    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    w_lit = F.expr(_arr_long_sql(w))
 
     def enrich(frame: DataFrame, prefix: str) -> DataFrame:
         aw = _dot(F.col(vec_col), w_lit)
