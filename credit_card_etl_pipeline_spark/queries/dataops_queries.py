@@ -4190,32 +4190,48 @@ def text_greedy_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt"))
-    # the ranked table is vocab-sized; ONE partition makes each
-    # decode-step lookup a single-task job instead of a 32-partition
-    # scan (12 sequential jobs dominate the wall otherwise)
+    # the ranked table is vocab-sized; ONE partition lets the whole
+    # decode walk run inside a single task (below)
     best = (
         grams.withColumn("rn", F.row_number().over(rk))
         .where(F.col("rn") == 1)
         .select("prev", "nxt")
         .coalesce(1)
-        .persist()
     )
-    from ..functions import caching
-
-    caching.track(best)
 
     start = (
         uni.orderBy(F.col("c").desc(), F.col("tok")).limit(1).collect()
     )[0]["tok"]
-    out = [(0, start)]
-    cur = start
-    for step in range(1, _GEN_STEPS):
-        row = best.where(F.col("prev") == cur).collect()
-        if not row:
-            break
-        cur = row[0]["nxt"]
-        out.append((step, cur))
-    return spark.createDataFrame(out, "step long, tok string")
+
+    # r11 (guide §1.2 fixed costs): the decode loop used to collect ONE
+    # row per step — 12 sequential driver jobs whose per-job constant
+    # (~0.2s each) dominated the query.  The walk over the argmax
+    # pointer table is a pure function of that table, so run it in the
+    # EXECUTOR: one Arrow-batched pass over the single-partition ranked
+    # table builds the prev→next map and emits the _GEN_STEPS-token
+    # path — one job, and driver state stays the path itself (the
+    # vocab-sized map lives in one task, exactly where the coalesced
+    # table already sat).
+    def walk(batches):
+        import pandas as pd
+
+        nxt: dict = {}
+        for pdf in batches:
+            for p, n in zip(pdf["prev"], pdf["nxt"]):
+                nxt[p] = n
+        steps, toks = [0], [start]
+        cur = start
+        for step in range(1, _GEN_STEPS):
+            if cur not in nxt:
+                break
+            cur = nxt[cur]
+            steps.append(step)
+            toks.append(cur)
+        yield pd.DataFrame(
+            {"step": pd.array(steps, dtype="int64"), "tok": toks}
+        )
+
+    return best.mapInPandas(walk, schema="step long, tok string")
 
 
 # ------------------------------------------------------------------
