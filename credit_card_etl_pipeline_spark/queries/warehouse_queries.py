@@ -108,19 +108,26 @@ def warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ok") % 2 == 1)
         .withColumn("amt_cents", (F.col("amt_cents") * 2).cast("long"))
     )
-    # one validation scan, not three (count, 1995-count, inc-count
-    # share the same pass over orders)
+    # one validation scan, not five (count, 1995-count, inc-count AND
+    # the two writers' month counts share the same pass over orders)
     is95 = F.year("transaction_date") == 1995
-    n_base, n_1995, n_inc = base.select(
+    ym = F.date_format("transaction_date", "yyyy-MM")
+    n_base, n_1995, n_inc, m_base, m_inc = base.select(
         F.count(F.lit(1)),
         F.count(F.when(is95, 1)),
         F.count(F.when(is95 & (F.col("ok") % 2 == 1), 1)),
+        F.countDistinct(ym),
+        F.countDistinct(F.when(is95 & (F.col("ok") % 2 == 1), ym)),
     ).first()
 
     path = tempfile.mkdtemp(prefix="wh_incremental_") + "/transactions"
-    write_warehouse(base, path, expected_rows=n_base)
+    write_warehouse(base, path, expected_rows=n_base, n_partitions=m_base)
     write_warehouse(
-        inc, path, incremental=True, expected_rows=n_base - n_1995 + n_inc
+        inc,
+        path,
+        incremental=True,
+        expected_rows=n_base - n_1995 + n_inc,
+        n_partitions=m_inc,
     )
     return spark.read.parquet(path).select(
         "ok", F.col("year_month").cast("string").alias("year_month"), "amt_cents"

@@ -64,6 +64,7 @@ def write_warehouse(
     partition_by: str = "year_month",
     expected_rows: int | None = None,
     incremental: bool = False,
+    n_partitions: int | None = None,
 ) -> int:
     """A10 + A12: overwrite (load_to_db.py:119) of a Parquet table
     partitioned by billing month, then a count-back validation
@@ -90,7 +91,16 @@ def write_warehouse(
     # months small files — the classic small-files explosion).  A hash
     # repartition on the partition column gives one task (→ one file)
     # per month; AQE splits a genuinely skewed month at runtime.
-    out = out.repartition(F.col(partition_by))
+    # Callers that know the month count pass ``n_partitions`` so the
+    # layout is one write task per directory — with the default
+    # shuffle-partition count each task receives several partition
+    # values and the dynamic-partition writer's per-task value
+    # switching measured ~3x slower (r11, same finding as the
+    # hypertable refresh).
+    if n_partitions is not None:
+        out = out.repartition(max(int(n_partitions), 1), F.col(partition_by))
+    else:
+        out = out.repartition(F.col(partition_by))
     writer = out.write.mode("overwrite").partitionBy(partition_by)
     if incremental:
         writer = writer.option("partitionOverwriteMode", "dynamic")
