@@ -1800,9 +1800,44 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r9 zipf corpus (hot user on 28% of events, so nearly every
     user hands off to it and it hands off to nearly everyone) blew
     Spark's 1M recursion row limit at 2 hops.  Per-level rows are now
-    bounded by |nodes| at any density."""
+    bounded by |nodes| at any density.
+
+    r11: the edge table is materialized ONCE (eager localCheckpoint)
+    before the recursion.  Catalyst's UnionLoop re-evaluates the
+    recursive step's whole subplan per level, so an inline ``edges``
+    CTE re-ran the events window + DISTINCT once PER HOP (measured
+    6.5s → 2.1s at sf0.1; at 100 TB it is hops× full-fact passes
+    saved).  The oracle stays the single verbatim recursive SQL."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_RECURSIVE_REACH_SQL)
+    edges = spark.sql(
+        """
+        SELECT DISTINCT user_id AS src, nxt AS dst FROM (
+            SELECT user_id,
+                   lead(user_id) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS nxt
+            FROM events
+        ) WHERE nxt IS NOT NULL AND nxt <> user_id
+        """
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("__reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        reach AS (
+            SELECT user_id AS node, CAST(0 AS BIGINT) AS hop
+            FROM (SELECT DISTINCT user_id FROM events
+                  WHERE user_id % 50 = 0)
+            UNION ALL
+            SELECT DISTINCT e.dst AS node, r.hop + 1 AS hop
+            FROM reach r JOIN __reach_edges e ON e.src = r.node
+            WHERE r.hop < 2
+        )
+        SELECT node AS user_id,
+               CAST(min(hop) AS BIGINT) AS min_hops,
+               CAST(count(*) AS BIGINT) AS n_hop_levels
+        FROM reach GROUP BY node
+        """
+    )
 
 
 # --------------------------------------------------------------------
