@@ -3714,17 +3714,31 @@ def bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matching fraction instead of everything."""
     from ..dataops import sketches as sk
 
+    from ..functions import caching
+
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    dim = orders.where(
-        (F.col("o_orderpriority") == "1-URGENT")
-        & (F.year(F.to_date("o_orderdate")) == 1996)
-    ).select(F.col("o_orderkey").alias("k"))
+    # the dim slice feeds the sizing count, the filter build, and the
+    # exact join's broadcast — persist it so the orders scan runs once
+    # (r11, guide §5; it is the broadcast side, so caching it is free
+    # at any scale).  NOTE this is the SERIAL-reuse persist shape
+    # (count → build → join happen in sequence), where persist wins —
+    # unlike the parallel-consumer cases reverted elsewhere this round.
+    dim = caching.track(
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year(F.to_date("o_orderdate")) == 1996)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .persist()
+    )
     # size the filter FROM the member count (one bounded scalar
     # collect) — a fixed m saturates as the corpus grows and the
     # pushdown silently degrades to pass-everything (r8 sf1 catch)
     m = _pushdown_m(dim.count())
-    bloom = sk.bloom_build(dim, "k", m=m)
+    # the position set is the build side of all 4 chained semi joins —
+    # persist it or each broadcast exchange re-runs the build (r11)
+    bloom = caching.track(sk.bloom_build(dim, "k", m=m).persist())
     passed = sk.bloom_prefilter(
         bloom,
         lineitem.select("l_orderkey", "l_extendedprice"),
@@ -3732,18 +3746,25 @@ def bloom_semi_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=m,
     )
     n_fact = lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
-    n_pass = passed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_bloom_pass")
-    )
-    joined = passed.join(
-        F.broadcast(dim), passed["l_orderkey"] == dim["k"]
+    # ONE pass over the bloom-surviving sliver: the dim key is unique,
+    # so a broadcast LEFT join preserves |passed| rows and the pass /
+    # joined / revenue aggregates all read the same scan (was two
+    # separate passes over `passed`, r11 §1.1)
+    stats = passed.join(
+        F.broadcast(dim), passed["l_orderkey"] == dim["k"], "left"
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_joined"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.count(F.lit(1)).cast("long").alias("n_bloom_pass"),
+        F.count(F.col("k")).cast("long").alias("n_joined"),
+        F.sum(
+            F.when(
+                F.col("k").isNotNull(),
+                F.round(F.col("l_extendedprice") * 100).cast("long"),
+            )
+        )
         .cast("long")
         .alias("revenue_cents"),
     )
-    return n_fact.crossJoin(n_pass).crossJoin(joined)
+    return n_fact.crossJoin(stats)
 
 
 # ====================================================================
