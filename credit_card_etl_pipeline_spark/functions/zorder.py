@@ -103,6 +103,7 @@ def zorder_layout_write(
     *,
     n_files: int,
     bits: int = BUCKET_BITS,
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     """Write ``df`` as a z-ordered parquet layout: bucket-stretch each
     key onto the full ``2^bits`` range (:func:`range_bucket`),
@@ -115,14 +116,23 @@ def zorder_layout_write(
     predicates (a single-key sort only prunes that key).  This is the
     writer the lineitem_zorder_layout query docstring promises; at
     100 TB the same three lines run unchanged — the range exchange
-    scales with the data and everything else is map-side."""
+    scales with the data and everything else is map-side.
+
+    ``bounds`` lets a caller that has ALREADY collected per-key
+    (min, max) scalars (e.g. to derive literal scan predicates) hand
+    them in, skipping the internal stretch aggregation — one fewer
+    full pass over ``df``."""
     from pyspark.sql import functions as F
 
-    aggs = []
-    for k in keys:
-        aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-    b = df.agg(*aggs).collect()[0]  # 2·k scalars — bounded driver state
-    missing = [k for k in keys if b[f"mn_{k}"] is None or b[f"mx_{k}"] is None]
+    if bounds is None:
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+        row = df.agg(*aggs).collect()[0]  # 2·k scalars — bounded driver state
+        bounds = {k: (row[f"mn_{k}"], row[f"mx_{k}"]) for k in keys}
+    missing = [
+        k for k in keys if bounds[k][0] is None or bounds[k][1] is None
+    ]
     if missing:
         # empty input / all-NULL key would otherwise crash as int(None)
         # deep in the bucket expressions — fail at the boundary instead
@@ -133,8 +143,8 @@ def zorder_layout_write(
     buckets = [
         range_bucket(
             F.col(k).cast("long"),
-            F.lit(int(b[f"mn_{k}"])),
-            F.lit(int(b[f"mx_{k}"])),
+            F.lit(int(bounds[k][0])),
+            F.lit(int(bounds[k][1])),
             bits=bits,
         )
         for k in keys

@@ -1732,8 +1732,18 @@ def lineitem_zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFram
     p_lo, p_hi = b["pmn"] + p_span * 5 // 10, b["pmn"] + p_span * 6 // 10
 
     path = tempfile.mkdtemp(prefix="zorder_rect_") + "/lineitem_z"
+    # the rectangle bounds above already collected each key's min/max —
+    # hand them to the writer so it skips its own stretch aggregation
+    # (one fewer full lineitem pass)
     zorder_layout_write(
-        li, ["l_orderkey", "l_partkey"], path, n_files=16
+        li,
+        ["l_orderkey", "l_partkey"],
+        path,
+        n_files=16,
+        bounds={
+            "l_orderkey": (b["omn"], b["omx"]),
+            "l_partkey": (b["pmn"], b["pmx"]),
+        },
     )
     return (
         spark.read.parquet(path)
