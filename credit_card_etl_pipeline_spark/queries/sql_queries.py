@@ -1420,8 +1420,9 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q15 (top supplier by quarterly revenue)
 # ====================================================================
 
-_Q15_SQL = """
-WITH revenue AS (
+#: Quarter-revenue per supplier — shared verbatim between the oracle
+#: CTE and the engine's materialization (one source of truth).
+_Q15_REVENUE_BODY = """
     SELECT l_suppkey AS supplier_no,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                          AS BIGINT)) AS BIGINT) AS total_cents
@@ -1429,12 +1430,19 @@ WITH revenue AS (
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate < DATE '1996-04-01'
     GROUP BY l_suppkey
-)
+"""
+
+_Q15_TAIL = """
 SELECT s_suppkey, s_name, total_cents
 FROM supplier
-JOIN revenue ON s_suppkey = supplier_no
-WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+JOIN {revenue} ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM {revenue})
 """
+
+_Q15_SQL = (
+    f"WITH revenue AS ({_Q15_REVENUE_BODY})"
+    + _Q15_TAIL.format(revenue="revenue")
+)
 
 
 @query("tpch_q15_top_supplier", _Q15_SQL)
@@ -1445,10 +1453,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery as a one-row broadcast against the re-used
     aggregate, and the supplier dim broadcasts onto the handful of
     surviving rows.  Exact integer revenue makes the max comparison —
-    and any ties — deterministic across engines."""
+    and any ties — deterministic across engines.
+
+    The revenue CTE is consumed twice (detail + scalar max); Catalyst
+    inlines it into both, re-running the quarter aggregation.  The
+    engine materializes it ONCE (eager localCheckpoint — one row per
+    active supplier, KBs) and runs the max-filter tail over the view;
+    the oracle stays the single verbatim SQL."""
     for t in ("supplier", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q15_SQL)
+    rev = spark.sql(f"SELECT * FROM (\n{_Q15_REVENUE_BODY}\n)")
+    rev.localCheckpoint(eager=True).createOrReplaceTempView("q15_revenue")
+    return spark.sql(_Q15_TAIL.format(revenue="q15_revenue"))
 
 
 # ====================================================================
@@ -1667,9 +1683,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inventory-value threshold)
 # ====================================================================
 
-_Q11_SQL = f"""
-WITH {_PARTSUPP_CTE},
-nat AS (
+#: Per-part regional inventory value — shared verbatim between the
+#: oracle CTE and the engine's materialization (one source of truth).
+_Q11_NAT_BODY = """
     SELECT ps_partkey,
            CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
                AS value_cents
@@ -1679,16 +1695,26 @@ nat AS (
     JOIN region ON r_regionkey = n_regionkey
     WHERE r_name = 'ASIA'
     GROUP BY ps_partkey
-),
-tot AS (
+"""
+
+#: Threshold tail over the per-part values — `{nat}` is the relation
+#: holding the nat rows (the CTE name in the oracle, the materialized
+#: view in the engine).
+_Q11_TAIL = """
+WITH tot AS (
     SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
            CAST(count(*) AS BIGINT) AS n_parts
-    FROM nat
+    FROM {nat}
 )
 SELECT ps_partkey, value_cents
-FROM nat CROSS JOIN tot
+FROM {nat} CROSS JOIN tot
 WHERE value_cents * n_parts * 2 > total_cents * 3
 """
+
+_Q11_SQL = (
+    f"WITH {_PARTSUPP_CTE},\nnat AS ({_Q11_NAT_BODY})\n"
+    + _Q11_TAIL.format(nat="nat").replace("WITH tot", ", tot", 1)
+)
 
 
 @query("tpch_q11_important_stock", _Q11_SQL)
@@ -1701,10 +1727,22 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison cross-multiplied into pure BIGINT terms.  The scalar
     (total, count) row rides a 1-row CROSS JOIN — broadcast, not a
     driver collect — and the supplier->nation->region chain folds into
-    one broadcast dim before the partsupp shuffle."""
+    one broadcast dim before the partsupp shuffle.
+
+    The nat CTE is consumed twice (the scalar total and the detail
+    filter); Catalyst inlines it into BOTH branches, so the
+    lineitem-sized partsupp aggregation ran twice per query (16 Scan
+    parquet nodes, 0 ReusedExchange — plans/r11/…_before.txt).  The
+    engine therefore materializes nat ONCE (eager localCheckpoint —
+    it is |parts-in-region| rows, KBs at any sf) and runs the
+    threshold tail over the materialized view; the oracle stays the
+    single verbatim SQL (DuckDB plans each CTE once, so its cost was
+    never the issue).  Same r11 pattern as sql_recursive_reachability."""
     for t in ("lineitem", "supplier", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q11_SQL)
+    nat = spark.sql(f"WITH {_PARTSUPP_CTE} {_Q11_NAT_BODY}")
+    nat.localCheckpoint(eager=True).createOrReplaceTempView("q11_nat")
+    return spark.sql(_Q11_TAIL.format(nat="q11_nat"))
 
 
 # ====================================================================
