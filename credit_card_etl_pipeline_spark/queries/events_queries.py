@@ -509,13 +509,18 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.round(F.col("value") * 100).cast("long") * 10000
         ).alias("e"),
     )
+    # one exploded pass, not a UNION of two scans: each interval emits
+    # its (+1 at s, -1 at e) boundary pair map-side, so the fact table
+    # is read once (the union form re-scanned events per branch)
     bounds = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        iv.select(
-            "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
-        )
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b"),
+    ).select("event_type", F.col("b.t").alias("t"), F.col("b.d").alias("d"))
     net = bounds.groupBy("event_type", "t").agg(
         F.sum("d").cast("long").alias("delta"),
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0))

@@ -489,17 +489,27 @@ UNION ALL SELECT k, membership FROM r
 def customer_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT over customer key sets (buyers vs low-nation
     customers), labeled by membership — the set-operation family as
-    DataFrame ``intersect``/``exceptAll`` on distinct sets."""
+    DataFrame ``intersect``/``exceptAll`` on distinct sets.
+
+    Each distinct set feeds THREE set operations; inlined, that was 3
+    scans + 3 distinct shuffles PER SIDE (plans/r11/…_before.txt), so
+    both key sets are materialized once (eager localCheckpoint — a
+    distinct key column, KBs per million customers) and the set ops
+    consume the materialized tables."""
     from . import load
 
-    buyers = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
+    buyers = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nationals = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_nationkey") < 5)
         .select(F.col("c_custkey").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     both = buyers.intersect(nationals).withColumn(
         "membership", F.lit("both")
@@ -1120,14 +1130,32 @@ FROM orders o
 @query("orders_above_customer_avg", _CORRELATED_SQL)
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subqueries: each order compared against ITS
-    customer's average order value.  Catalyst decorrelates both
-    subqueries into one aggregate-then-join on o_custkey (verify with
-    .explain: a single additional shuffle, not a per-row loop), and the
-    above-average predicate is the exact integer cross-multiplication
-    ``cents * n > total_cents`` — no float division on the hash.  One
-    SQL string runs verbatim on both engines."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_CORRELATED_SQL)
+    customer's average order value, with the above-average predicate
+    as the exact integer cross-multiplication ``cents * n >
+    total_cents`` — no float division on the hash.
+
+    The oracle keeps the verbatim correlated form; the engine runs the
+    hand-decorrelated WINDOW twin (count/sum OVER (PARTITION BY
+    o_custkey)).  Catalyst's own decorrelation planned THREE orders
+    scans (one per subquery plus the outer — 2 aggregate+join
+    subtrees, plans/r11/orders_above_customer_avg_before.txt); the
+    window form is one scan + one custkey exchange for identical
+    values.  Catalyst's decorrelation path stays covered by
+    `customers_above_avg_no_urgent`."""
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("totalprice_cents"),
+        (
+            cents * F.count(F.lit(1)).over(w)
+            > F.sum(cents).over(w)
+        ).alias("above_customer_avg"),
+    )
 
 
 # ====================================================================

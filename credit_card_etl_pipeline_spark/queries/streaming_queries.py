@@ -467,20 +467,24 @@ def events_range_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    hits = (
-        probe.join(pur, ["user_id", "bin"])
-        .where(
-            (F.col("p_us") >= F.col("us") - W) & (F.col("p_us") < F.col("us"))
-        )
-        .groupBy("event_id", "user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    # LEFT join + conditional count: every error row survives its own
+    # probe rows (explode always emits >= 1 bin), so the zero-match
+    # errors fall out of the same aggregate — the old inner-join +
+    # join-back-to-err form paid a third events scan and an extra
+    # (event_id, user_id) shuffle just to re-attach the zeros
     return (
-        err.join(hits, ["event_id", "user_id"], "left")
-        .select(
-            "event_id",
-            "user_id",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases_10m"),
+        probe.join(pur, ["user_id", "bin"], "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("p_us") >= F.col("us") - W)
+                    & (F.col("p_us") < F.col("us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases_10m")
         )
     )
 
