@@ -615,9 +615,19 @@ def test_top_smj_queries_join_strategy_pinned(spark):
         # construction (sources/ingest.py) — never a fact-side sort
         "ingest_via_datasource": (0, 8),
         # LSH-bucket / containment self-joins: both sides are the doc
-        # corpus — SMJ is the only shape that survives 100 TB; the 5
-        # broadcasts are dims/thresholds
-        "curation_pipeline_v2": (6, 5),
+        # corpus — SMJ is the only shape that survives 100 TB.
+        # r11 INTENTIONAL change (substring_containment checkpoint +
+        # last-shingle gate): the normalized view and the shingle table
+        # are localCheckpointed once, so (a) duplicated join subtrees
+        # collapsed (11 join nodes → 9) and (b) the checkpointed scans
+        # carry no size stats, so the corpus-derived sides that
+        # previously LOOKED broadcastable at sf0.001 plan statically as
+        # SMJ — the scale-safe default, since every one of them (canon
+        # set, containment verdicts, shingle freq, text attach) grows
+        # with the corpus; AQE re-broadcasts genuinely small sides at
+        # runtime.  The 1 remaining static BHJ is the boilerplate
+        # min-docs threshold.
+        "curation_pipeline_v2": (8, 1),
         # verdicts ride one applyInPandas per leaf (r8); sub-level
         # assignment moved from a broadcast codebook join + per-vector
         # window to a per-cell numpy batch (r9, _assign_subcells_
