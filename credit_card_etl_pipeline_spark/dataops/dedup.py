@@ -572,7 +572,11 @@ def connected_components(
 # ------------------------------------------------------------------
 
 def jaccard_for_pairs(
-    shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id"
+    shingles: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    shingles_materialized: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (doc_a, doc_b) pairs:
     intersection via shingle equi-join, union by inclusion-exclusion.
@@ -584,8 +588,15 @@ def jaccard_for_pairs(
     checkpoints Spark re-executes the shingle explode (a full corpus
     scan) and the upstream candidate generation per consumer.
     Materializing the explode costs one spill-able write, the same
-    class as a shuffle — strictly cheaper than three recomputes."""
-    shingles = shingles.localCheckpoint(eager=True)
+    class as a shuffle — strictly cheaper than three recomputes.
+
+    ``shingles_materialized=True`` tells this function the caller has
+    ALREADY checkpointed/persisted ``shingles`` (e.g. because the same
+    frame also feeds a signature pass) — a second localCheckpoint
+    would copy the full explode block-for-block for zero added
+    lineage truncation."""
+    if not shingles_materialized:
+        shingles = shingles.localCheckpoint(eager=True)
     pairs = pairs.localCheckpoint(eager=True)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -1281,10 +1281,19 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair members (doc_id ≡ 0,1 mod 10) need the explode at all — the
     # filter reaches the scan and cuts the minhash work 5x; results
     # are bit-identical to the whole-corpus computation
+    #
+    # r11: the shingle explode feeds THREE evaluation sites (the
+    # signature aggregate behind sig_a, the one behind sig_b, and the
+    # jaccard intersection) — materialize it ONCE and hand the
+    # materialized frame to jaccard_for_pairs so it does not copy it a
+    # second time.  The signature table itself (|pair docs| × 9 longs)
+    # is checkpointed too: sig_a and sig_b each re-ran the 8-way min
+    # aggregate over the full explode before this.  Measured isolated
+    # best-of-3 at sf0.1: 13.7s → see OPTIMIZATION_r11.md.
     sh = dd.exploded_shingles(
         corpus(spark, sf_dir).where((F.col("doc_id") % 10).isin(0, 1))
-    )
-    sig = dd.minhash_signatures(sh)
+    ).localCheckpoint(eager=True)
+    sig = dd.minhash_signatures(sh).localCheckpoint(eager=True)
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(MINHASH_COEFFS))],
@@ -1302,7 +1311,9 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", est_expr.alias("jaccard_est"))
     )
-    exact = dd.jaccard_for_pairs(sh, pairs).withColumnRenamed(
+    exact = dd.jaccard_for_pairs(
+        sh, pairs, shingles_materialized=True
+    ).withColumnRenamed(
         "jaccard", "jaccard_exact"
     )
     return est.join(exact, ["doc_a", "doc_b"]).select(

@@ -161,6 +161,45 @@ def test_lsh_hot_bucket_cap(spark):
     assert overflow == [0, 1, 2, 3, 4]
 
 
+def test_jaccard_for_pairs_materialized_flag_is_result_neutral(spark):
+    """shingles_materialized=True must only skip the internal
+    localCheckpoint — same rows either way, including the zero-overlap
+    pair (n_inter fill path) and the partial-overlap pair."""
+    from credit_card_etl_pipeline_spark.dataops.dedup import (
+        exploded_shingles,
+        jaccard_for_pairs,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma zeta eta",
+                "one two three four five",
+                "totally different words entirely here",
+            ],
+        }
+    )
+    sh = exploded_shingles(spark.createDataFrame(pdf))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [0, 2], "doc_b": [1, 3]})
+    )
+    plain = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(sh, pairs).collect()
+    }
+    pre = sh.localCheckpoint(eager=True)
+    mat = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(
+            pre, pairs, shingles_materialized=True
+        ).collect()
+    }
+    assert plain == mat
+    assert plain[(2, 3)] == 0.0  # zero-overlap fill path exercised
+
+
 def test_connected_components_chain_and_isolates(spark):
     from credit_card_etl_pipeline_spark.dataops.dedup import (
         connected_components,
