@@ -38,8 +38,16 @@ def cms_build(
     *,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Build the sketch: (row j, bucket, counter) — d·w cells max."""
+    """Build the sketch: (row j, bucket, counter) — d·w cells max.
+
+    ``weight_col`` builds the identical sketch from PRE-AGGREGATED
+    (key, count) rows — ``counter = Σ weight`` per cell instead of a
+    raw-row count.  A caller that already holds exact per-key counts
+    (e.g. for a truth audit) hashes each KEY once instead of md5-ing
+    every stream row ``depth`` times, and the build input shrinks from
+    the stream to the key set."""
     rows = df.select(
         F.explode(
             F.array(
@@ -51,12 +59,16 @@ def cms_build(
                     for j in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
+        *([F.col(weight_col).alias("__w")] if weight_col else []),
     )
+    counter = (
+        F.sum("__w") if weight_col else F.count(F.lit(1))
+    ).cast("long").alias("counter")
     return (
-        rows.select("c.j", "c.bucket")
+        rows.select("c.j", "c.bucket", *(["__w"] if weight_col else []))
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+        .agg(counter)
     )
 
 

@@ -2148,10 +2148,18 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     keys = orders.select(F.col("o_custkey").alias("k"))
-    sketch = sk.cms_build(keys, "k")
-    probes = keys.where(F.col("k") % 100 == 0).distinct()
+    # r11 (§1.1, §2.4): one orders pass — the sketch builds from the
+    # exact per-key counts (counter = Σ true_n per cell ≡ raw-row
+    # count), probes filter the same key table, and the audit join
+    # reads it again; was 3 full scans + per-row md5 ×4.
+    truth = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = sk.cms_build(truth, "k", weight_col="true_n")
+    probes = truth.where(F.col("k") % 100 == 0).select("k")
     est = sk.cms_estimate(sketch, probes, "k")
-    truth = keys.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
     return (
         est.join(truth, "k")
         .select(F.col("k").alias("custkey"), "true_n", "cms_estimate")
@@ -4331,15 +4339,22 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     keys = ev.select(F.col("user_id").alias("k"))
-    sketch = sk.cms_build(keys, "k")
-    thresh = keys.agg(
-        (F.count(F.lit(1)) / F.lit(256)).cast("long").alias("phi_n")
+    # r11 (§1.1, §2.4): sketch, threshold, probes, estimates and audit
+    # are ALL functions of the exact per-key counts — one events pass
+    # (groupBy k) instead of four full scans, and each key is md5-ed
+    # once per sketch row instead of every EVENT row.  counter = Σ
+    # true_n per cell ≡ raw-row count per cell; Σ true_n ≡ count(*);
+    # truth's keys ≡ distinct probes — identical rows by construction.
+    truth = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .localCheckpoint(eager=True)
     )
-    probes = keys.distinct()
-    est = sk.cms_estimate(sketch, probes, "k")
-    truth = keys.groupBy("k").agg(
-        F.count(F.lit(1)).cast("long").alias("true_n")
+    sketch = sk.cms_build(truth, "k", weight_col="true_n")
+    thresh = truth.agg(
+        (F.sum("true_n") / F.lit(256)).cast("long").alias("phi_n")
     )
+    est = sk.cms_estimate(sketch, truth.select("k"), "k")
     return (
         est.join(truth, "k")
         .crossJoin(F.broadcast(thresh))

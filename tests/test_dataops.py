@@ -371,6 +371,29 @@ def test_cms_estimate_upper_bounds_truth(spark):
     assert exact >= 30
 
 
+def test_cms_build_weighted_matches_raw(spark):
+    """cms_build(weight_col=...) over exact (key, count) rows must
+    produce the cell-identical sketch the raw-row build produces —
+    the equivalence the one-pass sketch queries rely on."""
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.dataops import sketches as sk
+
+    raw = spark.createDataFrame(
+        [(i % 23,) for i in range(1500)], "k long"
+    )
+    counts = raw.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    cells_raw = {
+        (r["j"], r["bucket"]): r["counter"]
+        for r in sk.cms_build(raw, "k").collect()
+    }
+    cells_w = {
+        (r["j"], r["bucket"]): r["counter"]
+        for r in sk.cms_build(counts, "k", weight_col="n").collect()
+    }
+    assert cells_raw == cells_w
+
+
 def test_substring_containment_semantics(spark):
     docs = spark.createDataFrame(
         [
