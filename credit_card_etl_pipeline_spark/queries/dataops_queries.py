@@ -4712,31 +4712,40 @@ def parts_fuzzy_link_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty_name"),
     )
 
-    def grams(df: DataFrame, col: str, *keep: str) -> DataFrame:
-        return (
-            df.select(
-                *keep,
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, greatest(length({col}) - 2,"
-                        f" 1)), i -> substr({col}, i, 3))"
-                    )
-                ).alias("g"),
+    # r11 (§1.1, §2.4, §2.3): grams are carried as a per-row DISTINCT
+    # ARRAY (array_distinct over the transform) so (a) the per-side
+    # explode+DISTINCT shuffle disappears — master names are already
+    # distinct and dirty keys are unique, so per-row dedup ≡ the old
+    # cross-row distinct; (b) gram-set sizes are size(garr) — the two
+    # size aggregations (msize/dsize) and their joins disappear; and
+    # (c) na/nb/dirty_name ride the exploded rows through the
+    # intersection aggregate as min() passengers, so the scored frame
+    # needs ZERO re-attach joins.  Before: 11 parquet scans, 38
+    # exchanges; the same linkage now runs in 2 logical gram passes.
+    def grams(df: DataFrame, col: str) -> Column:
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({col}) - 2,"
+                f" 1)), i -> substr({col}, i, 3))"
             )
-            .distinct()
         )
 
-    mg = grams(master, "name", "name")
-    dg = grams(dirty, "dirty_name", "k", "dirty_name")
+    mg = master.select(
+        "name", F.size(grams(master, "name")).cast("long").alias("nb"),
+        F.explode(grams(master, "name")).alias("g"),
+    ).localCheckpoint(eager=True)
+    dg = dirty.select(
+        "k",
+        "dirty_name",
+        F.size(grams(dirty, "dirty_name")).cast("long").alias("na"),
+        F.explode(grams(dirty, "dirty_name")).alias("g"),
+    ).localCheckpoint(eager=True)
     dfg = mg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    msize = mg.groupBy("name").agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    dsize = dg.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("na"))
 
     wm = Window.partitionBy("name").orderBy(F.coalesce("df", F.lit(0)), "g")
     mpref = (
         mg.join(F.broadcast(dfg), "g", "left")
         .withColumn("rn", F.row_number().over(wm))
-        .join(F.broadcast(msize), "name")
         .where(F.col("rn") <= F.expr("nb - (2 * nb + 4) div 5 + 1"))
         .select("name", "g")
     )
@@ -4744,22 +4753,20 @@ def parts_fuzzy_link_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpref = (
         dg.join(F.broadcast(dfg), "g", "left")
         .withColumn("rn", F.row_number().over(wd))
-        .join(dsize, "k")
         .where(F.col("rn") <= F.expr("na - (2 * na + 4) div 5 + 1"))
         .select("k", "g")
     )
     cand = dpref.join(mpref, "g").select("k", "name").distinct()
-    inter = (
-        cand.join(dg.select("k", "g"), "k")
-        .join(mg.select("name", F.col("g").alias("mg_g")), "name")
-        .where(F.col("g") == F.col("mg_g"))
-        .groupBy("k", "name")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
     scored = (
-        inter.join(dsize, "k")
-        .join(F.broadcast(msize), "name")
-        .join(dirty.select("k", "dirty_name").distinct(), "k")
+        cand.join(dg, "k")
+        .join(mg, ["name", "g"])
+        .groupBy("k", "name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+            F.min("dirty_name").alias("dirty_name"),
+        )
         .select(
             "k",
             "dirty_name",
