@@ -6098,7 +6098,17 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = tx.words(F.col("text"))
     toks = docs.select(F.explode(w).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    # r11 (§1.1, §2.4, §5): `uni` feeds THREE consumers (the n1 total
+    # and both vocabulary joins) and `bi` two (the n2 total and the
+    # pruned scored frame) — without materialization each consumer
+    # re-ran its full corpus explode+groupBy.  Both tables are
+    # vocabulary-sized (bounded ≪ corpus), so the eager checkpoint
+    # trades five corpus passes for two.
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
     pairs = docs.select(w.alias("toks")).where(F.size("toks") >= 2).select(
         F.explode(
             F.transform(
@@ -6110,8 +6120,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bi = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("n_xy")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=True)
     )
     scal = uni.agg(F.sum("n_w").cast("long").alias("n1")).crossJoin(
         bi.agg(F.sum("n_xy").cast("long").alias("n2"))
