@@ -237,50 +237,61 @@ def sample_frames(
     oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import avi as _avi
-
         for pdf in batches:
             ids, nos, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = b"" if payload is None else bytes(payload)
-                if fake:
-                    n = len(data) // frame_bytes
-                    for fno in range(0, n, every):
-                        ids.append(doc_id)
-                        nos.append(fno)
-                        frames.append(
-                            data[
-                                fno * frame_bytes : (fno + 1) * frame_bytes
-                            ]
-                        )
-                elif (
-                    data[:4] == _avi.AVI_MAGIC and data[8:12] == b"AVI "
+                for fno, frame in iter_sampled_frames(
+                    payload,
+                    every=every,
+                    frame_bytes=frame_bytes,
+                    fake=fake,
                 ):
-                    _, _, jpegs = _avi.decode_avi(data)
-                    for fno in range(0, len(jpegs), every):
-                        _, _, gray = decode_image_gray(jpegs[fno])
-                        ids.append(doc_id)
-                        nos.append(fno)
-                        frames.append(gray)
-                elif data[:6] in _gif.GIF_MAGICS:
-                    gdecoded = _gif.decode_gif_frames(data)
-                    for fno in range(0, len(gdecoded), every):
-                        _, _, gray = gdecoded[fno]
-                        ids.append(doc_id)
-                        nos.append(fno)
-                        frames.append(gray)
-                else:
-                    decoded = _png.decode_apng_frames(data)
-                    for fno in range(0, len(decoded), every):
-                        _, _, channels, pixels = decoded[fno]
-                        ids.append(doc_id)
-                        nos.append(fno)
-                        frames.append(_png.to_gray(channels, pixels))
+                    ids.append(doc_id)
+                    nos.append(fno)
+                    frames.append(frame)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": nos, "frame": frames}
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, _FRAME_SCHEMA)
+
+
+def iter_sampled_frames(
+    payload,
+    *,
+    every: int = 4,
+    frame_bytes: int = 16,
+    fake: bool = False,
+):
+    """Per-payload core of :func:`sample_frames`: yield (frame_no,
+    gray_frame_bytes) for every ``every``-th frame, routing on magic
+    bytes exactly as the DataFrame operator does (this IS the
+    DataFrame operator's decode path — extracted so a caller whose
+    payloads are born inside a Python stage can sample frames in the
+    SAME crossing instead of shipping the bytes JVM→Python→JVM→Python
+    again; guide §4)."""
+    from . import avi as _avi
+
+    data = b"" if payload is None else bytes(payload)
+    if fake:
+        n = len(data) // frame_bytes
+        for fno in range(0, n, every):
+            yield fno, data[fno * frame_bytes : (fno + 1) * frame_bytes]
+    elif data[:4] == _avi.AVI_MAGIC and data[8:12] == b"AVI ":
+        _, _, jpegs = _avi.decode_avi(data)
+        for fno in range(0, len(jpegs), every):
+            _, _, gray = decode_image_gray(jpegs[fno])
+            yield fno, gray
+    elif data[:6] in _gif.GIF_MAGICS:
+        gdecoded = _gif.decode_gif_frames(data)
+        for fno in range(0, len(gdecoded), every):
+            _, _, gray = gdecoded[fno]
+            yield fno, gray
+    else:
+        decoded = _png.decode_apng_frames(data)
+        for fno in range(0, len(decoded), every):
+            _, _, channels, pixels = decoded[fno]
+            yield fno, _png.to_gray(channels, pixels)
 
 
 _AUDIO_SCHEMA = T.StructType(

@@ -4016,9 +4016,20 @@ def multimodal_gif_frame_sample(
     from ..dataops import gif as gifc
     from ..dataops import multimodal as mmod
 
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r11 (guide §4): encode → frame-sample → summarize used to be
+    # THREE chained mapInPandas stages, shipping the GIF payloads
+    # JVM→Python→JVM→Python and the decoded frames once more, with 32
+    # Python workers warming per stage.  The bytes are born in Python
+    # and consumed in Python — one crossing does all three steps via
+    # the operator's own extracted decode path
+    # (multimodal.iter_sampled_frames, the identical magic-byte
+    # routing sample_frames runs).  Only doc_id enters; only the four
+    # summary columns leave.
+    def gen_and_sample(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, nos, sums, npx = [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
                 frames = [
@@ -4028,35 +4039,30 @@ def multimodal_gif_frame_sample(
                     )
                     for f in range(6)
                 ]
-                ids.append(i64)
-                payloads.append(gifc.encode_gif(8, 8, frames))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                payload = gifc.encode_gif(8, 8, frames)
+                for fno, frame in mmod.iter_sampled_frames(
+                    payload, every=4, fake=False
+                ):
+                    ids.append(i64)
+                    nos.append(fno)
+                    sums.append(sum(bytes(frame)))
+                    npx.append(len(bytes(frame)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(nos, dtype="int32"),
+                    "frame_sum": sums,
+                    "n_px": npx,
+                }
+            )
 
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 20 == 11)
         .select("doc_id")
     )
-    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
-    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
-
-    def summarize(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "frame_no": pdf["frame_no"],
-                    "frame_sum": [
-                        sum(bytes(fr)) for fr in pdf["frame"]
-                    ],
-                    "n_px": [len(bytes(fr)) for fr in pdf["frame"]],
-                }
-            )
-
-    return sampled.mapInPandas(
-        summarize,
+    return docs.mapInPandas(
+        gen_and_sample,
         "doc_id long, frame_no int, frame_sum long, n_px long",
     )
 

@@ -371,6 +371,35 @@ def test_cms_estimate_upper_bounds_truth(spark):
     assert exact >= 30
 
 
+def test_iter_sampled_frames_matches_dataframe_operator(spark):
+    """The extracted per-payload helper must emit exactly the rows the
+    sample_frames DataFrame operator emits, for both the fake path and
+    a real GIF payload (it IS the operator's decode routing — the
+    fused queries rely on that equivalence)."""
+    from credit_card_etl_pipeline_spark.dataops import gif as gifc
+    from credit_card_etl_pipeline_spark.dataops import multimodal as mm
+
+    frames = [bytes((f * 29 + i * 5) % 256 for i in range(64)) for f in range(6)]
+    gif_payload = gifc.encode_gif(8, 8, frames)
+    fake_payload = bytes(range(128))
+    for payload, fake in ((gif_payload, False), (fake_payload, True)):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "payload": [payload]})
+        )
+        via_op = sorted(
+            (r["frame_no"], bytes(r["frame"]))
+            for r in mm.sample_frames(df, every=4, fake=fake).collect()
+        )
+        via_helper = sorted(
+            (fno, bytes(fr))
+            for fno, fr in mm.iter_sampled_frames(
+                payload, every=4, fake=fake
+            )
+        )
+        assert via_op == via_helper
+        assert via_helper  # non-vacuous: at least one sampled frame
+
+
 def test_cms_build_weighted_matches_raw(spark):
     """cms_build(weight_col=...) over exact (key, count) rows must
     produce the cell-identical sketch the raw-row build produces —
