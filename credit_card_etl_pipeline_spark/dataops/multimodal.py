@@ -322,12 +322,12 @@ def decode_audio_stats(
         for pdf in batches:
             ids, rates, ns, peaks, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                rate, _, samples = _wav.decode_wav(bytes(payload))
+                rate, n, peak, tot = audio_stats_of(payload)
                 ids.append(doc_id)
                 rates.append(rate)
-                ns.append(len(samples))
-                peaks.append(max((abs(s) for s in samples), default=0))
-                sums.append(sum(abs(s) for s in samples))
+                ns.append(n)
+                peaks.append(peak)
+                sums.append(tot)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -339,6 +339,24 @@ def decode_audio_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, _AUDIO_SCHEMA)
+
+
+def audio_stats_of(payload) -> tuple[int, int, int, int]:
+    """Per-payload core of :func:`decode_audio_stats`: decode one
+    RIFF/WAVE payload through the vendored codec and return
+    (sample_rate, n_samples, peak_abs, sum_abs) — extracted so a
+    caller whose payloads are born inside a Python stage can compute
+    the stats in the SAME crossing (guide §4), identical semantics to
+    the DataFrame operator by construction (the operator calls this)."""
+    from . import wav as _wav
+
+    rate, _, samples = _wav.decode_wav(bytes(payload))
+    return (
+        rate,
+        len(samples),
+        max((abs(s) for s in samples), default=0),
+        sum(abs(s) for s in samples),
+    )
 
 
 def dhash64(width: int, height: int, gray: bytes) -> tuple[int, list[int]]:

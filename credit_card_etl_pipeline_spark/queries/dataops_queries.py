@@ -2830,9 +2830,18 @@ def multimodal_apng_frame_sample(
     from ..dataops import multimodal as mmod
     from ..dataops import png as pngc
 
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r11 (guide §4): encode → sample_frames → JVM hex-split byte sum
+    # used to be two Python crossings plus a JVM pass re-summing the
+    # frame bytes through a hex/conv expression chain.  The payloads
+    # are born in Python — one mapInPandas now encodes, samples via
+    # the operator's extracted decode path
+    # (multimodal.iter_sampled_frames) and sums the decoded bytes
+    # directly; only doc_id enters the crossing.
+    def gen_and_sample(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, nos, sums, npx = [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
                 frames = [
@@ -2842,29 +2851,31 @@ def multimodal_apng_frame_sample(
                     )
                     for f in range(6)
                 ]
-                ids.append(i64)
-                payloads.append(pngc.encode_apng(8, 8, 1, frames))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                payload = pngc.encode_apng(8, 8, 1, frames)
+                for fno, frame in mmod.iter_sampled_frames(
+                    payload, every=4, fake=False
+                ):
+                    ids.append(i64)
+                    nos.append(fno)
+                    sums.append(sum(bytes(frame)))
+                    npx.append(len(bytes(frame)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(nos, dtype="int32"),
+                    "frame_sum": sums,
+                    "n_px": npx,
+                }
+            )
 
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 20 == 6)
         .select("doc_id")
     )
-    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
-    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
-    return sampled.select(
-        "doc_id",
-        "frame_no",
-        F.aggregate(
-            F.transform(
-                F.split(F.hex("frame"), "(?<=\\G..)"),
-                lambda h: F.coalesce(F.conv(h, 16, 10).cast("long"), F.lit(0)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("frame_sum"),
-        F.length("frame").cast("long").alias("n_px"),
+    return docs.mapInPandas(
+        gen_and_sample,
+        "doc_id long, frame_no int, frame_sum long, n_px long",
     )
 
 
@@ -2902,27 +2913,50 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops import multimodal as mmod
     from ..dataops import wav as wavc
 
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r11 (guide §4): encode + decode-stats fused into ONE mapInPandas
+    # — the WAV payloads are born in Python and consumed in Python, so
+    # the JVM round-trip between the two stages moved every audio byte
+    # twice for nothing.  The stats come from the operator's own
+    # extracted per-payload core (multimodal.audio_stats_of — the
+    # decode_audio_stats DataFrame operator calls the same function).
+    def encode_and_stats(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, rates, ns, peaks, sums = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
                 samples = [
                     ((i64 * 13 + i * 7) % 2048) - 1024 for i in range(256)
                 ]
+                rate, n, peak, tot = mmod.audio_stats_of(
+                    wavc.encode_wav(16000, samples)
+                )
                 ids.append(i64)
-                payloads.append(wavc.encode_wav(16000, samples))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                rates.append(rate)
+                ns.append(n)
+                peaks.append(peak)
+                sums.append(tot)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_samples": ns,
+                    "peak_abs": peaks,
+                    "sum_abs": sums,
+                }
+            )
 
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 3)
         .select("doc_id")
     )
-    with_payload = docs.mapInPandas(
-        attach, "doc_id long, payload binary"
+    return docs.mapInPandas(
+        encode_and_stats,
+        "doc_id long, sample_rate int, n_samples long, peak_abs long,"
+        " sum_abs long",
     )
-    return mmod.decode_audio_stats(with_payload)
 
 
 # ====================================================================
@@ -3575,9 +3609,17 @@ def multimodal_avi_frame_sample(
 
     W, H, BOUND = 24, 16, 8
 
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # r11 (guide §4): encode → sample_frames → check was three Python
+    # crossings round-tripping the MJPEG container and every decoded
+    # frame through the JVM.  One mapInPandas now encodes, samples via
+    # the operator's extracted decode path
+    # (multimodal.iter_sampled_frames — the same AVI→JPEG routing) and
+    # checks the error bound in place; only doc_id enters the crossing.
+    def gen_sample_check(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, nos, ws, hs, oks = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 i64 = int(doc_id)
                 frames = [
@@ -3592,36 +3634,30 @@ def multimodal_avi_frame_sample(
                     )
                     for f in range(6)
                 ]
-                ids.append(i64)
-                payloads.append(avic.encode_avi_mjpeg(W, H, frames))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, nos, ws, hs, oks = [], [], [], [], []
-            for doc_id, fno, frame in zip(
-                pdf["doc_id"], pdf["frame_no"], pdf["frame"]
-            ):
-                gray = bytes(frame)
-                expect = bytes(
-                    min(255, int(fno) * 8 + r * 3 + c * 2)
-                    for r in range(H)
-                    for c in range(W)
-                )
-                err = (
-                    max(abs(a - b) for a, b in zip(gray, expect))
-                    if len(gray) == len(expect)
-                    else 999
-                )
-                ids.append(int(doc_id))
-                nos.append(int(fno))
-                ws.append(W if len(gray) == W * H else 0)
-                hs.append(H if len(gray) == W * H else 0)
-                oks.append(bool(err <= BOUND))
+                payload = avic.encode_avi_mjpeg(W, H, frames)
+                for fno, frame in mmod.iter_sampled_frames(
+                    payload, every=4, fake=False
+                ):
+                    gray = bytes(frame)
+                    expect = bytes(
+                        min(255, int(fno) * 8 + r * 3 + c * 2)
+                        for r in range(H)
+                        for c in range(W)
+                    )
+                    err = (
+                        max(abs(a - b) for a, b in zip(gray, expect))
+                        if len(gray) == len(expect)
+                        else 999
+                    )
+                    ids.append(i64)
+                    nos.append(int(fno))
+                    ws.append(W if len(gray) == W * H else 0)
+                    hs.append(H if len(gray) == W * H else 0)
+                    oks.append(bool(err <= BOUND))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "frame_no": nos,
+                    "frame_no": pd.array(nos, dtype="int32"),
                     "width": ws,
                     "height": hs,
                     "err_bounded": oks,
@@ -3633,10 +3669,8 @@ def multimodal_avi_frame_sample(
         .where(F.col("doc_id") % 20 == 11)
         .select("doc_id")
     )
-    with_payload = docs.mapInPandas(attach, "doc_id long, payload binary")
-    sampled = mmod.sample_frames(with_payload, every=4, fake=False)
-    return sampled.mapInPandas(
-        check,
+    return docs.mapInPandas(
+        gen_sample_check,
         "doc_id long, frame_no int, width long, height long,"
         " err_bounded boolean",
     )

@@ -400,6 +400,29 @@ def test_iter_sampled_frames_matches_dataframe_operator(spark):
         assert via_helper  # non-vacuous: at least one sampled frame
 
 
+def test_audio_stats_of_matches_dataframe_operator(spark):
+    """The extracted per-payload audio-stats helper must return exactly
+    what decode_audio_stats emits (the operator calls it — pin the
+    contract anyway so a drift in either layer fails loudly)."""
+    from credit_card_etl_pipeline_spark.dataops import multimodal as mm
+    from credit_card_etl_pipeline_spark.dataops import wav as wavc
+
+    samples = [((i * 7) % 2048) - 1024 for i in range(256)]
+    payload = wavc.encode_wav(16000, samples)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    )
+    row = mm.decode_audio_stats(df).collect()[0]
+    rate, n, peak, tot = mm.audio_stats_of(payload)
+    assert (
+        row["sample_rate"],
+        row["n_samples"],
+        row["peak_abs"],
+        row["sum_abs"],
+    ) == (rate, n, peak, tot)
+    assert n == 256 and rate == 16000
+
+
 def test_cms_build_weighted_matches_raw(spark):
     """cms_build(weight_col=...) over exact (key, count) rows must
     produce the cell-identical sketch the raw-row build produces —
