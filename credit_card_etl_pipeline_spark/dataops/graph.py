@@ -124,6 +124,7 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -146,7 +147,9 @@ def triangle_counts(
         F.col("a"),
     ).otherwise(F.col("b"))
     hi = F.when(lo == F.col("a"), F.col("b")).otherwise(F.col("a"))
-    oriented = ranked.select(lo.alias("lo"), hi.alias("hi"))
+    oriented = ranked.select(lo.alias("lo"), hi.alias("hi")).localCheckpoint(
+        eager=True
+    )
 
     w1 = oriented.select(
         F.col("lo").alias("p"), F.col("hi").alias("q1")
