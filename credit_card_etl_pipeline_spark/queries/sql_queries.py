@@ -1634,12 +1634,58 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one held the order" signal (the corpus has no commit/receipt
     dates, so latest ship date stands in).  The reference formulation's
     correlated EXISTS/NOT-EXISTS pair is re-expressed as per-order
-    aggregates joined back on orderkey — every shuffle is on the same
-    key, AQE reuses the partitioning, and the HAVING count(*)=1
-    reproduces the NOT-EXISTS exclusion exactly."""
-    for t in ("lineitem", "supplier"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q21_SQL)
+    aggregates joined back on orderkey (the oracle keeps that verbatim
+    SQL).
+
+    r11 engine plan (§1.1, §2.3, §2.4): ONE lineitem pass.  The fact
+    is first aggregated to (orderkey, suppkey) grain — per-supplier
+    max ship date — which simultaneously (a) removes the second
+    lineitem scan, (b) replaces the os CTE's count(DISTINCT
+    l_suppkey) expansion over raw lines with a plain count over the
+    aggregated grain, and (c) shrinks the join-back to a window over
+    the aggregated table riding the SAME orderkey exchange.  Within
+    each order: n_supp = rows at the (order, supp) grain, max_ship =
+    max of per-supplier maxes, a supplier "shipped last" iff its
+    per-supplier max equals max_ship, and the sole-late filter is
+    exactly one last-shipper in a multi-supplier order — row-identical
+    to the join form by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_max",
+        F.max("supp_max").over(w).alias("max_ship"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(
+            F.when(
+                F.col("supp_max")
+                == F.max("supp_max").over(w),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("n_last"),
+    )
+    sole = flagged.where(
+        (F.col("supp_max") == F.col("max_ship"))
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_last") == 1)
+    ).select(F.col("l_suppkey").alias("suppkey"))
+    return (
+        sole.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
 
 
 # ====================================================================
