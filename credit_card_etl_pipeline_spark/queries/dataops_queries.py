@@ -1369,7 +1369,7 @@ def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metric for the approximate path: per-query recall@5 of
     the LSH-bucketed search vs the exact brute force — the measurement
     that justifies (or rejects) the approximation at scale."""
-    vecs = _quantized(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     queries = vecs.where(F.col("vec_id") % 100 == 0)
     exact = sim.cosine_topk(vecs, queries, k=5).select("query_id", "cand_id")
     approx = (
@@ -5926,7 +5926,7 @@ def ann_hamming_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall_at_5 for LSH.  8 bytes per candidate through stage 1;
     recall loss only where true neighbours fall outside the coarse
     Hamming horizon."""
-    vecs = _quantized(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     queries = vecs.where(F.col("vec_id") % 100 == 0)
     exact = sim.cosine_topk(vecs, queries, k=5).select("query_id", "cand_id")
     approx = (
