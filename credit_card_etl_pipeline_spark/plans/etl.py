@@ -27,7 +27,7 @@ from .. import schema as S
 from ..functions.cleanse import general_cleanse
 from ..operators.bank_parse import parse_bank_specific
 from ..operators.extract_cards import extract_card_info
-from ..sources.ingest import DEFAULT_BANK_SPECS, BankSpec, parse_bank, statement_lines
+from ..sources.ingest import DEFAULT_BANK_SPECS, BankSpec, parse_banks, statement_lines
 
 
 def _init_missing(df: DataFrame) -> DataFrame:
@@ -61,8 +61,11 @@ def run_etl(
     lines = caching.track(lines.localCheckpoint(eager=True))
 
     frames: list[DataFrame] = []
+    # parse_banks: ONE driver action discovers every bank's header
+    # (r12; the per-bank probe loop serialized ~3 jobs per spec)
+    parsed_by_id = parse_banks(lines, specs)
     for spec in specs:
-        parsed = parse_bank(lines, spec)
+        parsed = parsed_by_id.get(spec.bank_id)
         if parsed is None:
             continue
         df = _init_missing(parsed)

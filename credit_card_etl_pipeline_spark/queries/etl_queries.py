@@ -23,7 +23,7 @@ from ..operators.extract_cards import extract_card_info
 from ..sources.ingest import (
     DEFAULT_BANK_SPECS,
     BankSpec,
-    parse_bank,
+    parse_banks,
     read_excel_statement,
     statement_lines,
 )
@@ -502,11 +502,10 @@ def _parsed_canonical_union(lines: DataFrame) -> DataFrame:
     from ..functions import caching
 
     lines = caching.track(lines.localCheckpoint(eager=True))
-    parts = [
-        parsed
-        for spec in DEFAULT_BANK_SPECS
-        if (parsed := parse_bank(lines, spec)) is not None
-    ]
+    # parse_banks: header discovery for all banks in ONE driver action
+    # (r12 — the per-bank limit(1).collect() loop serialized ~3 jobs per
+    # spec on the driver; guide §1.2/§5)
+    parts = list(parse_banks(lines, DEFAULT_BANK_SPECS).values())
     raw = parts[0]
     for p in parts[1:]:
         raw = raw.unionByName(p, allowMissingColumns=True)

@@ -246,10 +246,7 @@ def rfm_merchant_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="transaction_id",
         amount_col="amt",
         extra_first=["Category", "Sub_Category"],
-        # the hybrid resolver upstream is expensive to evaluate; the
-        # split form pays it once + a short slice instead of twice in
-        # full (rfm.py, r11)
-        split_windows=True,
+        split_windows=False,
     )
     return res.select(
         "clean_merchant_name",

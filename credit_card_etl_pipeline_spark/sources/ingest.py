@@ -305,16 +305,111 @@ def _split_header(header_line: str, sep: str) -> list[str]:
     return [" ".join(str(c).split()) for c in cells]
 
 
+def _headers_and_positions(
+    lines: DataFrame, specs: list[BankSpec]
+) -> tuple[DataFrame, dict[str, str]]:
+    """A3 for EVERY bank at once: one distributed header-position pass
+    plus ONE driver action for the header lines.
+
+    The per-bank :func:`parse_bank` path pays one ``limit(1).collect()``
+    plus a header-position aggregate per spec — with AQE that is
+    several Spark jobs per bank, serialized on the driver (r12: the
+    4-spec union spent more wall time in driver round-trips than in
+    tasks; guide §1.2 fixed costs / §5 driver).  Here the per-file
+    header position (first keyword hit in the first 50 lines, else 0)
+    is ONE aggregate over all banks — eagerly materialized, so every
+    per-bank branch broadcast-joins the same tiny (path, hpos) table —
+    and the per-bank header lines come back in ONE ≤|banks|-row
+    collect.  The driver holds O(banks) strings; the per-file table
+    stays distributed (a 100 TB backfill can have millions of files).
+
+    The header line is taken from the lexicographically first file of
+    each bank (statement layouts are per-bank consistent — the same
+    assumption the per-bank ``limit(1)`` pick already relied on, made
+    deterministic here).  Banks with no files are absent from the map.
+    """
+    kw_items: list[F.Column] = []
+    for s in specs:
+        if s.header_keyword is not None:
+            kw_items += [F.lit(s.bank_id), F.lit(s.header_keyword)]
+    paths = lines.select("path", "bank_id").distinct()
+    if kw_items:
+        kw = F.create_map(*kw_items)[F.col("bank_id")]
+        found = (
+            lines.where(
+                (F.col("pos") <= 50) & F.col("line").contains(kw)
+            )
+            .groupBy("path")
+            .agg(F.min("pos").alias("hpos"))
+        )
+        hpos_all = paths.join(found, "path", "left").na.fill({"hpos": 0})
+    else:
+        hpos_all = paths.withColumn("hpos", F.lit(0))
+    # one row per FILE — eager checkpoint so the per-bank broadcast
+    # builds scan materialized blocks instead of re-aggregating
+    hpos_all = hpos_all.localCheckpoint(eager=True)
+    hdr_rows = (
+        lines.join(F.broadcast(hpos_all.select("path", "hpos")), "path")
+        .where(F.col("pos") == F.col("hpos"))
+        .groupBy("bank_id")
+        .agg(F.min_by("line", "path").alias("line"))
+        .collect()
+    )
+    return hpos_all, {r["bank_id"]: r["line"] for r in hdr_rows}
+
+
+def parse_banks(
+    lines: DataFrame, specs: list[BankSpec] | None = None
+) -> dict[str, DataFrame]:
+    """A3+B1+B2 for every bank with one shared header-position pass and
+    ONE driver action for all header discovery (see
+    :func:`_headers_and_positions`); ``lines`` should be materialized
+    (checkpointed/persisted) by the caller — both engine call sites
+    already do.  Returns ``{bank_id: parsed}`` for each bank that has
+    files, in spec order."""
+    specs = list(specs if specs is not None else DEFAULT_BANK_SPECS)
+    hpos_all, headers = _headers_and_positions(lines, specs)
+    frames: dict[str, DataFrame] = {}
+    for spec in specs:
+        if spec.bank_id not in headers:
+            continue
+        parsed = parse_bank(
+            lines, spec, precomputed=(headers[spec.bank_id], hpos_all)
+        )
+        if parsed is not None:
+            frames[spec.bank_id] = parsed
+    return frames
+
+
 def parse_bank(
-    lines: DataFrame, spec: BankSpec
+    lines: DataFrame, spec: BankSpec, *,
+    precomputed: tuple[str, DataFrame] | None = None,
 ) -> DataFrame | None:
     """A3+B1+B2+B3: parse one bank's lines into canonical columns.
 
     Returns null if the bank has no files.  Output carries ``path`` and
     ``pos`` (explicit ingest order for E2) plus ``base_year`` /
     ``bill_month`` (A2) alongside the mapped canonical columns.
+
+    ``precomputed`` is ``(header_line, hpos_all)`` from
+    :func:`_headers_and_positions` — multi-bank callers use
+    :func:`parse_banks` so header discovery costs one driver action for
+    the whole union instead of one per bank; standalone calls keep the
+    self-contained per-bank probe below.
     """
     bank_lines = lines.where(F.col("bank_id") == spec.bank_id)
+    if precomputed is not None:
+        header_line, hpos_all = precomputed
+        # the materialized all-banks (path, hpos) table: filter this
+        # bank's rows and broadcast — no extra aggregate per bank
+        hpos = hpos_all.where(
+            F.col("bank_id") == spec.bank_id
+        ).select("path", "hpos")
+        with_h = bank_lines.join(F.broadcast(hpos), "path")
+        raw_names = _split_header(
+            header_line, HTML_CELL_SEP if spec.file_type == "html" else ","
+        )
+        return _parse_bank_tail(with_h, spec, raw_names)
     # hpos is ONE ROW PER FILE (path, header line no) — broadcast it so
     # the fact side (every line of every file) is never sorted/shuffled
     # by path: without the hint Spark picks SortMergeJoin here (sizes
@@ -330,6 +425,13 @@ def parse_bank(
         return None
     sep = HTML_CELL_SEP if spec.file_type == "html" else ","
     raw_names = _split_header(header_row[0]["line"], sep)
+    return _parse_bank_tail(with_h, spec, raw_names)
+
+
+def _parse_bank_tail(
+    with_h: DataFrame, spec: BankSpec, raw_names: list[str]
+) -> DataFrame:
+    """B1+B2 shared tail: data-row slice + per-column projection."""
 
     data = with_h.where(
         (F.col("pos") > F.col("hpos")) & (F.trim(F.col("line")) != "")
