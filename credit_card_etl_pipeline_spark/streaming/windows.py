@@ -142,7 +142,11 @@ def table_bytes(sf_dir: str, table: str) -> int:
 
 @contextlib.contextmanager
 def sized_state_partitions(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    *,
+    no_data_batches: bool = False,
 ):
     """Scope ``spark.sql.shuffle.partitions`` — which fixes a streaming
     query's STATE STORE partition count at first start — to ~64 MB of
@@ -154,14 +158,34 @@ def sized_state_partitions(
     just from 32 → 8 partitions), while on a real cluster the count
     grows with the data until the session default caps it.  The conf
     binds only when the stream first starts (fresh checkpoint each
-    run) and is restored on exit, so batch plans are untouched."""
+    run) and is restored on exit, so batch plans are untouched.
+
+    ``no_data_batches=False`` (default) additionally scope-disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled``: after the last
+    data batch, a watermarked stateful query otherwise runs one EXTRA
+    empty micro-batch purely to advance the watermark (state eviction
+    + append-mode window finalization) — measured ~2s wall at bench
+    volume (r12: stream_hll_windowed batch 1: 0 rows, addBatch 1.8s,
+    ≈40% of the query).  Every query under this manager is
+    output-neutral to that batch: complete/update sinks re-emit or
+    have already emitted, dedup and inner stream-stream joins emit on
+    arrival, and the applyInPandasWithState operator uses NoTimeout
+    (no timer to fire).  An APPEND-MODE WINDOWED AGGREGATION would
+    lose its final windows — such a query must pass
+    ``no_data_batches=True`` (none are registered today; the flag is
+    the guard rail)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(ndb_key, "true")
     parts = max(8, min(int(prev), table_bytes(sf_dir, table) // (64 << 20)))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if not no_data_batches:
+            spark.conf.set(ndb_key, "false")
         yield parts
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(ndb_key, prev_ndb)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

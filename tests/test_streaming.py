@@ -221,3 +221,60 @@ def test_files_per_trigger_sizing():
     # target is respected within one file's granularity
     n = files_per_trigger([10 * mb] * 100)
     assert 6 <= n <= 7 and n * 10 * mb >= _TRIGGER_TARGET_BYTES - 10 * mb
+
+
+@pytest.mark.timeout(300)
+def test_no_data_batch_suppressed_state_unchanged(spark, tmp_path):
+    """sized_state_partitions scope-disables the trailing no-data
+    micro-batch (r12: ~2s of pure watermark-advance wall per stateful
+    query at bench volume).  Pin both halves of the contract: the
+    batch count drops to exactly the data batches, and a watermarked
+    UPDATE-mode aggregation's end state still equals the batch
+    aggregate (update sinks emit per data batch, so the extra batch
+    was output-neutral)."""
+    from pyspark.sql import functions as F
+
+    from credit_card_etl_pipeline_spark.streaming.windows import (
+        sized_state_partitions,
+    )
+
+    stream = with_watermark(events_stream(spark, SF), "1 hour")
+    agg = stream.groupBy(
+        F.window("event_ts", "1 day").alias("win")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    with sized_state_partitions(spark, SF, "events"):
+        assert (
+            spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+            == "false"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ndb_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ndb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        progress = list(q.recentProgress)
+        q.stop()
+    # conf restored on exit
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )
+    # only DATA batches ran: the single-file sf0.001 source is one
+    # micro-batch, and no trailing 0-row watermark batch follows
+    assert [p["numInputRows"] > 0 for p in progress] == [True] * len(progress)
+    got = {
+        (r["win"]["start"], r["n"])
+        for r in spark.table("ndb_test").collect()
+    }
+    want = {
+        (r["win"]["start"], r["n"])
+        for r in event_time(spark.read.parquet(f"{SF}/events.parquet"))
+        .groupBy(F.window("event_ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and got
