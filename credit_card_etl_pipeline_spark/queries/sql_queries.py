@@ -2036,15 +2036,42 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ]
+    # r12: min/max over a STRING column puts a var-length field in the
+    # aggregation buffer, which HashAggregate cannot hold — the whole
+    # wide aggregate (including the 6-way count-distinct Expand) fell
+    # back to SortAggregate, i.e. a SORT of |rows|×7 expanded rows
+    # (measured 36 CPU-seconds at sf0.1, the entire cost of the query).
+    # Split by buffer width instead: the full pass keeps only
+    # fixed-width buffers (counts, numeric/date min-max — pure
+    # HashAggregate), and the two low-cardinality string columns are
+    # profiled from their distinct-pair table (hash-aggregated keys,
+    # no var-length buffer until the input is ≤|status|×|priority|
+    # rows).  Same values by construction: count/min/max over the
+    # distinct projection equal those over the raw column.
+    str_cols = ["o_orderstatus", "o_orderpriority"]
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for i, c in enumerate(cols):
-        aggs += [
-            F.count(c).cast("long").alias(f"nn{i}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"nd{i}"),
-            F.min(c).cast("string").alias(f"mn{i}"),
-            F.max(c).cast("string").alias(f"mx{i}"),
-        ]
-    wide = t.agg(*aggs)
+        aggs.append(F.count(c).cast("long").alias(f"nn{i}"))
+        if c not in str_cols:
+            aggs += [
+                F.count_distinct(F.col(c)).cast("long").alias(f"nd{i}"),
+                F.min(c).cast("string").alias(f"mn{i}"),
+                F.max(c).cast("string").alias(f"mx{i}"),
+            ]
+    str_aggs = []
+    for i, c in enumerate(cols):
+        if c in str_cols:
+            str_aggs += [
+                F.count_distinct(F.col(c)).cast("long").alias(f"nd{i}"),
+                F.min(c).cast("string").alias(f"mn{i}"),
+                F.max(c).cast("string").alias(f"mx{i}"),
+            ]
+    # eager checkpoint: Catalyst otherwise collapses the distinct INTO
+    # the string aggregate (Expand + SortAggregate over the raw rows —
+    # the exact fallback this split avoids); the pair table is bounded
+    # by |status|×|priority| (~15 rows), so the materialization is free
+    pairs = t.select(*str_cols).distinct().localCheckpoint(eager=True)
+    wide = t.agg(*aggs).crossJoin(F.broadcast(pairs.agg(*str_aggs)))
     stack_args = ", ".join(
         f"'{c}', n_rows - nn{i}, nd{i}, mn{i}, mx{i}"
         for i, c in enumerate(cols)

@@ -664,3 +664,35 @@ def test_hot_keys_returns_exactly_the_heavy_tuples(spark):
     got = sorted(r["k"] for r in hot_keys(df, ["k"], min_count=150).collect())
     assert got == [0, 1]
     assert hot_keys(df, ["k"], min_count=1500).count() == 0
+
+
+def test_table_profile_full_pass_is_hash_aggregate(spark):
+    """r12: min/max over a STRING column forces a var-length aggregate
+    buffer, which silently flips the whole wide profile aggregate
+    (count-distinct Expand included) to SortAggregate — a sort of
+    |rows|x5 expanded rows.  The profile splits string-column min/max
+    onto the tiny distinct-pair checkpoint; pin that the raw-scan pass
+    plans as HashAggregate and SortAggregate appears only above the
+    checkpointed (ExistingRDD) pair table."""
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        orders_table_profile,
+    )
+
+    import re
+
+    plan = _plan(orders_table_profile(spark, SF))
+    # the count-distinct Expand over the PARQUET scan must feed a
+    # HashAggregate directly (fixed-width buffers, no Sort between):
+    # tree lines print parent-first, so the hash path is consecutive
+    assert re.search(
+        r"HashAggregate[^\n]*\n[^\n]*Expand[^\n]*\n[^\n]*Project[^\n]*\n"
+        r"[^\n]*Exchange[^\n]*\n[^\n]*Scan parquet",
+        plan,
+    ), plan
+    # and no SortAggregate sits on a parquet-fed Expand: every
+    # sort-aggregated chain bottoms out at the checkpointed pair table
+    # (Scan ExistingRDD), never the raw scan
+    sort_chains = re.findall(
+        r"SortAggregate[^\n]*\n(?:[^\n]*\n)*?[^\n]*Scan (\w+)", plan
+    )
+    assert sort_chains and all(s == "ExistingRDD" for s in sort_chains), plan

@@ -93,6 +93,10 @@ BNLJ_ALLOWED: dict[str, str] = {
     # aggregate cross-joined onto the ≤11-row bucket histogram
     # (curate.distribution_matched_sample — F.broadcast'ed).
     "documents_length_matched_sample": "1-row corpus totals onto bucket histogram",
+    # r12: string-column profile (1-row aggregate over the ≤15-row
+    # status×priority distinct-pair checkpoint) cross-joined onto the
+    # 1-row fixed-width wide aggregate — sql_queries.orders_table_profile.
+    "orders_table_profile": "1-row string-profile aggregate onto 1-row wide aggregate",
 }
 
 VIOLATION_NODES = ("CartesianProduct", "BatchEvalPython")
