@@ -594,7 +594,13 @@ def jaccard_for_pairs(
     ALREADY checkpointed/persisted ``shingles`` (e.g. because the same
     frame also feeds a signature pass) — a second localCheckpoint
     would copy the full explode block-for-block for zero added
-    lineage truncation."""
+    lineage truncation.  The flag is TRUSTED: there is no reliable
+    runtime probe for "is this plan materialized" (a localCheckpoint-
+    backed frame reports ``storageLevel`` NONE through the cache
+    manager), so a caller passing True on an unmaterialized frame
+    silently reintroduces the triple recompute of the explode —
+    perf-only, results unchanged.  In-repo callers that pass True are
+    pinned by plan tests on their single-explode shape."""
     if not shingles_materialized:
         shingles = shingles.localCheckpoint(eager=True)
     pairs = pairs.localCheckpoint(eager=True)

@@ -104,7 +104,11 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts over the UNDIRECTED
     simple graph of ``edges`` (direction and multiplicity dropped).
@@ -116,7 +120,20 @@ def triangle_counts(
     the wedge stage alive on power-law graphs at 100 TB (a celebrity
     node's d² wedge explosion never materializes).  Two shuffles: the
     wedge self-join on the mid node and the closing semi-join on the
-    (lo, hi) edge key."""
+    (lo, hi) edge key.
+
+    ``checkpoint=True`` (default) eagerly localCheckpoints the
+    undirected and oriented edge sets — each feeds 2+ consumers, and
+    the r11 A/B showed the materialization wins decisively (44
+    exchanges → 3).  Tradeoffs, stated plainly: (a) construction
+    triggers Spark jobs at CALL time, not first-action time; (b)
+    ``localCheckpoint`` blocks are NON-reliable — losing an executor
+    mid-query forces recompute-from-nothing of the lost blocks (edge
+    sets are |E|-bounded, far smaller than the wedge stage they feed,
+    so the re-run is cheap relative to the query).  A caller on a
+    preemption-heavy cluster can pass ``checkpoint=False`` for pure
+    lazy lineage, or route through the reliable-checkpoint helper used
+    by :func:`connected_components` when |E| itself is huge."""
     u, v = F.col(src_col), F.col(dst_col)
     und = (
         edges.select(
@@ -124,8 +141,9 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -147,9 +165,9 @@ def triangle_counts(
         F.col("a"),
     ).otherwise(F.col("b"))
     hi = F.when(lo == F.col("a"), F.col("b")).otherwise(F.col("a"))
-    oriented = ranked.select(lo.alias("lo"), hi.alias("hi")).localCheckpoint(
-        eager=True
-    )
+    oriented = ranked.select(lo.alias("lo"), hi.alias("hi"))
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
 
     w1 = oriented.select(
         F.col("lo").alias("p"), F.col("hi").alias("q1")

@@ -47,7 +47,10 @@ def cms_build(
     raw-row count.  A caller that already holds exact per-key counts
     (e.g. for a truth audit) hashes each KEY once instead of md5-ing
     every stream row ``depth`` times, and the build input shrinks from
-    the stream to the key set."""
+    the stream to the key set.  Weights are expected non-null (a
+    per-key count can't be NULL); a NULL weight is coalesced to 0 —
+    i.e. "key seen, zero rows" — so the weighted build never emits a
+    NULL counter where the raw-row build would emit a number."""
     rows = df.select(
         F.explode(
             F.array(
@@ -60,7 +63,11 @@ def cms_build(
                 ]
             )
         ).alias("c"),
-        *([F.col(weight_col).alias("__w")] if weight_col else []),
+        *(
+            [F.coalesce(F.col(weight_col), F.lit(0)).alias("__w")]
+            if weight_col
+            else []
+        ),
     )
     counter = (
         F.sum("__w") if weight_col else F.count(F.lit(1))

@@ -2830,6 +2830,13 @@ def multimodal_apng_frame_sample(
     from ..dataops import multimodal as mmod
     from ..dataops import png as pngc
 
+    # Coverage note (ADVICE r11): this query is GENERATION-FUSED —
+    # payload bytes are born and consumed inside one Python crossing,
+    # so it no longer benchmarks the binary-payload DataFrame-operator
+    # path.  That path stays benchmarked in-suite by
+    # multimodal_frame_sample / multimodal_resize_tiles (real payload
+    # columns shipped through sample_frames / resize_images) and is
+    # unit-tested per codec in tests/.
     # r11 (guide §4): encode → sample_frames → JVM hex-split byte sum
     # used to be two Python crossings plus a JVM pass re-summing the
     # frame bytes through a hex/conv expression chain.  The payloads
@@ -2913,6 +2920,13 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops import multimodal as mmod
     from ..dataops import wav as wavc
 
+    # Coverage note (ADVICE r11): this query is GENERATION-FUSED —
+    # payload bytes are born and consumed inside one Python crossing,
+    # so it no longer benchmarks the binary-payload DataFrame-operator
+    # path.  That path stays benchmarked in-suite by
+    # multimodal_frame_sample / multimodal_resize_tiles (real payload
+    # columns shipped through sample_frames / resize_images) and is
+    # unit-tested per codec in tests/.
     # r11 (guide §4): encode + decode-stats fused into ONE mapInPandas
     # — the WAV payloads are born in Python and consumed in Python, so
     # the JVM round-trip between the two stages moved every audio byte
@@ -3609,6 +3623,13 @@ def multimodal_avi_frame_sample(
 
     W, H, BOUND = 24, 16, 8
 
+    # Coverage note (ADVICE r11): this query is GENERATION-FUSED —
+    # payload bytes are born and consumed inside one Python crossing,
+    # so it no longer benchmarks the binary-payload DataFrame-operator
+    # path.  That path stays benchmarked in-suite by
+    # multimodal_frame_sample / multimodal_resize_tiles (real payload
+    # columns shipped through sample_frames / resize_images) and is
+    # unit-tested per codec in tests/.
     # r11 (guide §4): encode → sample_frames → check was three Python
     # crossings round-tripping the MJPEG container and every decoded
     # frame through the JVM.  One mapInPandas now encodes, samples via
@@ -4050,6 +4071,13 @@ def multimodal_gif_frame_sample(
     from ..dataops import gif as gifc
     from ..dataops import multimodal as mmod
 
+    # Coverage note (ADVICE r11): this query is GENERATION-FUSED —
+    # payload bytes are born and consumed inside one Python crossing,
+    # so it no longer benchmarks the binary-payload DataFrame-operator
+    # path.  That path stays benchmarked in-suite by
+    # multimodal_frame_sample / multimodal_resize_tiles (real payload
+    # columns shipped through sample_frames / resize_images) and is
+    # unit-tested per codec in tests/.
     # r11 (guide §4): encode → frame-sample → summarize used to be
     # THREE chained mapInPandas stages, shipping the GIF payloads
     # JVM→Python→JVM→Python and the decoded frames once more, with 32
