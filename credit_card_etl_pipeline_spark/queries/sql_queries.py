@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import rfm as rfm_ops
 from ..operators.merchants import resolve_merchant_hybrid
+from ..streaming.windows import table_bytes
 from . import load, query
 from .merchant_queries import HYBRID_MERCHANT_RULES, STRIP_PREFIXES
 from .rfm_queries import synth_transactions
@@ -1746,10 +1747,54 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partkey exchange instead of a self-join, so the plan has NO
     sort-merge join: one shuffle for the partsupp groupBy, one for the
     window, broadcast joins for every dim.  The (size, type) predicate
-    prunes the part dim before its broadcast."""
+    prunes the part dim before its broadcast.
+
+    r12 (guide §3.2): when lineitem is large, the engine pre-filters it
+    with a broadcast SEMI-join on the (size, type)-filtered part keys
+    BEFORE the partsupp aggregate.  Only those partkeys can reach the
+    output (the final part join drops every other key), and the
+    pre-filter removes whole (partkey, suppkey) groups — never rows
+    within a surviving group — so every surviving group's sum/min is
+    byte-identical.  The oracle keeps the verbatim unfiltered SQL;
+    hash-parity at two SFs on the pre-filter path is the equivalence
+    proof.  At 100 TB this turns the full-lineitem groupBy (the
+    query's only fact shuffle) into a ~0.1%-sliver aggregate behind a
+    broadcast filter.
+
+    The pre-filter is gated on the fact's on-disk size — the same
+    tradeoff Spark's own runtime Bloom-filter injection (SPARK-32268)
+    gates with ``applicationSideScanSizeThreshold``: the filter build
+    (one extra part scan + broadcast) plus the per-row probe is a
+    fixed cost that only pays once the avoided aggregate shuffle
+    dominates it.  Measured at sf0.1/local[32] the pre-filter LOSES
+    (1.37 → 1.62s: the saved shuffle is ~1 MB); the crossover is when
+    lineitem no longer fits the aggregate's map side comfortably.
+    ``spark.graft.q2.prefilterMinBytes`` (default 1 GiB) parameterises
+    it; both paths are oracle-verified."""
     for t in ("lineitem", "part", "supplier", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q2_SQL)
+    min_bytes = int(
+        spark.conf.get("spark.graft.q2.prefilterMinBytes", str(1 << 30))
+    )
+    if table_bytes(sf_dir, "lineitem") < min_bytes:
+        return spark.sql(_Q2_SQL)
+    part_f = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_f),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "semi",
+        )
+        .createOrReplaceTempView("lineitem_q2_parts")
+    )
+    return spark.sql(
+        _Q2_SQL.replace("FROM lineitem", "FROM lineitem_q2_parts")
+    )
 
 
 # ====================================================================

@@ -344,6 +344,32 @@ def test_tpch_q2_q11_q20_dims_broadcast(spark):
     assert "PushedFilters" in p20  # p_name LIKE 'red%' reaches the scan
 
 
+def test_tpch_q2_prefilter_gate_paths_equal(spark):
+    # r12: the size-gated lineitem semi-join pre-filter (guide §3.2)
+    # must (a) stay OFF below the threshold (local bench path), (b)
+    # show the semi-join in the plan when forced on, and (c) return
+    # byte-identical rows on both paths — the pre-filter drops whole
+    # (partkey, suppkey) groups that the final part join would drop
+    # anyway.
+    from credit_card_etl_pipeline_spark.queries.sql_queries import (
+        tpch_q2_min_cost_supplier,
+    )
+
+    key = "spark.graft.q2.prefilterMinBytes"
+    spark.conf.set(key, str(1 << 60))
+    try:
+        df_off = tpch_q2_min_cost_supplier(spark, SF)
+        assert "lineitem_q2_parts" not in _plan(df_off)
+        rows_off = sorted(map(str, df_off.collect()))
+        spark.conf.set(key, "0")
+        df_on = tpch_q2_min_cost_supplier(spark, SF)
+        assert "LeftSemi" in _plan(df_on)
+        rows_on = sorted(map(str, df_on.collect()))
+    finally:
+        spark.conf.unset(key)
+    assert rows_off == rows_on and len(rows_off) > 0
+
+
 def test_sessionization_single_user_shuffle(spark):
     # lag → running-sum → per-session agg must all ride ONE user_id
     # Exchange; a regression to per-stage repartitions shows as extra

@@ -163,10 +163,29 @@ def main() -> int:
               flush=True)
 
     bad = {n: r for n, r in results.items() if r.get("violations")}
+    # r12 BNLJ audit (guide §3 scale risk): every BroadcastNestedLoopJoin
+    # in the registry must name its broadcast side and that side must be
+    # bounded-by-construction (1-row scalar aggregates, literal grids,
+    # sampled probe frames) — never corpus-growing.  The per-query
+    # justification lives in BNLJ_ALLOWED; surface it here so the audit
+    # artifact itself certifies zero unjustified nodes.
+    bnlj_justified = {
+        n: {
+            "nodes": r["counts"]["BroadcastNestedLoopJoin"],
+            "tiny_side": BNLJ_ALLOWED.get(n),
+        }
+        for n, r in results.items()
+        if r.get("counts", {}).get("BroadcastNestedLoopJoin")
+    }
+    bnlj_unjustified = sorted(
+        n for n, e in bnlj_justified.items() if e["tiny_side"] is None
+    )
     summary = {
         "n_queries": len(results),
         "n_violations": len(bad),
         "violating": {n: r["violations"] for n, r in bad.items()},
+        "bnlj_justified": bnlj_justified,
+        "bnlj_unjustified": bnlj_unjustified,
         "totals": {
             k: sum(r.get("counts", {}).get(k, 0) for r in results.values())
             for k in (*COUNT_NODES, "WholeStageCodegenSpans")
