@@ -180,21 +180,49 @@ def _stage3_when_chain(
 ) -> DataFrame:
     """Expression-fold stage 3: optimal for small rule corpora (no
     join, pure codegen), but each rule wraps the prior tree — O(n²)
-    expression growth caps its use at REGEX_JOIN_THRESHOLD."""
-    name3: Column = fallback_name
-    cat3: Column = F.lit("Unknown")
-    sub3: Column = F.lit("")
-    excl3: Column = F.lit(False)
-    for r in reversed(rules):
-        pat = r["Pattern"]
-        cond = F.col(merchant_col).isNotNull() & contains_ci(F.col("__stripped"), pat)
-        name3 = F.when(cond, F.lit((r.get("Replacement") or "").strip())).otherwise(name3)
-        cat3 = F.when(cond, F.lit(r.get("Category") or "")).otherwise(cat3)
-        sub3 = F.when(cond, F.lit(r.get("Sub_Category") or "")).otherwise(sub3)
-        excl3 = F.when(cond, F.lit(_parse_bool(r.get("RFM_Exclusion")))).otherwise(excl3)
+    expression growth caps its use at REGEX_JOIN_THRESHOLD.
+
+    One short-circuiting CASE computes the first-matching rule INDEX,
+    and the four payload columns are O(1) lookups into constant-folded
+    literal arrays on that index — each rule's regex is evaluated at
+    most once per row instead of once per output column (the previous
+    four parallel when-chains re-ran every ``contains_ci`` per column;
+    codegen subexpression elimination does not hoist from CaseWhen
+    branches).  First-match-wins order and the fallback values are
+    unchanged.  The index lives in its own projection: it is non-cheap
+    and referenced by all four outputs, so CollapseProject keeps it
+    evaluated once."""
+    n = len(rules)
+    idx: Column = F.lit(n)
+    for i in reversed(range(n)):
+        cond = F.col(merchant_col).isNotNull() & contains_ci(
+            F.col("__stripped"), rules[i]["Pattern"]
+        )
+        idx = F.when(cond, F.lit(i)).otherwise(idx)
+    df = df.withColumn("__i3", idx)
+
+    def pick(values: list[Any], fallback: Column) -> Column:
+        # CreateArray of literals constant-folds to one array literal;
+        # element_at is 1-based and only reached when a rule matched.
+        arr = F.array(*[F.lit(v) for v in values])
+        return F.when(
+            F.col("__i3") < n, F.element_at(arr, F.col("__i3") + 1)
+        ).otherwise(fallback)
+
     return df.withColumns(
-        {"__n3": name3, "__c3": cat3, "__s3": sub3, "__e3": excl3}
-    )
+        {
+            "__n3": pick(
+                [(r.get("Replacement") or "").strip() for r in rules],
+                fallback_name,
+            ),
+            "__c3": pick([r.get("Category") or "" for r in rules], F.lit("Unknown")),
+            "__s3": pick([r.get("Sub_Category") or "" for r in rules], F.lit("")),
+            "__e3": pick(
+                [_parse_bool(r.get("RFM_Exclusion")) for r in rules],
+                F.lit(False),
+            ),
+        }
+    ).drop("__i3")
 
 
 def _stage3_regex_join(

@@ -179,27 +179,55 @@ def rfm_dual_window(
         # 3.5s single-pass vs 4.9s split), because the scan is cheap
         # and the split form's second aggregate + group join add
         # exchanges.
-        if analysis_date is None:
-            analysis_date = analysis_date_of(df, date_col)
-        cutoff = analysis_date - _dt.timedelta(days=short_days)
-        in_short = d >= F.lit(cutoff)
+        derived = analysis_date is None
+        if derived:
+            # r12: the derived analysis date used to be a DRIVER scalar
+            # (`analysis_date_of`: its own action → 2-3 AQE jobs plus a
+            # py4j round-trip BEFORE the main aggregate's plan could be
+            # built — ~1s of serialized driver wall at sf0.1).  Instead
+            # the 1-row max rides a broadcast cross join INTO the same
+            # query execution: identical values (analysis_date =
+            # max(d)+1 exactly as before, now as a column), one driver
+            # action fewer, and the scalar never touches the driver.
+            mx = df.agg(F.max(d).alias("__mxd"))
+            base = df.crossJoin(F.broadcast(mx))
+            ad_col = F.date_add(F.col("__mxd"), 1)
+        else:
+            base = df
+            ad_col = F.lit(analysis_date)
+        in_short = d >= F.date_sub(ad_col, short_days)
         aggs = [
-            F.datediff(
-                F.lit(analysis_date), F.max(d)
-            ).alias("life_recency_days"),
+            F.max(d).alias("__gmax"),
             F.countDistinct(F.col(id_col)).alias("life_frequency"),
             F.sum(F.col(amount_col)).alias("life_monetary"),
-            F.datediff(
-                F.lit(analysis_date), F.max(F.when(in_short, d))
-            ).alias("short_recency_days"),
+            F.max(F.when(in_short, d)).alias("__smax"),
             F.countDistinct(
                 F.when(in_short, F.col(id_col))
             ).alias("__short_freq_raw"),
             F.sum(F.when(in_short, F.col(amount_col))).alias("short_monetary"),
+            # constant within every group (it is a global scalar);
+            # max() carries it through the aggregate as a fixed-width
+            # DATE so the recency datediffs stay post-aggregation
+            F.max(ad_col).alias("__ad"),
         ]
         for c in extra_first or []:
             aggs.append(F.first(F.col(c), ignorenulls=True).alias(c))
-        agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        agg = base.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        agg = agg.select(
+            *[F.col(k) for k in keys],
+            F.datediff(F.col("__ad"), F.col("__gmax")).alias(
+                "life_recency_days"
+            ),
+            "life_frequency",
+            "life_monetary",
+            F.datediff(F.col("__ad"), F.col("__smax")).alias(
+                "short_recency_days"
+            ),
+            "__short_freq_raw",
+            "short_monetary",
+            "__ad",
+            *(extra_first or []),
+        )
         # countDistinct of an all-null set is 0, not null; the
         # reference's left join yields NaN→fillna(0).  Normalize
         # 0-with-no-activity to null first so rank scoping (only
@@ -221,9 +249,19 @@ def rfm_dual_window(
         # the persist) picks the rank strategy: small group tables use
         # the single-window path, huge ones the two-pass
         # range-partitioned rank (functions.ranks).  Tracked for
-        # release at the next query boundary (caching.py).
+        # release at the next query boundary (caching.py).  The same
+        # job also returns the derived analysis date so the
+        # no-non-null-dates contract still raises.
         agg = caching.track(agg.persist())
-        n_groups = agg.count()
+        row = agg.agg(
+            F.count(F.lit(1)).alias("n"), F.max("__ad").alias("mx")
+        ).first()
+        n_groups = row["n"] if row is not None else 0
+        if derived and n_groups and (row is None or row["mx"] is None):
+            raise ValueError(f"no non-null values in {date_col}")
+        if derived and n_groups == 0:
+            raise ValueError(f"no non-null values in {date_col}")
+        agg = agg.drop("__ad")
     else:
         # Derived analysis date with an EXPENSIVE input plan
         # (``split_windows=True`` — callers whose upstream is a heavy

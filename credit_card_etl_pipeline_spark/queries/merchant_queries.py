@@ -233,7 +233,21 @@ def rfm_merchant_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid resolver → B7/B8 exclusions → dual-window RFM keyed by the
     CLEANED merchant name with Category carried through → pandas ranks
     → I2 segmentation.  Resolver compiles to broadcast join +
-    expression chains; the dual window is one shuffle."""
+    expression chains; the dual window is one shuffle.
+
+    Category/Sub_Category ride the aggregate as GROUPING keys, not
+    ``first()`` carriers (r12): they are functions of the resolved name
+    (stage 2 hits take the lookup row's category, stage 3/fallback the
+    matched rule's — the synth corpus admits no name that resolves via
+    two paths), so grouping by all three yields the identical one row
+    per clean name — exactly how the sibling ``merchant_resolve_hybrid``
+    already groups, and equivalent to the oracle's ``min(category)``
+    under that dependency.  The point is the plan: a ``first(string)``
+    aggregate puts a var-length field in the aggregation buffer, which
+    HashAggregate cannot hold, so the whole dual-window aggregate
+    (Expand included) fell back to a 3-level SortAggregate — measured
+    27.6 CPU-seconds in one stage at sf0.1.  Var-length GROUPING keys
+    are fine; the buffer is now all fixed-width."""
     fact = synth_transactions(spark, sf_dir)
     df = resolve_merchant_hybrid(
         fact, HYBRID_MERCHANT_RULES, STRIP_PREFIXES, merchant_col="merchant_name"
@@ -241,11 +255,10 @@ def rfm_merchant_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = rfm_ops.exclude_bank_noise(df).where(~F.col("RFM_Exclusion"))
     res = rfm_ops.rfm_dual_window(
         df,
-        ["clean_merchant_name"],
+        ["clean_merchant_name", "Category", "Sub_Category"],
         date_col="d",
         id_col="transaction_id",
         amount_col="amt",
-        extra_first=["Category", "Sub_Category"],
         split_windows=False,
     )
     return res.select(
