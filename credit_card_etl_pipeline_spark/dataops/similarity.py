@@ -1268,7 +1268,6 @@ def top_pc(
     # strings (see the SQL-twin note above) instead of O(dim) py4j
     # calls per iteration.
     xc = df.select(
-        F.col(id_col),
         F.expr(
             f"zip_with({_qcol(vec_col)}, {_arr_long_sql(center)}, "
             "(x, c) -> x - c)"
@@ -1277,25 +1276,47 @@ def top_pc(
     try:
         v = [scale] + [0] * (dim - 1)
         for _ in range(iters):
-            proj = xc.select(
-                "xc",
-                F.expr(
-                    f"aggregate(zip_with(xc, {_arr_long_sql(v)}, (a, b) -> a * b), "
-                    "0L, (acc, t) -> acc + t)"
-                ).alias("s"),
-            ).select(
-                "xc", F.expr(f"CAST(s div {scale} AS BIGINT)").alias("sp")
-            )
-            u_rows = (
-                proj.select(F.posexplode("xc").alias("pos", "x"), "sp")
-                .groupBy("pos")
-                .agg(F.sum(F.col("x") * F.col("sp")).cast("long").alias("u"))
-                .orderBy("pos")
-                .collect()
-            )
+            # r12 (guide §4.2): the projection + accumulation used to
+            # run as interpreted higher-order array expressions
+            # (aggregate/zip_with per row, posexplode + dim-keyed
+            # aggregation) — measured 15-25 CPU-seconds PER ITERATION
+            # over a ~1 MB cached corpus at sf0.1.  One mapInPandas
+            # pass hands whole Arrow batches to NumPy instead: the
+            # identical exact-int64 arithmetic (s = xc·v; s' = s div
+            # scale truncated TOWARD ZERO like Spark's div, hence the
+            # sign/abs dance; partial u = Xᵀ·s'), emitting one
+            # |dim|-row partial per batch.  Partials are summed on the
+            # driver in arbitrary-precision Python ints; per-element
+            # bounds are the docstring's int64 argument, unchanged.
+            v_np = list(v)
+            dim_n = dim
+            sc = scale
+
+            def _iter_partials(batches, _v=v_np, _d=dim_n, _s=sc):
+                import numpy as np
+                import pandas as pd
+
+                va = np.asarray(_v, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["xc"].to_numpy()).astype(
+                        np.int64, copy=False
+                    )
+                    s = X @ va
+                    sp = np.sign(s) * (np.abs(s) // _s)
+                    u_part = X.T @ sp
+                    yield pd.DataFrame(
+                        {"pos": np.arange(_d, dtype=np.int32),
+                         "u": u_part.astype(np.int64)}
+                    )
+
+            u_rows = xc.mapInPandas(
+                _iter_partials, schema="pos int, u long"
+            ).collect()
             u = [0] * dim
             for r in u_rows:
-                u[int(r["pos"])] = int(r["u"])
+                u[int(r["pos"])] += int(r["u"])
             m = max(abs(x) for x in u)
             if m == 0:  # fully degenerate corpus: all centered vectors 0
                 v = [0] * dim
